@@ -1,0 +1,138 @@
+"""Conversation-record aggregation: the graft of the reference's record table.
+
+``groupby(conv_id)`` over the turn table produces one row per conversation
+with the derived fields the linkage pipeline blocks and scores on — the
+analog of the reference's person/household record table (``rein`` schema,
+/root/reference/data_raw/traindata_graafreinet.R:144-174; SURVEY §1.3 /
+FIXTURES.md F2).
+
+Scale design: a bare ``groupby(conv_id).map_groups`` would shuffle every
+*turn* row and pay a Python call per conversation. Instead:
+
+  1. ``map_batches`` computes vectorized per-batch *partial* records with a
+     pandas groupby (one row per conversation per batch — ~1 partial per
+     conversation when input files are written conversation-contiguously, as
+     any transcript log is);
+  2. one small shuffle combines partials per conv_id (associative merge);
+  3. a final stateless ``map_batches`` derives the blocking fields
+     (normalized first-turn prefix, role/tool signature, epoch) from the
+     combined record — this is where the reference's blocking variable
+     (mlast / soundex key, /root/reference/R/candidates.R:113-116) is grafted
+     onto transcripts.
+
+Tool signatures are bitmask-encoded against a small broadcast vocabulary
+(``ray.put`` once, read per actor/task) so pairwise tool-set Jaccard later is
+pure vectorized popcount — never a shuffle join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..kernels.textutil import initials as _initials
+
+BLOCK_PREFIX_LEN = 16
+
+RECORD_FIELDS = [
+    "conv_id", "first_text_norm", "second_text_norm", "role_sig",
+    "tool_mask", "tool_sig", "n_turns", "text_chars",
+    "ts_min", "ts_max", "epoch", "block_key",
+    "first_text_prefix", "first_text_initials",
+]
+
+_DAY_US = 86_400_000_000
+
+
+def collect_tool_vocab(ds) -> dict[str, int]:
+    """Distinct tool names -> bit index. Small global aggregate, computed once
+    and broadcast (the reference's model-registry-style shared state)."""
+    names = sorted(x for x in ds.unique("tool") if x is not None)
+    if len(names) > 63:
+        # cap the exact mask at 63 tools; the tail shares the overflow bit
+        names = names[:63]
+    return {n: i for i, n in enumerate(names)}
+
+
+def _partials_fn(vocab: dict[str, int]):
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        tool_bit = df["tool"].map(vocab).fillna(63).astype(np.int64)
+        df["_bit"] = np.where(df["tool"].isna(), 0,
+                              np.int64(1) << tool_bit.to_numpy())
+        df["_chars"] = df["text"].str.len().fillna(0).astype(np.int64)
+        g = df.groupby("conv_id", sort=False)
+        out = g.agg(
+            n_turns=("turn_idx", "size"),
+            ts_min=("ts", "min"),
+            ts_max=("ts", "max"),
+            text_chars=("_chars", "sum"),
+        )
+        # bitwise-OR of single-bit values == sum over distinct (conv, bit)
+        bits = (df[["conv_id", "_bit"]].drop_duplicates()
+                .groupby("conv_id", sort=False)["_bit"].sum())
+        out["tool_mask"] = bits
+        for idx, (tcol, rcol) in ((0, ("first_text_norm", "role0")),
+                                  (1, ("second_text_norm", "role1"))):
+            sel = df[df["turn_idx"] == idx]
+            out[tcol] = sel.set_index("conv_id")["text_norm"]
+            out[rcol] = sel.set_index("conv_id")["role"]
+        out["n_turns"] = out["n_turns"].astype(np.int64)
+        return out.reset_index()
+    return partials
+
+
+def _combine(group: pd.DataFrame) -> pd.DataFrame:
+    if len(group) == 1:
+        return group
+    first = group.iloc[0:1].copy()
+    first["n_turns"] = group["n_turns"].sum()
+    first["ts_min"] = group["ts_min"].min()
+    first["ts_max"] = group["ts_max"].max()
+    first["text_chars"] = group["text_chars"].sum()
+    first["tool_mask"] = np.bitwise_or.reduce(group["tool_mask"].to_numpy())
+    for col in ("first_text_norm", "role0", "second_text_norm", "role1"):
+        nn = group[col].dropna()
+        first[col] = nn.iloc[0] if len(nn) else None
+    return first
+
+
+def _finalize_fn(vocab: dict[str, int], prefix_len: int):
+    inv = sorted(vocab, key=vocab.get)
+
+    def tool_sig_of(mask: int) -> str:
+        if mask <= 0:
+            return ""
+        return "|".join(n for n in inv if mask & (1 << vocab[n]))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        ft = df["first_text_norm"].fillna("")
+        df["first_text_prefix"] = ft.str.slice(0, prefix_len)
+        df["first_text_initials"] = _initials(ft.to_numpy(dtype=object))
+        df["role_sig"] = (df["role0"].fillna("") + ">" + df["role1"].fillna(""))
+        df["block_key"] = df["first_text_prefix"] + "|" + df["role_sig"]
+        df["tool_sig"] = df["tool_mask"].map(tool_sig_of)
+        df["epoch"] = (df["ts_min"].astype("int64") // _DAY_US).astype(np.int32)
+        df["n_turns"] = df["n_turns"].astype(np.int32)
+        return df[RECORD_FIELDS]
+    return finalize
+
+
+def build_conv_records(ds_turns, tool_vocab: dict[str, int] | None = None,
+                       prefix_len: int = BLOCK_PREFIX_LEN,
+                       batch_size: int = 64 * 1024):
+    """Dataset[turns + text_norm] -> Dataset[conversation records].
+
+    One shuffle (of the already-aggregated partials, not the turns).
+    """
+    if tool_vocab is None:
+        tool_vocab = collect_tool_vocab(ds_turns)
+    partials = ds_turns.map_batches(_partials_fn(tool_vocab),
+                                    batch_format="pandas",
+                                    batch_size=batch_size)
+    combined = partials.groupby("conv_id").map_groups(_combine,
+                                                      batch_format="pandas")
+    return combined.map_batches(_finalize_fn(tool_vocab, prefix_len),
+                                batch_format="pandas",
+                                batch_size=batch_size)

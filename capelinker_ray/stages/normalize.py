@@ -1,0 +1,52 @@
+"""Per-turn text normalization stage.
+
+Mirrors the reference's cleaning pipeline
+(/root/reference/data_raw/traindata_graafreinet.R:28-96: stri_trim_both,
+strip non-letters, latin-ascii transliteration, uppercase) as ONE stateless
+``map_batches`` stage over zero-copy Arrow batches, fully vectorized with
+pyarrow.compute kernels.
+
+Invariant (BASELINE.json input_hint): the original ``text`` column is never
+modified — normalized text goes into a NEW ``text_norm`` column, so per-turn
+text equality under stable (conv_id, turn_idx) ordering is preserved end to
+end.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# the reference's diacritic fold table (util.R:203-208) extended with
+# uppercase forms; applied as fixed vectorized replacements
+_DIACRITIC_PAIRS = [
+    ("é", "e"), ("ë", "e"), ("ê", "e"), ("è", "e"),
+    ("â", "a"), ("á", "a"), ("à", "a"), ("å", "a"),
+    ("ü", "u"), ("û", "u"), ("î", "i"), ("ï", "i"), ("ç", "c"),
+    ("É", "E"), ("Ë", "E"), ("Ê", "E"), ("È", "E"),
+    ("Â", "A"), ("Á", "A"), ("À", "A"), ("Å", "A"),
+    ("Ü", "U"), ("Û", "U"), ("Î", "I"), ("Ï", "I"), ("Ç", "C"),
+    ("ö", "o"), ("ô", "o"), ("ó", "o"), ("ò", "o"), ("ñ", "n"), ("ý", "y"),
+]
+
+
+def normalize_expr(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """UPPERCASE, fold diacritics, keep [A-Z0-9 ], collapse runs of spaces, trim."""
+    x = col
+    for src, dst in _DIACRITIC_PAIRS:
+        x = pc.replace_substring(x, src, dst)
+    x = pc.utf8_upper(x)
+    x = pc.replace_substring_regex(x, r"[^A-Z0-9 ]", " ")
+    x = pc.replace_substring_regex(x, r" +", " ")
+    x = pc.utf8_trim_whitespace(x)
+    return x
+
+
+def _normalize_batch(batch: pa.Table) -> pa.Table:
+    return batch.append_column("text_norm", normalize_expr(batch["text"]))
+
+
+def normalize_turns(ds, batch_size: int = 64 * 1024):
+    """Dataset[transcript turns] -> same + ``text_norm`` column."""
+    return ds.map_batches(_normalize_batch, batch_format="pyarrow",
+                          batch_size=batch_size)
