@@ -1,0 +1,403 @@
+"""Blocking / candidate-pair generation — the engine's core "join".
+
+Reimplements the semantics of the reference's ``candidates()``
+(/root/reference/R/candidates.R:32-135) Ray-Data-first. The reference builds
+dense O(n_from × n_to) similarity matrices in RAM; here candidates are
+enumerated *within blocks* after a hash-partitioned ``groupby(block_key)``,
+which is the only linearly-scalable strategy (the reference's own soundex
+key-equality branch, candidates.R:113-116, generalized to arbitrary keys).
+
+Block types (candidates.R:37-41 enum, same semantics per branch):
+  equality   key-equality blocking (reference "soundex" branch; score = 1.0 —
+             the reference's branch leaves ``score`` undefined, a latent bug
+             noted in SURVEY §2.3; we emit 1.0 for exact key equality)
+  bigram     within-block character-bigram cosine > 1-maxdist, '#' boundary
+             (candidates.R:82-96); ``idf=True`` gives the idf-weighted
+             variant (candidates.R:97-112)
+  stringdist within-block Jaro-Winkler(p=0.1) distance < maxdist
+             (candidates.R:65-73); score = the *distance*, as in the
+             reference branch
+  numeric    Gaussian-kernel similarity 1-gk > maxsim is replaced by the
+             band-join entry point ``numeric_candidates`` (bucket to
+             width-bound bins, probe adjacent bins, exact gk filter)
+
+Outer retention (candidates.R:118-132): from-records with zero candidates
+are kept as rows with null ``_to`` columns ("left in to make comparisons of
+the dataset easier", candidates.R:11).
+
+Skew (SURVEY §4): before the quadratic pair step, blocks whose pair count
+exceeds ``max_block_pairs`` are salted — the from-side is hash-split into
+``s = ceil(nF·nT / cap)`` shards and the to-side is replicated to every
+shard, so every from-record still sees the complete to-side (the ``matches``
+block-size feature, vignettes/example.rmd:106, stays exact) while no single
+task exceeds the pair cap. Hot keys are detected with a vectorized partial
+count + tiny builtin-aggregate shuffle, and only the oversized keys are
+collected/broadcast.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..kernels.strdist import bigram_cosine_matrix, jaro_winkler_sim
+
+DEFAULT_MAX_BLOCK_PAIRS = 200_000
+
+_META_COLS = ("_side", "_salt")
+
+
+def _tag_side(ds, side: str):
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_side", pa.array(np.full(len(t), side), pa.string()))
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def _hot_keys(tagged, block_col: str, cap: int) -> dict[str, int]:
+    """{block_key: n_shards} for blocks whose from×to pair count exceeds cap.
+
+    Partial counts per batch (vectorized) -> builtin Sum shuffle over ~1 row
+    per key per batch -> driver collects only the oversized tail (tiny by
+    construction)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(block_col, sort=False)["_side"]
+        out = g.value_counts().unstack(fill_value=0)
+        for c in ("F", "T"):
+            if c not in out:
+                out[c] = 0
+        out = out.reset_index()
+        return pd.DataFrame({block_col: out[block_col],
+                             "nf": out["F"].astype(np.int64),
+                             "nt": out["T"].astype(np.int64)})
+
+    stats = tagged.map_batches(partial, batch_format="pandas")
+    totals = stats.groupby(block_col).aggregate(
+        Sum("nf", alias_name="nf"), Sum("nt", alias_name="nt"))
+
+    def only_hot(df: pd.DataFrame) -> pd.DataFrame:
+        prod = df["nf"].to_numpy(np.float64) * df["nt"].to_numpy(np.float64)
+        return df[prod > cap]
+
+    hot = totals.map_batches(only_hot, batch_format="pandas").to_pandas()
+    if len(hot) == 0 or block_col not in hot.columns:
+        return {}
+    return {
+        k: int(math.ceil((nf * nt) / cap))
+        for k, nf, nt in zip(hot[block_col], hot["nf"], hot["nt"])
+        if nf > 0 and nt > 0
+    }
+
+
+def _salt_fn(block_col: str, hot: dict[str, int]):
+    hot_ref = ray.put(hot)  # broadcast once, read per task
+
+    def salt(df: pd.DataFrame) -> pd.DataFrame:
+        h = ray.get(hot_ref)
+        if not h:
+            df["_salt"] = np.int32(0)
+            return df
+        shards = df[block_col].map(h).fillna(1).astype(np.int64).to_numpy()
+        df = df.reset_index(drop=True)
+        plain = df[shards <= 1].copy()
+        plain["_salt"] = np.int32(0)
+        out = [plain]
+        hot_rows = df[shards > 1]
+        if len(hot_rows):
+            s = shards[shards > 1]
+            is_f = (hot_rows["_side"] == "F").to_numpy()
+            # from-rows: one stable shard each
+            f = hot_rows[is_f].copy()
+            fh = pd.util.hash_array(f["conv_id"].to_numpy(dtype=object))
+            f["_salt"] = (fh % s[is_f].astype(np.uint64)).astype(np.int32)
+            out.append(f)
+            # to-rows: replicated to every shard of their block
+            t = hot_rows[~is_f]
+            st = s[~is_f]
+            if len(t):
+                rep = t.loc[t.index.repeat(st)].copy()
+                salts = np.concatenate([np.arange(k, dtype=np.int32) for k in st])
+                rep["_salt"] = salts
+                out.append(rep)
+        return pd.concat(out, ignore_index=True)
+    return salt
+
+
+def _norm_pair_dtypes(df: pd.DataFrame, attr_cols, id_from_col, id_to_col) -> pd.DataFrame:
+    """Deterministic pair-table schema regardless of NA-row presence."""
+    for c in df.columns:
+        if c in (id_from_col, id_to_col, "block_key"):
+            df[c] = df[c].astype(object).where(df[c].notna(), None)
+        elif df[c].dtype.kind in "iufb":
+            df[c] = df[c].astype(np.float64)
+        elif df[c].dtype.kind == "M":
+            df[c] = df[c].astype("datetime64[us]")
+    return df
+
+
+def _pairs_fn(block_col: str, id_col: str, blocktype: str, maxdist: float,
+              attr_cols: list[str], keep_unmatched: bool, self_link: bool,
+              p_jw: float = 0.1, idf: bool = False):
+    maxsim = 1.0 - maxdist
+    id_from_col = f"{id_col}_from"
+    id_to_col = f"{id_col}_to"
+    cols = [id_col] + attr_cols
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        key = g[block_col].iloc[0]
+        f = g[g["_side"] == "F"]
+        t = g[g["_side"] == "T"]
+        fdf = f[cols].reset_index(drop=True)
+        tdf = t[cols].reset_index(drop=True)
+
+        nf, nt = len(fdf), len(tdf)
+        if nt == 0:
+            fi = np.array([], dtype=np.int64)
+            ti = np.array([], dtype=np.int64)
+            score = np.array([], dtype=np.float64)
+        elif blocktype == "equality":
+            fi = np.repeat(np.arange(nf), nt)
+            ti = np.tile(np.arange(nt), nf)
+            score = np.ones(nf * nt, dtype=np.float64)
+        elif blocktype == "bigram":
+            sim = bigram_cosine_matrix(fdf["_blockvar"].to_numpy(object),
+                                       tdf["_blockvar"].to_numpy(object), idf=idf)
+            fi, ti = np.nonzero(sim > maxsim)
+            score = sim[fi, ti]
+        elif blocktype == "stringdist":
+            bf = fdf["_blockvar"].to_numpy(object)
+            bt = tdf["_blockvar"].to_numpy(object)
+            fi_all = np.repeat(np.arange(nf), nt)
+            ti_all = np.tile(np.arange(nt), nf)
+            d = 1.0 - jaro_winkler_sim(bf[fi_all], bt[ti_all], p=p_jw)
+            keep = d < maxdist
+            fi, ti, score = fi_all[keep], ti_all[keep], d[keep]
+        else:
+            raise ValueError(f"unknown blocktype {blocktype!r}")
+
+        if self_link and len(fi):
+            keep = fdf[id_col].to_numpy(object)[fi] < tdf[id_col].to_numpy(object)[ti]
+            fi, ti, score = fi[keep], ti[keep], score[keep]
+
+        out = pd.concat([
+            fdf.iloc[fi].add_suffix("_from").reset_index(drop=True),
+            tdf.iloc[ti].add_suffix("_to").reset_index(drop=True),
+        ], axis=1)
+        out["score"] = score
+        if len(fi):
+            m = pd.Series(fi).value_counts()
+            out["matches"] = pd.Series(fi).map(m).to_numpy(np.float64)
+        else:
+            out["matches"] = np.array([], dtype=np.float64)
+
+        if keep_unmatched:
+            miss = np.setdiff1d(np.arange(nf), fi)
+            if len(miss):
+                na = fdf.iloc[miss].add_suffix("_from").reset_index(drop=True)
+                for c in cols:
+                    na[f"{c}_to"] = None
+                na["score"] = np.nan
+                na["matches"] = 0.0
+                out = pd.concat([out, na], ignore_index=True)
+        out["block_key"] = key
+        return _norm_pair_dtypes(out, attr_cols, id_from_col, id_to_col)
+
+    return pairs
+
+
+def candidates(ds_from, ds_to=None, *, block_col: str = "block_key",
+               id_col: str = "conv_id", blocktype: str = "equality",
+               blockvariable: str | None = None, maxdist: float = 0.15,
+               attr_cols: list[str] | None = None,
+               max_block_pairs: int = DEFAULT_MAX_BLOCK_PAIRS,
+               keep_unmatched: bool = True, idf: bool = False):
+    """Dataset[records] (+ optional to-side) -> Dataset[candidate pairs].
+
+    ``ds_to=None`` runs the self-link (dedup) variant with ``id_from <
+    id_to`` pair dedup. For "bigram"/"stringdist" the coarse ``block_col``
+    pre-blocks and ``blockvariable`` (default: the block column itself) is
+    the string compared within the block.
+    """
+    self_link = ds_to is None
+    if blocktype in ("bigram", "stringdist"):
+        bv = blockvariable or block_col
+
+        def add_bv(t: pa.Table) -> pa.Table:
+            return t.append_column("_blockvar", t[bv])
+        ds_from = ds_from.map_batches(add_bv, batch_format="pyarrow")
+        if ds_to is not None:
+            ds_to = ds_to.map_batches(add_bv, batch_format="pyarrow")
+
+    tagged_f = _tag_side(ds_from, "F")
+    if self_link:
+        tagged = tagged_f.union(_tag_side(ds_from, "T"))
+    else:
+        tagged = tagged_f.union(_tag_side(ds_to, "T"))
+
+    hot = _hot_keys(tagged, block_col, max_block_pairs)
+    salted = tagged.map_batches(_salt_fn(block_col, hot), batch_format="pandas")
+
+    if attr_cols is None:
+        schema_names = [n for n in ds_from.schema().names
+                        if n not in (id_col,) and not n.startswith("_")]
+        attr_cols = schema_names
+    if blocktype in ("bigram", "stringdist") and "_blockvar" not in attr_cols:
+        attr_cols = attr_cols + ["_blockvar"]
+
+    fn = _pairs_fn(block_col, id_col, blocktype, maxdist, attr_cols,
+                   keep_unmatched, self_link, idf=idf)
+    pairs = salted.groupby([block_col, "_salt"]).map_groups(
+        fn, batch_format="pandas")
+    if blocktype in ("bigram", "stringdist"):
+        pairs = pairs.drop_columns(["_blockvar_from", "_blockvar_to"])
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# numeric band join (reference "numeric" blocktype, candidates.R:74-81)
+# ---------------------------------------------------------------------------
+
+def numeric_candidates(ds_from, ds_to, *, value_col: str, id_col: str,
+                       sigma: float = 1.0, maxdist: float = 0.15,
+                       attr_cols: list[str] | None = None,
+                       max_block_pairs: int = DEFAULT_MAX_BLOCK_PAIRS):
+    """Band join: keep pairs with gk similarity > 1 - maxdist.
+
+    gk(x1,x2,σ) = exp(-|x1-x2|/σ²) > maxsim  ⇔  |x1-x2| < -σ²·ln(maxsim),
+    so records are bucketed into width-``bound`` bins; from-rows probe their
+    own and both adjacent bins (replication factor 3, no dense matrix)."""
+    maxsim = 1.0 - maxdist
+    if maxsim <= 0:
+        raise ValueError("maxdist must be < 1 for the numeric band join")
+    bound = -(sigma ** 2) * math.log(maxsim)
+    if bound <= 0:
+        bound = 1e-12
+
+    def bin_to(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[value_col].to_numpy(np.float64)
+        df["_bin"] = np.floor(x / bound).astype(np.int64)
+        df["_probe_home"] = np.int8(1)
+        return df
+
+    def bin_from(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[value_col].to_numpy(np.float64)
+        b = np.floor(x / bound).astype(np.int64)
+        reps = []
+        for d in (-1, 0, 1):
+            r = df.copy()
+            r["_bin"] = b + d
+            r["_probe_home"] = np.int8(d == 0)
+            reps.append(r)
+        return pd.concat(reps, ignore_index=True)
+
+    f = _tag_side(ds_from, "F").map_batches(bin_from, batch_format="pandas")
+    t = _tag_side(ds_to, "T").map_batches(bin_to, batch_format="pandas")
+    tagged = f.union(t)
+
+    if attr_cols is None:
+        attr_cols = [n for n in ds_from.schema().names if n != id_col]
+
+    cols = [id_col] + attr_cols
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        fdf = g[g["_side"] == "F"][cols + ["_probe_home"]].reset_index(drop=True)
+        tdf = g[g["_side"] == "T"][cols].reset_index(drop=True)
+        nf, nt = len(fdf), len(tdf)
+        if nf == 0:
+            return _norm_pair_dtypes(pd.DataFrame(
+                {**{f"{c}_from": [] for c in cols}, **{f"{c}_to": [] for c in cols},
+                 "score": [], "matches": [], "block_key": []}),
+                attr_cols, f"{id_col}_from", f"{id_col}_to")
+        if nt:
+            xf = fdf[value_col].to_numpy(np.float64)
+            xt = tdf[value_col].to_numpy(np.float64)
+            sim = np.exp(-np.abs(xf[:, None] - xt[None, :]) / (sigma ** 2))
+            fi, ti = np.nonzero(sim > maxsim)
+            score = sim[fi, ti]
+        else:
+            fi = ti = np.array([], dtype=np.int64)
+            score = np.array([], dtype=np.float64)
+        out = pd.concat([
+            fdf.iloc[fi].drop(columns="_probe_home").add_suffix("_from").reset_index(drop=True),
+            tdf.iloc[ti].add_suffix("_to").reset_index(drop=True),
+        ], axis=1)
+        out["score"] = score
+        out["matches"] = 1.0
+        # unmatched from-rows emitted once, from their home bin only; a row
+        # matched in a *neighbor* bin may still emit a stale NA row here —
+        # resolved by the per-from-id pass below
+        home = fdf["_probe_home"].to_numpy() == 1
+        miss = np.setdiff1d(np.arange(nf)[home], fi)
+        if len(miss):
+            na = fdf.iloc[miss].drop(columns="_probe_home").add_suffix("_from").reset_index(drop=True)
+            for c in cols:
+                na[f"{c}_to"] = None
+            na["score"] = np.nan
+            na["matches"] = 0.0
+            out = pd.concat([out, na], ignore_index=True)
+        out["block_key"] = str(g["_bin"].iloc[0])
+        return _norm_pair_dtypes(out, attr_cols, f"{id_col}_from", f"{id_col}_to")
+
+    raw = tagged.groupby("_bin").map_groups(pairs, batch_format="pandas")
+
+    # a from-row probes 3 bins -> a (from,to) pair matches in exactly 1 bin
+    # (each to-row lives in one bin), so no pair dedup is needed; but a
+    # from-row matched only in a neighbor bin also emitted a home-bin NA row.
+    # Resolve per from-id: keep real pairs, else the single NA row.
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        real = g[g["score"].notna()]
+        return real if len(real) else g.head(1)
+
+    return raw.groupby(f"{id_col}_from").map_groups(resolve, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# small-side broadcast JW join (reference "string distance" blocktype at
+# fixture scale: dense JW matrix, candidates.R:65-73)
+# ---------------------------------------------------------------------------
+
+def broadcast_jw_candidates(ds_from, small_to: pd.DataFrame, *,
+                            blockvariable: str, id_col: str,
+                            maxdist: float = 0.15, p: float = 0.1,
+                            attr_cols: list[str] | None = None,
+                            keep_unmatched: bool = True):
+    """JW-threshold join where the to-side is small: broadcast it via
+    ``ray.put`` once and scan the from-side in a single stateless pass —
+    no shuffle at all (SURVEY §2.3 'small-side broadcast')."""
+    to_ref = ray.put(small_to)
+    if attr_cols is None:
+        attr_cols = [n for n in ds_from.schema().names if n != id_col]
+    cols = [id_col] + attr_cols
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        tdf = ray.get(to_ref)
+        tcols = [c for c in tdf.columns]
+        bf = df[blockvariable].to_numpy(object)
+        bt = tdf[blockvariable].to_numpy(object)
+        nf, nt = len(df), len(tdf)
+        fi_all = np.repeat(np.arange(nf), nt)
+        ti_all = np.tile(np.arange(nt), nf)
+        d = 1.0 - jaro_winkler_sim(bf[fi_all], bt[ti_all], p=p)
+        keep = d < maxdist
+        fi, ti = fi_all[keep], ti_all[keep]
+        out = pd.concat([
+            df[cols].iloc[fi].add_suffix("_from").reset_index(drop=True),
+            tdf[tcols].iloc[ti].add_suffix("_to").reset_index(drop=True),
+        ], axis=1)
+        out["score"] = d[keep]
+        if keep_unmatched:
+            miss = sorted(set(range(nf)) - set(fi.tolist()))
+            if miss:
+                na = df[cols].iloc[miss].add_suffix("_from").reset_index(drop=True)
+                for c in tcols:
+                    na[f"{c}_to"] = None
+                na["score"] = np.nan
+                out = pd.concat([out, na], ignore_index=True)
+        return out
+
+    return ds_from.map_batches(scan, batch_format="pandas")
