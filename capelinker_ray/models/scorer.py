@@ -1,0 +1,66 @@
+"""Actor-pool pair scoring — the Ray graft of ``predict_links`` scoring.
+
+The reference fetches a pretrained model by name and scores every candidate
+row in-process (/root/reference/R/pred.R:40-45). Here scoring is a stateful
+``map_batches`` stage: ``MatchScorer`` is a callable CLASS — the frozen
+artifact is deserialized ONCE per actor in ``__init__`` (load-once state,
+SURVEY §2.6) and each ``__call__`` builds the feature matrix from the
+artifact's own ``feature_names`` (the registry contract: models introspect
+their required features, data_raw/pretrained.R:489-508) and appends ``pred``.
+
+Wide pair rows are NOT shipped through the scorer redundantly: callers may
+``select_columns`` down to ids + features first (SURVEY §7 hard part f).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .registry import resolve_artifact
+from .trees import predict_ensemble
+
+__all__ = ["MatchScorer", "score_pairs", "feature_matrix"]
+
+
+def feature_matrix(t: pa.Table, feature_names: list[str]) -> np.ndarray:
+    cols = []
+    n = len(t)
+    for name in feature_names:
+        if name in t.column_names:
+            a = t[name]
+            if pa.types.is_boolean(a.type):
+                a = a.cast(pa.float64())
+            cols.append(np.array(a.to_pylist(), dtype=np.float64))
+        else:
+            # absent feature -> all-NaN column; trees route it down the
+            # learned default branch (xgboost NA semantics, example.rmd:147)
+            cols.append(np.full(n, np.nan))
+    return np.column_stack(cols) if cols else np.empty((n, 0))
+
+
+class MatchScorer:
+    """map_batches(MatchScorer, fn_constructor_kwargs={'model': name},
+    concurrency=N) — one artifact load per actor."""
+
+    def __init__(self, model: str):
+        self.artifact = resolve_artifact(model)
+        self.feature_names = self.artifact["feature_names"]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        X = feature_matrix(t, self.feature_names)
+        pred = predict_ensemble(self.artifact, X)
+        return t.append_column("pred", pa.array(pred, pa.float64()))
+
+
+def score_pairs(ds_pairs, model: str, concurrency=(1, 8),
+                batch_size: int = 32 * 1024, num_cpus: float = 1.0):
+    """Dataset[pairs+features] -> + ``pred`` column via an actor pool."""
+    return ds_pairs.map_batches(
+        MatchScorer,
+        fn_constructor_kwargs={"model": model},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        num_cpus=num_cpus,
+        batch_format="pyarrow",
+    )

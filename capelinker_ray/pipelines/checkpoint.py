@@ -1,0 +1,91 @@
+"""Per-stage Parquet checkpoints with a manifest + lineage/metrics records.
+
+The reference's checkpoint mechanism is manual ``saveRDS``/``readRDS`` of the
+candidate set between script runs (/root/reference/data_raw/pretrained.R:21-22,
+104-105). Here checkpointing is first-class (BASELINE.json north_rule:
+"resumable from checkpoint with per-partition lineage + metrics"):
+
+  * each stage writes partitioned Parquet under ``<dir>/<stage>/`` (many
+    files — never one giant file, so a resumed run and downstream readers
+    parallelize over them);
+  * a ``_SUCCESS.json`` marker holds the stage's lineage record: inputs
+    (upstream stage names), row count, block count, wall-clock seconds and a
+    monotonically-increasing run ordinal;
+  * resume = if the marker exists, ``read_parquet`` the directory and skip
+    recompute — the streaming executor then starts from the checkpoint;
+  * ``metrics()`` concatenates every stage's record into one table (the
+    per-partition metrics sink).
+
+Failure contract: a stage that crashed mid-write leaves no marker, so the
+next run recomputes it from its (checkpointed) inputs — at 100 TB the unit
+of loss is one stage, not the pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import ray.data as rd
+
+__all__ = ["CheckpointManager"]
+
+
+class CheckpointManager:
+    def __init__(self, root: str | None):
+        """``root=None`` disables checkpointing (stages pass through lazily)."""
+        self.root = root
+        if root:
+            os.makedirs(root, exist_ok=True)
+        self._ordinal = 0
+        self.records: list[dict] = []
+
+    def _marker(self, stage: str) -> str:
+        return os.path.join(self.root, stage, "_SUCCESS.json")
+
+    def done(self, stage: str) -> bool:
+        return bool(self.root) and os.path.exists(self._marker(stage))
+
+    def stage(self, name: str, build, *, inputs: tuple[str, ...] = ()):
+        """Run ``build() -> Dataset`` under checkpoint ``name``.
+
+        On resume the parquet checkpoint is read instead of recomputing.
+        Without a root, the dataset is returned lazily (no materialization).
+        """
+        self._ordinal += 1
+        if not self.root:
+            return build()
+        path = os.path.join(self.root, name)
+        if self.done(name):
+            return rd.read_parquet(path)
+        t0 = time.monotonic()
+        ds = build()
+        # write_parquet drives the streaming execution; one file per block
+        ds.write_parquet(path)
+        out = rd.read_parquet(path)
+        rec = {
+            "stage": name,
+            "ordinal": self._ordinal,
+            "inputs": list(inputs),
+            "rows": out.count(),
+            "files": len([f for f in os.listdir(path)
+                          if f.endswith(".parquet")]),
+            "wall_seconds": round(time.monotonic() - t0, 3),
+        }
+        with open(self._marker(name), "w") as f:
+            json.dump(rec, f)
+        self.records.append(rec)
+        return out
+
+    def metrics(self) -> list[dict]:
+        """All completed-stage lineage records (this run + resumed)."""
+        if not self.root:
+            return list(self.records)
+        recs = []
+        for stage in sorted(os.listdir(self.root)):
+            m = self._marker(stage)
+            if os.path.exists(m):
+                with open(m) as f:
+                    recs.append(json.load(f))
+        return sorted(recs, key=lambda r: r.get("ordinal", 0))

@@ -1,0 +1,120 @@
+"""The flagship end-to-end linkage pipeline (SURVEY §3.1, Ray-Data-first).
+
+Reference lifecycle (vignettes/example.rmd): load -> preflight -> candidates
+-> distances -> score -> rank-select; plus the panel's transitive index
+(util.R:14-44). Grafted onto transcripts:
+
+  read_parquet(turns)
+    -> map_batches(normalize_text)                  [stateless, zero-copy]
+    -> conv records (partial-agg + 1 small shuffle) [stages/conv_records.py]
+    -> candidates: groupby(block_key), salted       [stages/blocking.py]
+    -> map_batches(pair features)                   [stages/features.py]
+    -> project to ids+features                      [SURVEY §7 hard part f]
+    -> map_batches(MatchScorer actor pool)          [models/scorer.py]
+    -> grouped-rank selection (1-2 shuffles)        [stages/selection.py]
+    -> connected components (iterative)             [stages/cluster.py]
+    -> entity table + (conv_id, turn_idx)-sorted turn output
+
+Every stage optionally checkpoints to partitioned Parquet with lineage +
+metrics records (pipelines/checkpoint.py) and the run resumes from the last
+completed stage (BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+from ..stages.blocking import DEFAULT_MAX_BLOCK_PAIRS, candidates
+from ..stages.cluster import attach_entity_ids, connected_components
+from ..stages.conv_records import build_conv_records
+from ..stages.features import TRANSCRIPT_FEATURES, add_pair_features
+from ..stages.join import hash_join
+from ..stages.normalize import normalize_turns
+from ..stages.selection import select_links
+from ..models.scorer import score_pairs
+from .checkpoint import CheckpointManager
+
+__all__ = ["link_transcripts", "PAIR_ATTR_COLS"]
+
+# conv-record attributes the pair stage actually needs (wide rows never
+# carry unused columns through the blocking shuffle)
+PAIR_ATTR_COLS = [
+    "first_text_norm", "second_text_norm", "first_text_initials",
+    "role_sig", "tool_mask", "n_turns", "text_chars", "ts_min", "epoch",
+]
+
+
+def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
+                     checkpoint_dir: str | None = None,
+                     linktype: str = "threshold",
+                     minimum_confidence: float = 0.5,
+                     blocktype: str = "equality", maxdist: float = 0.15,
+                     max_block_pairs: int = DEFAULT_MAX_BLOCK_PAIRS,
+                     scorer_concurrency=(1, 8),
+                     sort_output: bool = True) -> dict:
+    """Self-link (dedup) a transcript corpus into entity clusters.
+
+    Returns dict of Datasets: records, pairs, scored, links, entities,
+    turns_out (turn-level, entity_id attached, (conv_id, turn_idx)-sorted),
+    plus the checkpoint manager's lineage records under "metrics".
+    """
+    ck = CheckpointManager(checkpoint_dir)
+
+    records = ck.stage(
+        "conv_records",
+        lambda: build_conv_records(normalize_turns(ds_turns)),
+        inputs=("turns",))
+
+    pairs = ck.stage(
+        "candidate_pairs",
+        lambda: add_pair_features(candidates(
+            records, None, block_col="block_key", id_col="conv_id",
+            blocktype=blocktype, maxdist=maxdist,
+            attr_cols=PAIR_ATTR_COLS, max_block_pairs=max_block_pairs,
+            keep_unmatched=False)),
+        inputs=("conv_records",))
+
+    scored = ck.stage(
+        "scored_pairs",
+        lambda: score_pairs(
+            pairs.select_columns(
+                ["conv_id_from", "conv_id_to"] + TRANSCRIPT_FEATURES),
+            model, concurrency=scorer_concurrency),
+        inputs=("candidate_pairs",))
+
+    links = ck.stage(
+        "links",
+        lambda: select_links(scored, id_from="conv_id_from",
+                             id_to="conv_id_to", pred_col="pred",
+                             minimum_confidence=minimum_confidence,
+                             linktype=linktype),
+        inputs=("scored_pairs",))
+
+    components = ck.stage(
+        "components",
+        lambda: connected_components(links, id_from="conv_id_from",
+                                     id_to="conv_id_to"),
+        inputs=("links",))
+
+    entities = ck.stage(
+        "entities",
+        lambda: attach_entity_ids(
+            records.select_columns(["conv_id", "block_key", "n_turns"]),
+            components, id_col="conv_id"),
+        inputs=("conv_records", "components"))
+
+    def build_turns_out():
+        out = hash_join(
+            ds_turns,
+            entities.select_columns(["conv_id", "entity_id"]),
+            on="conv_id", how="left")
+        # the per-turn text-equality invariant is checked under stable
+        # (conv_id, turn_idx) order (BASELINE.json input_hint)
+        return out.sort(["conv_id", "turn_idx"]) if sort_output else out
+
+    turns_out = ck.stage("turns_out", build_turns_out,
+                         inputs=("turns", "entities"))
+
+    return {
+        "records": records, "pairs": pairs, "scored": scored,
+        "links": links, "components": components, "entities": entities,
+        "turns_out": turns_out, "metrics": ck.metrics(),
+    }

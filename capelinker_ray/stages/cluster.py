@@ -1,0 +1,133 @@
+"""Transitive clustering: distributed connected components + expand_index.
+
+The reference's identity index is propagated one relaxation step at a time by
+``expand_index`` (/root/reference/R/util.R:14-44) over (index,
+index_candidate) columns; repeated rounds of linking + expand_index converge
+to connected components. Here:
+
+  * ``connected_components`` — the engine op: accepted links (id_from,
+    id_to) -> (node, entity_id) via iterative hash-min label propagation
+    (each node adopts the min label in its neighborhood; iterate to
+    fixpoint). Every iteration is ONE hash shuffle of the (node, label)
+    table (edges are pre-partitioned by src once); convergence is detected
+    with a changed-count aggregate, no wall-clock reads. Iterations ~
+    graph diameter — link graphs here are small star-ish families, so 2-3
+    rounds; the hash-min scheme is the standard scalable CC on Ray-style
+    shuffles (cf. PAPERS.md BTS/large-star-small-star for the adversarial
+    long-path case).
+
+  * ``expand_index`` — exact single-round parity with util.R:14-44 for the
+    reference's fixture semantics, including its deliberate no-merge gap
+    (conflicting groups untouched, util.R:38-41). Driver-side pandas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data.aggregate import Min
+
+from .join import hash_join
+
+__all__ = ["connected_components", "expand_index", "attach_entity_ids"]
+
+
+def _sym_edges(ds_links, id_from: str, id_to: str):
+    """links -> symmetric (src, dst) edge dataset (both directions)."""
+    def sym(t: pa.Table) -> pa.Table:
+        a = t[id_from].cast(pa.string()).combine_chunks()
+        b = t[id_to].cast(pa.string()).combine_chunks()
+        return pa.table({
+            "src": pa.concat_arrays([a, b]),
+            "dst": pa.concat_arrays([b, a]),
+        })
+    return ds_links.map_batches(sym, batch_format="pyarrow")
+
+
+def connected_components(ds_links, *, id_from: str = "conv_id_from",
+                         id_to: str = "conv_id_to",
+                         max_iterations: int = 50):
+    """Dataset[links] -> Dataset[(node:str, entity_id:str)].
+
+    entity_id = lexicographic-min node id of the component (deterministic,
+    coordination-free — no global counter at 100 TB).
+    """
+    edges = _sym_edges(ds_links, id_from, id_to).materialize()
+
+    # init: every node starts with the min label among itself + direct
+    # neighbors (first hash-min round fused into initialization)
+    def init_msgs(t: pa.Table) -> pa.Table:
+        pc = pa.compute
+        lab = pc.if_else(pc.less_equal(t["src"], t["dst"]), t["src"], t["dst"])
+        return pa.table({"node": t["src"], "label": lab})
+
+    labels = (edges.map_batches(init_msgs, batch_format="pyarrow")
+              .groupby("node").aggregate(Min("label", alias_name="label"))
+              .materialize())
+
+    def to_msgs(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["dst"], "label": t["label"]})
+
+    n_nodes = labels.count()
+    for _ in range(max_iterations):
+        # propagate: join edges (on src) with labels -> candidate label for dst
+        # (hash_join, not Dataset.join — see stages/join.py on why)
+        msgs = hash_join(edges, labels, on="src", right_on="node",
+                         how="inner").map_batches(to_msgs, batch_format="pyarrow")
+        new_labels = (labels.union(msgs)
+                      .groupby("node").aggregate(Min("label", alias_name="label"))
+                      .materialize())
+        # join-free exact convergence check: labels only move downward, so
+        # unchanged ⇔ the (node,label) multiset-union of old and new has
+        # exactly n_nodes distinct pairs (joining two descendants of the
+        # same materialized parent trips a Ray 2.49 join-planner bug).
+        distinct = (labels.union(new_labels)
+                    .groupby(["node", "label"]).count().count())
+        labels = new_labels
+        if distinct == n_nodes:
+            break
+    return labels.rename_columns({"label": "entity_id"})
+
+
+def attach_entity_ids(ds_records, ds_components, *, id_col: str = "conv_id"):
+    """Left-join entity ids back onto records; unlinked records become their
+    own singleton entity (entity_id = own id), mirroring the reference's
+    'every record keeps an index' contract (util.R:17-21)."""
+    joined = hash_join(ds_records, ds_components, on=id_col, right_on="node",
+                       how="left")
+
+    def fill(t: pa.Table) -> pa.Table:
+        ent = pa.compute.coalesce(t["entity_id"], t[id_col].cast(pa.string()))
+        return t.set_column(t.column_names.index("entity_id"),
+                            "entity_id", ent)
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# expand_index — exact one-round parity (util.R:14-44)
+# ---------------------------------------------------------------------------
+
+def expand_index(df: pd.DataFrame, index: str = "index",
+                 index_candidate: str = "index_candidate") -> pd.DataFrame:
+    """One relaxation step over (index, index_candidate), R semantics:
+
+      * group all-NA index        -> adopt index_candidate   (util.R:17-21)
+      * group all indexed         -> unchanged               (util.R:24-28)
+      * bridge (some NA, exactly one distinct index) -> fill (util.R:31-37)
+      * conflict (≥2 distinct)    -> unchanged               (util.R:38-41)
+
+    Rows with NA index_candidate are never touched.
+    """
+    out = df.copy()
+    grouped = out[out[index_candidate].notna()].groupby(index_candidate, sort=False)
+    for cand, g in grouped:
+        idx = g[index]
+        na = idx.isna()
+        distinct = idx.dropna().unique()
+        if na.all():
+            out.loc[g.index, index] = cand
+        elif na.any() and len(distinct) == 1:
+            out.loc[g.index[na], index] = distinct[0]
+        # else: all indexed, or conflicting -> untouched
+    return out

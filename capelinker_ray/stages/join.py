@@ -1,0 +1,138 @@
+"""Hash equi-join built from union + groupby().map_groups.
+
+The reference's only join is data.table ``merge`` with ``_from``/``_to``
+suffixes (/root/reference/R/candidates.R:127-132). Ray 2.49 ships a native
+``Dataset.join``, but its hash-shuffle aggregator raises ``ArrowInvalid`` as
+soon as a partition receives rows on one side only (empty pyarrow tables
+lose their schema before acero sees them — observed on any input with >2
+partitions). This join instead reuses the one shuffle primitive that is
+solid at scale — hash-partitioned ``groupby(key).map_groups`` over a tagged
+union of both sides — which is also exactly how the blocking stage
+co-partitions (stages/blocking.py), so the engine leans on a single
+well-tested shuffle path.
+
+Cost model: one all-to-all shuffle of (left ∪ right); per-key work is the
+in-group pandas merge. Broadcast the right side instead (broadcast_join)
+whenever it is small — that variant is shuffle-free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+__all__ = ["hash_join", "broadcast_join"]
+
+_SIDE = "__jside"
+
+
+def _arrow_types(ds) -> dict[str, pa.DataType]:
+    s = ds.schema()
+    return {n: (t if isinstance(t, pa.DataType) else pa.string())
+            for n, t in zip(s.names, s.types)}
+
+
+def hash_join(left, right, *, on: str | list[str], right_on=None,
+              how: str = "inner", suffixes=("", "_r")):
+    """Equi-join two Datasets. ``how`` in inner/left.
+
+    Right-side key columns are renamed onto the left names before the
+    shuffle; non-key name collisions get ``suffixes``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    on = [on] if isinstance(on, str) else list(on)
+    right_on = on if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on))
+
+    ltypes = _arrow_types(left)
+    rtypes = _arrow_types(right)
+    lcols = list(ltypes)
+    rcols = list(rtypes)
+    rmap = dict(zip(right_on, on))
+    rvals = [c for c in rcols if c not in right_on]
+    # disambiguate collisions on non-key value columns
+    out_rvals = {}
+    for c in rvals:
+        out_rvals[c] = c + suffixes[1] if c in lcols else c
+    lvals = [c for c in lcols if c not in on]
+    # one canonical arrow schema for the tagged union (uniform block type —
+    # mixed pandas/arrow blocks break the sort-shuffle boundary sampler)
+    out_fields = (
+        [(k, ltypes[k]) for k in on]
+        + [(c, ltypes[c]) for c in lvals]
+        + [(out_rvals[c], rtypes[c]) for c in rvals]
+        + [(_SIDE, pa.int8())]
+    )
+    tagged_schema = pa.schema(out_fields)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = len(t)
+        arrays = [t[k].cast(typ) if k in t.column_names else pa.nulls(n, typ)
+                  for k, typ in out_fields[:-1]]
+        arrays.append(pa.array(np.zeros(n, np.int8), pa.int8()))
+        return pa.table(dict(zip([f[0] for f in out_fields], arrays)),
+                        schema=tagged_schema)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = len(t)
+        inv = {v: k for k, v in rmap.items()}      # out key -> right key
+        inv_vals = {v: k for k, v in out_rvals.items()}  # out val -> right val
+        arrays = []
+        for k, typ in out_fields[:-1]:
+            src = inv.get(k) or inv_vals.get(k)
+            if src is not None and src in t.column_names:
+                arrays.append(t[src].cast(typ))
+            else:
+                arrays.append(pa.nulls(n, typ))
+        arrays.append(pa.array(np.ones(n, np.int8), pa.int8()))
+        return pa.table(dict(zip([f[0] for f in out_fields], arrays)),
+                        schema=tagged_schema)
+
+    tagged = (left.map_batches(tag_left, batch_format="pyarrow")
+              .union(right.map_batches(tag_right, batch_format="pyarrow")))
+
+    out_cols = on + lvals + [out_rvals[c] for c in rvals]
+    out_schema = pa.schema([(k, dict(out_fields)[k]) for k in out_cols])
+
+    def join_group(g: pd.DataFrame) -> pa.Table:
+        l = g[g[_SIDE] == 0]
+        r = g[g[_SIDE] == 1]
+        nl, nr = len(l), len(r)
+        if nl == 0 or (nr == 0 and how == "inner"):
+            out = g.iloc[0:0][out_cols]
+        elif nr == 0:
+            out = l[out_cols]
+        else:
+            li = np.repeat(np.arange(nl), nr)
+            ri = np.tile(np.arange(nr), nl)
+            out = l.iloc[li][on + lvals].reset_index(drop=True)
+            rv = r.iloc[ri][[out_rvals[c] for c in rvals]].reset_index(drop=True)
+            for c in rvals:
+                out[out_rvals[c]] = rv[out_rvals[c]]
+            out = out[out_cols]
+        # pin the arrow schema: all-null groups must not degrade to null type
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    return tagged.groupby(on).map_groups(join_group, batch_format="pandas")
+
+
+def broadcast_join(left, right_df: pd.DataFrame, *, on: str | list[str],
+                   right_on=None, how: str = "left", suffixes=("", "_r")):
+    """Shuffle-free join against a small in-memory right side: the frame is
+    put in the object store ONCE (``ray.put``) and every map task reads the
+    shared copy — the reference's model-registry/broadcast-dict pattern
+    (SURVEY §2.5 uniformise_string) applied to joins."""
+    on = [on] if isinstance(on, str) else list(on)
+    right_on = on if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on))
+    rmap = dict(zip(right_on, on))
+    right_ref = ray.put(right_df.rename(columns=rmap))
+
+    def join_batch(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(right_ref)
+        return df.merge(r, on=on, how=how, suffixes=suffixes)
+
+    return left.map_batches(join_batch, batch_format="pandas")
