@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship linkage pipeline on transcripts derived
+deterministically from /root/testdata/sf0.001 documents; ``queries()`` /
+``oracle_sql()`` expose one entry per implemented operator family
+(SURVEY.md §2 + the training-data-pipeline suite) with DuckDB oracles for
+every SQL-expressible op. Ray is initialised by the driver BEFORE import —
+nothing here calls ray.init()/shutdown().
 """
 
 from __future__ import annotations
@@ -21,24 +16,22 @@ from typing import Any
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from capelinker_ray.pipelines.queries import q_flagship_entities
+    return q_flagship_entities("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from capelinker_ray.pipelines.queries import build_queries, ensure_transcripts
+    # pre-derive the oracle-scale transcript table so oracle_sql()'s
+    # read_parquet always finds it regardless of call order
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        try:
+            ensure_transcripts(sf)
+        except Exception:
+            pass
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from capelinker_ray.pipelines.queries import build_oracle_sql
+    return build_oracle_sql()

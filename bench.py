@@ -1,0 +1,147 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line.
+
+``--scaling``: run the flagship linkage job twice in FRESH subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and report both throughputs
+(candidate pairs scored / sec) plus scaling efficiency — the sandbox
+stand-in for the N vs 4N node criterion (BASELINE.md records the result).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_queries(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    import ray.data as rd
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    from capelinker_ray.pipelines.queries import (
+        ensure_transcripts, q_ann_topk, q_doc_token_stats, q_lineitem_agg,
+        q_minhash_dedup,
+    )
+    from capelinker_ray.pipelines.linkage import link_transcripts
+
+    path = ensure_transcripts(sf_dir)
+    timings: dict[str, float] = {}
+    counters: dict[str, int] = {}
+
+    t0 = time.monotonic()
+    turns = rd.read_parquet(path)
+    out = link_transcripts(turns, checkpoint_dir=None, sort_output=True)
+    n_pairs = out["pairs"].count()
+    n_ents = out["entities"].count()
+    n_turns = out["turns_out"].count()
+    timings["flagship_linkage"] = round(time.monotonic() - t0, 3)
+    counters["pairs_scored"] = n_pairs
+    counters["entities"] = n_ents
+    counters["turns_out"] = n_turns
+
+    t0 = time.monotonic()
+    counters["minhash_pairs"] = q_minhash_dedup(sf_dir).count()
+    timings["minhash_dedup"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    counters["token_rows"] = q_doc_token_stats(sf_dir).count()
+    timings["doc_token_stats"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    counters["ann_rows"] = q_ann_topk(sf_dir).count()
+    timings["ann_topk"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    q_lineitem_agg(sf_dir).count()
+    timings["lineitem_agg"] = round(time.monotonic() - t0, 3)
+
+    ray.shutdown()
+    return {"timings": timings, "counters": counters}
+
+
+def scaling_child(sf_dir: str, num_cpus: int) -> None:
+    """Fresh-process flagship run; prints one JSON line with pairs/sec."""
+    import ray
+    import ray.data as rd
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    from capelinker_ray.pipelines.queries import ensure_transcripts
+    from capelinker_ray.pipelines.linkage import link_transcripts
+
+    path = ensure_transcripts(sf_dir)
+    t0 = time.monotonic()
+    out = link_transcripts(rd.read_parquet(path), checkpoint_dir=None,
+                           sort_output=True)
+    n_pairs = out["pairs"].count()
+    out["turns_out"].count()  # drive the full pipeline
+    wall = time.monotonic() - t0
+    ray.shutdown()
+    print(json.dumps({"num_cpus": num_cpus, "wall": round(wall, 3),
+                      "pairs": n_pairs,
+                      "pairs_per_sec": round(n_pairs / wall, 2)}))
+
+
+def run_scaling(sf_dir: str) -> dict:
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, PYTHONPATH=REPO)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child",
+             sf_dir, str(cpus)],
+            capture_output=True, text=True, env=env, timeout=3600)
+        line = [ln for ln in p.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    r8, r32 = results[8], results[32]
+    speedup = r8["wall"] / r32["wall"]
+    efficiency = speedup / (32 / 8)
+    return {
+        "throughput_8cpu_pairs_per_sec": r8["pairs_per_sec"],
+        "throughput_32cpu_pairs_per_sec": r32["pairs_per_sec"],
+        "wall_8cpu": r8["wall"], "wall_32cpu": r32["wall"],
+        "speedup_8_to_32": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+    }
+
+
+def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
+        scaling_child(sys.argv[2], int(sys.argv[3]))
+        return 0
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        s = run_scaling(SF_DIR)
+        print(json.dumps({"metric": "scaling_efficiency_8_to_32_cpus",
+                          "value": s["scaling_efficiency"], "unit": "ratio",
+                          "queries": s, "sf": SF_DIR, "num_cpus": [8, 32]}))
+        return 0
+
+    res = run_queries(SF_DIR, NUM_CPUS)
+    total = round(sum(res["timings"].values()), 3)
+    print(json.dumps({
+        "metric": "headline_pipelines_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": res["timings"],
+        "counters": res["counters"],
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -89,8 +89,14 @@ def encode(strings, max_len: int | None = None):
 # Jaro / Jaro-Winkler
 # ---------------------------------------------------------------------------
 
-def _jaro_core(A, la, B, lb):
-    """Jaro similarity from codepoint matrices; vectorized over rows."""
+def _jaro_core(A, la, B, lb, int_transpositions: bool = False):
+    """Jaro similarity from codepoint matrices; vectorized over rows.
+
+    ``int_transpositions=False`` counts half-transpositions as 0.5
+    (stringdist parity); ``True`` floors them to integers (rapidfuzz /
+    DuckDB ``jaro_winkler_similarity`` parity — they differ whenever the
+    matched subsequences form an odd-length mismatch cycle).
+    """
     n, L1 = A.shape
     L2 = B.shape[1]
     out = np.zeros(n, dtype=np.float64)
@@ -138,7 +144,8 @@ def _jaro_core(A, la, B, lb):
         Sa[r, ka[r, c]] = A[r, c]
         r, c = np.nonzero(b_matched)
         Sb[r, kb[r, c]] = B[r, c]
-        t = ((Sa != Sb) & (Sa != 0) & (Sb != 0)).sum(axis=1) / 2.0
+        t = ((Sa != Sb) & (Sa != 0) & (Sb != 0)).sum(axis=1)
+        t = np.floor(t / 2.0) if int_transpositions else t / 2.0
         la_f = np.where(la == 0, 1, la).astype(np.float64)
         lb_f = np.where(lb == 0, 1, lb).astype(np.float64)
         jaro = (m / la_f + m / lb_f + (m - t) / np.where(has, m, 1.0)) / 3.0
@@ -157,17 +164,19 @@ def _common_prefix_len(A, la, B, lb, cap=4):
     return run.sum(axis=1).astype(np.int64)
 
 
-def jaro_sim(s1, s2, max_len: int | None = None) -> np.ndarray:
+def jaro_sim(s1, s2, max_len: int | None = None,
+             int_transpositions: bool = False) -> np.ndarray:
     """Pairwise Jaro similarity. Null in -> NaN out."""
     A, la, v1 = encode(s1, max_len)
     B, lb, v2 = encode(s2, max_len)
-    sim = _jaro_core(A, la, B, lb)
+    sim = _jaro_core(A, la, B, lb, int_transpositions)
     sim[~(v1 & v2)] = np.nan
     return sim
 
 
 def jaro_winkler_sim(s1, s2, p: float = 0.1, bt: float = 0.0,
-                     max_len: int | None = None) -> np.ndarray:
+                     max_len: int | None = None,
+                     int_transpositions: bool = False) -> np.ndarray:
     """Pairwise Jaro-Winkler similarity.
 
     ``p`` is the Winkler prefix weight (stringdist default 0.1 in the
@@ -176,7 +185,7 @@ def jaro_winkler_sim(s1, s2, p: float = 0.1, bt: float = 0.0,
     """
     A, la, v1 = encode(s1, max_len)
     B, lb, v2 = encode(s2, max_len)
-    sim = _jaro_core(A, la, B, lb)
+    sim = _jaro_core(A, la, B, lb, int_transpositions)
     if p > 0:
         ell = _common_prefix_len(A, la, B, lb).astype(np.float64)
         boosted = sim + ell * p * (1.0 - sim)

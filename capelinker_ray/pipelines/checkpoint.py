@@ -47,15 +47,22 @@ class CheckpointManager:
     def done(self, stage: str) -> bool:
         return bool(self.root) and os.path.exists(self._marker(stage))
 
-    def stage(self, name: str, build, *, inputs: tuple[str, ...] = ()):
+    def stage(self, name: str, build, *, inputs: tuple[str, ...] = (),
+              stream: bool = False):
         """Run ``build() -> Dataset`` under checkpoint ``name``.
 
         On resume the parquet checkpoint is read instead of recomputing.
-        Without a root, the dataset is returned lazily (no materialization).
+        Without a root, non-``stream`` stages are pinned with
+        ``materialize()`` — downstream consumers fan out from the object
+        store instead of re-executing the whole upstream chain per consumer
+        (a lazy Dataset re-runs its lineage for EVERY action). ``stream``
+        marks pass-through stages (e.g. the final sorted turn output) that
+        exactly one consumer drives.
         """
         self._ordinal += 1
         if not self.root:
-            return build()
+            ds = build()
+            return ds if stream else ds.materialize()
         path = os.path.join(self.root, name)
         if self.done(name):
             return rd.read_parquet(path)

@@ -111,7 +111,7 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
         return out.sort(["conv_id", "turn_idx"]) if sort_output else out
 
     turns_out = ck.stage("turns_out", build_turns_out,
-                         inputs=("turns", "entities"))
+                         inputs=("turns", "entities"), stream=True)
 
     return {
         "records": records, "pairs": pairs, "scored": scored,

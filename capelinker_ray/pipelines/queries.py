@@ -1,0 +1,495 @@
+"""Driver-contract queries + DuckDB oracle SQL (CORRECTNESS gate).
+
+Each entry pairs a Ray-Data pipeline (over /root/testdata/sf*/ tables, plus
+a deterministically derived transcript table for the linkage chain) with an
+ANSI-SQL equivalent DuckDB runs on the SAME inputs. Column names match
+exactly; floats that cross the comparison are rounded identically on both
+sides (value-hash parity).
+
+The transcript corpus is derived from ``documents.parquet`` by
+``synth.transcripts_from_documents`` (seeded) and written once per sf dir to
+``/tmp/capelinker_oracle/`` so the oracle SQL can ``read_parquet`` the
+identical input.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from .. import synth
+from ..kernels.strdist import jaro_winkler_sim
+from ..stages.blocking import candidates
+from ..stages.cluster import connected_components
+from ..stages.conv_records import build_conv_records
+from ..stages.dedup import minhash_lsh_dedup, simhash_signatures
+from ..stages.events import sessionize
+from ..stages.multimodal import fake_media_table, featurize_media
+from ..stages.normalize import normalize_turns
+from ..stages.selection import select_links
+from ..stages.simsearch import brute_force_topk
+from ..stages.textstats import add_lang_id, add_quality_score, add_token_counts
+from ..pipelines.linkage import PAIR_ATTR_COLS, link_transcripts
+
+ORACLE_DIR = "/tmp/capelinker_oracle"
+
+# must mirror stages/normalize.py _DIACRITIC_PAIRS, as translate() args
+_DIA_FROM = "éëêèâáàåüûîïçÉËÊÈÂÁÀÅÜÛÎÏÇöôóòñý"
+_DIA_TO = "eeeeaaaauuiicEEEEAAAAUUIICooooony"
+
+
+def transcripts_path(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(ORACLE_DIR, f"transcripts_{name}.parquet")
+
+
+def ensure_transcripts(sf_dir: str) -> str:
+    """Write the derived transcript corpus for ``sf_dir`` (idempotent)."""
+    import pyarrow.parquet as pq
+    path = transcripts_path(sf_dir)
+    if not os.path.exists(path):
+        os.makedirs(ORACLE_DIR, exist_ok=True)
+        turns, _truth = synth.transcripts_from_documents(sf_dir)
+        pq.write_table(turns, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def _read_turns(sf_dir: str):
+    return rd.read_parquet(ensure_transcripts(sf_dir))
+
+
+# SQL fragment: normalize text exactly like stages/normalize.py
+def _sql_norm(col: str) -> str:
+    return ("trim(regexp_replace(regexp_replace("
+            f"upper(translate({col}, '{_DIA_FROM}', '{_DIA_TO}')), "
+            "'[^A-Z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+
+
+# SQL CTE: conv records parity with stages/conv_records.py
+def _sql_recs(path: str) -> str:
+    return f"""
+recs AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS text_chars,
+         min(ts) AS ts_min,
+         max(ts) AS ts_max,
+         CAST(floor(epoch_us(min(ts)) / 86400000000.0) AS BIGINT) AS epoch,
+         max(CASE WHEN turn_idx = 0 THEN {_sql_norm('text')} END) AS first_text_norm,
+         coalesce(max(CASE WHEN turn_idx = 0 THEN role END), '') || '>' ||
+           coalesce(max(CASE WHEN turn_idx = 1 THEN role END), '') AS role_sig,
+         coalesce(string_agg(DISTINCT tool, '|' ORDER BY tool), '') AS tool_sig,
+         substr(coalesce(max(CASE WHEN turn_idx = 0 THEN {_sql_norm('text')} END), ''), 1, 16)
+           || '|' ||
+           coalesce(max(CASE WHEN turn_idx = 0 THEN role END), '') || '>' ||
+           coalesce(max(CASE WHEN turn_idx = 1 THEN role END), '') AS block_key
+  FROM read_parquet('{path}')
+  GROUP BY conv_id
+)"""
+
+
+_REC_COLS = ["conv_id", "n_turns", "text_chars", "ts_min", "ts_max",
+             "epoch", "first_text_norm", "role_sig", "tool_sig", "block_key"]
+
+
+def _records_ds(sf_dir: str):
+    recs = build_conv_records(normalize_turns(_read_turns(sf_dir)))
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[_REC_COLS].copy()
+        df["n_turns"] = df["n_turns"].astype(np.int64)
+        df["text_chars"] = df["text_chars"].astype(np.int64)
+        df["epoch"] = df["epoch"].astype(np.int64)
+        return df
+    return recs.map_batches(cast, batch_format="pandas")
+
+
+# SQL CTE: equality self-join candidates (blocking parity)
+def _sql_pairs(path: str) -> str:
+    return f"""{_sql_recs(path)},
+pairs AS (
+  SELECT a.conv_id AS conv_id_from, b.conv_id AS conv_id_to,
+         a.block_key AS block_key,
+         a.first_text_norm AS f_from, b.first_text_norm AS f_to
+  FROM recs a JOIN recs b
+    ON a.block_key = b.block_key AND a.conv_id < b.conv_id
+)"""
+
+
+def _pairs_ds(sf_dir: str, with_pred: bool = False):
+    recs = build_conv_records(normalize_turns(_read_turns(sf_dir)))
+    pairs = candidates(recs, None, block_col="block_key", id_col="conv_id",
+                       blocktype="equality", attr_cols=["first_text_norm"],
+                       keep_unmatched=False)
+    if not with_pred:
+        return pairs
+
+    def pred(t: pa.Table) -> pa.Table:
+        f = np.asarray(t["first_text_norm_from"].to_pylist(), dtype=object)
+        g = np.asarray(t["first_text_norm_to"].to_pylist(), dtype=object)
+        # DuckDB-parity JW: p=0.1, boost threshold 0.7, integer transpositions
+        sim = np.round(jaro_winkler_sim(f, g, p=0.1, bt=0.7,
+                                        int_transpositions=True), 6)
+        return t.append_column("pred", pa.array(sim, pa.float64()))
+
+    pairs = pairs.map_batches(pred, batch_format="pyarrow")
+
+    def nonnull(df: pd.DataFrame) -> pd.DataFrame:
+        ok = (df["first_text_norm_from"].fillna("").str.len() > 0) & \
+             (df["first_text_norm_to"].fillna("").str.len() > 0)
+        return df[ok]
+    return pairs.map_batches(nonnull, batch_format="pandas")
+
+
+_SQL_PRED = ("round(jaro_winkler_similarity(f_from, f_to), 6)")
+_SQL_PAIR_FILTER = ("f_from IS NOT NULL AND length(f_from) > 0 "
+                    "AND f_to IS NOT NULL AND length(f_to) > 0")
+
+
+# ---------------------------------------------------------------------------
+# the queries
+# ---------------------------------------------------------------------------
+
+def q_normalize_turns(sf_dir: str):
+    ds = normalize_turns(_read_turns(sf_dir))
+    return ds.select_columns(["conv_id", "turn_idx", "text_norm"])
+
+
+def sql_normalize_turns(path: str) -> str:
+    return (f"SELECT conv_id, turn_idx, {_sql_norm('text')} AS text_norm "
+            f"FROM read_parquet('{path}')")
+
+
+def q_conv_records(sf_dir: str):
+    return _records_ds(sf_dir)
+
+
+def sql_conv_records(path: str) -> str:
+    return f"WITH {_sql_recs(path)} SELECT {', '.join(_REC_COLS)} FROM recs"
+
+
+def q_block_sizes(sf_dir: str):
+    return (_records_ds(sf_dir).groupby("block_key")
+            .aggregate(Count(alias_name="n_records")))
+
+
+def sql_block_sizes(path: str) -> str:
+    return (f"WITH {_sql_recs(path)} SELECT block_key, "
+            "CAST(count(*) AS BIGINT) AS n_records FROM recs GROUP BY block_key")
+
+
+def q_candidates_equality(sf_dir: str):
+    pairs = _pairs_ds(sf_dir)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["conv_id_from", "conv_id_to", "block_key"]].copy()
+        out["matches"] = df["matches"].astype(np.float64)
+        return out
+    return pairs.map_batches(proj, batch_format="pandas")
+
+
+def sql_candidates_equality(path: str) -> str:
+    return f"""WITH {_sql_pairs(path)}
+SELECT conv_id_from, conv_id_to, block_key,
+       CAST(count(*) OVER (PARTITION BY conv_id_from) AS DOUBLE) AS matches
+FROM pairs"""
+
+
+def q_pair_features(sf_dir: str):
+    pairs = _pairs_ds(sf_dir, with_pred=True)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["conv_id_from", "conv_id_to", "pred"]].rename(
+            columns={"pred": "jw_sim"})
+    return pairs.map_batches(proj, batch_format="pandas")
+
+
+def sql_pair_features(path: str) -> str:
+    return f"""WITH {_sql_pairs(path)}
+SELECT conv_id_from, conv_id_to, {_SQL_PRED} AS jw_sim
+FROM pairs WHERE {_SQL_PAIR_FILTER}"""
+
+
+def q_selection_one_to_one(sf_dir: str):
+    pairs = _pairs_ds(sf_dir, with_pred=True)
+    links = select_links(pairs, id_from="conv_id_from", id_to="conv_id_to",
+                         pred_col="pred", minimum_confidence=0.8,
+                         linktype="one:one", tie_break="average")
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["conv_id_from", "conv_id_to", "pred"]]
+    return links.map_batches(proj, batch_format="pandas")
+
+
+def sql_selection_one_to_one(path: str) -> str:
+    return f"""WITH {_sql_pairs(path)},
+scored AS (
+  SELECT conv_id_from, conv_id_to, {_SQL_PRED} AS pred
+  FROM pairs WHERE {_SQL_PAIR_FILTER}
+),
+ranked AS (
+  SELECT *,
+    rank() OVER (PARTITION BY conv_id_from ORDER BY pred DESC) AS rk_f,
+    count(*) OVER (PARTITION BY conv_id_from, pred) AS tie_f,
+    rank() OVER (PARTITION BY conv_id_to ORDER BY pred DESC) AS rk_t,
+    count(*) OVER (PARTITION BY conv_id_to, pred) AS tie_t
+  FROM scored
+)
+SELECT conv_id_from, conv_id_to, pred FROM ranked
+WHERE rk_f = 1 AND tie_f = 1 AND rk_t = 1 AND tie_t = 1 AND pred > 0.8"""
+
+
+def q_entity_clusters_rule(sf_dir: str):
+    pairs = _pairs_ds(sf_dir, with_pred=True)
+
+    def thr(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["pred"] >= 0.92][["conv_id_from", "conv_id_to"]]
+    links = pairs.map_batches(thr, batch_format="pandas")
+    cc = connected_components(links, id_from="conv_id_from",
+                              id_to="conv_id_to")
+    return cc.rename_columns({"node": "conv_id"})
+
+
+def sql_entity_clusters_rule(path: str) -> str:
+    return f"""WITH RECURSIVE {_sql_pairs(path)},
+links AS (
+  SELECT conv_id_from, conv_id_to FROM pairs
+  WHERE {_SQL_PAIR_FILTER} AND {_SQL_PRED} >= 0.92
+),
+edges AS (
+  SELECT conv_id_from AS u, conv_id_to AS v FROM links
+  UNION ALL
+  SELECT conv_id_to AS u, conv_id_from AS v FROM links
+),
+walk(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+)
+SELECT node AS conv_id, min(label) AS entity_id FROM walk GROUP BY node"""
+
+
+def q_dedup_exact(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return (docs.groupby("text").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"),
+        Count(alias_name="n_dups")))
+
+
+def sql_dedup_exact(sf_dir: str) -> str:
+    return ("SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_doc_id, "
+            "CAST(count(*) AS BIGINT) AS n_dups FROM documents GROUP BY text")
+
+
+def q_doc_token_stats(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = add_token_counts(docs)
+    return out.select_columns(["doc_id", "n_ws_tokens", "n_bpe_tokens"])
+
+
+def sql_doc_token_stats(sf_dir: str) -> str:
+    return r"""SELECT doc_id,
+  CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(coalesce(text, ''),
+       '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+')) AS BIGINT) AS n_bpe_tokens
+FROM documents"""
+
+
+def q_events_sessionize(sf_dir: str):
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    sess = sessionize(ev, gap_minutes=30.0)
+
+    def count_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_sessions": np.int64(g["session_idx"].max() + 1),
+            "n_events": np.int64(len(g)),
+        })
+    return sess.groupby("user_id").map_groups(count_sessions,
+                                              batch_format="pandas")
+
+
+def sql_events_sessionize(sf_dir: str) -> str:
+    return """WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+), m AS (
+  SELECT user_id,
+         CASE WHEN pts IS NULL
+                   OR epoch_us(ts) - epoch_us(pts) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM o
+)
+SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM m GROUP BY user_id"""
+
+
+_ANN_K = 5
+_ANN_NQ = 8
+
+
+def q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qdf = qtbl.to_pandas()
+    qdf = qdf[qdf["vec_id"] < _ANN_NQ].sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = brute_force_topk(emb, Q, k=_ANN_K,
+                           query_ids=qdf["vec_id"].to_numpy())
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["query_id", "vec_id", "rank"]].copy()
+        out["query_id"] = out["query_id"].astype(np.int64)
+        out["vec_id"] = out["vec_id"].astype(np.int64)
+        return out
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_ann_topk(sf_dir: str) -> str:
+    return f"""WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {_ANN_NQ}
+), s AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(q.qv, e.embedding) AS cos
+  FROM q CROSS JOIN embeddings e
+), r AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+  FROM s
+)
+SELECT qid AS query_id, vec_id, CAST(rk AS BIGINT) AS rank
+FROM r WHERE rk <= {_ANN_K}"""
+
+
+def q_lineitem_agg(sf_dir: str):
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    # partial aggregation inside map_batches: raw rows never shuffle
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(disc_price=df["l_extendedprice"] * (1 - df["l_discount"]))
+        return (df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+                .agg(sum_qty=("l_quantity", "sum"),
+                     sum_disc_price=("disc_price", "sum"),
+                     n_rows=("l_quantity", "size"))
+                .reset_index())
+
+    partials = li.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("n_rows", alias_name="n_rows"))
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sum_qty"] = df["sum_qty"].round(2)
+        df["sum_disc_price"] = df["sum_disc_price"].round(2)
+        df["n_rows"] = df["n_rows"].astype(np.int64)
+        return df
+    return agg.map_batches(rnd, batch_format="pandas")
+
+
+def sql_lineitem_agg(sf_dir: str) -> str:
+    return """SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+
+# --- rows-only queries (non-SQL-expressible: models, sketches, stubs) ------
+
+def q_flagship_entities(sf_dir: str):
+    turns = _read_turns(sf_dir)
+    out = link_transcripts(turns, checkpoint_dir=None, sort_output=False)
+    return out["entities"]
+
+
+def q_minhash_dedup(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return minhash_lsh_dedup(docs, jaccard_threshold=0.5)
+
+
+def q_simhash(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return simhash_signatures(docs).select_columns(["doc_id", "simhash"])
+
+
+def q_lang_quality(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    out = add_quality_score(add_lang_id(docs))
+    return out.select_columns(["doc_id", "lang", "lang_pred", "quality"])
+
+
+def q_media_features(sf_dir: str):
+    media = rd.from_arrow(fake_media_table(n=64, seed=3))
+    out = featurize_media(media, fake=True, concurrency=(1, 2))
+    return out.select_columns(["media_id", "media_type", "n_bytes",
+                               "media_features"])
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
+
+
+def build_queries() -> dict:
+    return {
+        "normalize_turns": q_normalize_turns,
+        "conv_records": q_conv_records,
+        "block_sizes": q_block_sizes,
+        "candidates_equality": q_candidates_equality,
+        "pair_features": q_pair_features,
+        "selection_one_to_one": q_selection_one_to_one,
+        "entity_clusters_rule": q_entity_clusters_rule,
+        "dedup_exact": q_dedup_exact,
+        "doc_token_stats": q_doc_token_stats,
+        "events_sessionize": q_events_sessionize,
+        "ann_topk": q_ann_topk,
+        "lineitem_agg": q_lineitem_agg,
+        # rows-only (no SQL oracle): model scoring / sketches / stubs
+        "flagship_entities": q_flagship_entities,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash": q_simhash,
+        "lang_quality": q_lang_quality,
+        "media_features": q_media_features,
+    }
+
+
+def build_oracle_sql() -> dict:
+    path = ensure_transcripts(_ORACLE_SF_DIR)
+    return {
+        "normalize_turns": sql_normalize_turns(path),
+        "conv_records": sql_conv_records(path),
+        "block_sizes": sql_block_sizes(path),
+        "candidates_equality": sql_candidates_equality(path),
+        "pair_features": sql_pair_features(path),
+        "selection_one_to_one": sql_selection_one_to_one(path),
+        "entity_clusters_rule": sql_entity_clusters_rule(path),
+        "dedup_exact": sql_dedup_exact(_ORACLE_SF_DIR),
+        "doc_token_stats": sql_doc_token_stats(_ORACLE_SF_DIR),
+        "events_sessionize": sql_events_sessionize(_ORACLE_SF_DIR),
+        "ann_topk": sql_ann_topk(_ORACLE_SF_DIR),
+        "lineitem_agg": sql_lineitem_agg(_ORACLE_SF_DIR),
+    }

@@ -69,24 +69,53 @@ def connected_components(ds_links, *, id_from: str = "conv_id_from",
     def to_msgs(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["dst"], "label": t["label"]})
 
-    n_nodes = labels.count()
+    def _signature(ds) -> int:
+        """Order-independent content hash of the (node,label) table: one
+        cheap streaming pass (per-batch vectorized FNV + driver sum mod
+        2^64) — labels move monotonically downward, so signature equality
+        ⇔ fixpoint (up to a ~2^-64 collision that would cost one early
+        stop; the alternative exact check is a full extra shuffle per
+        iteration)."""
+        from .textstats import fnv1a_64
+
+        def batch_sig(t: pa.Table) -> pa.Table:
+            h = fnv1a_64(t["node"].to_pylist()) ^ fnv1a_64(t["label"].to_pylist())
+            # mix to decorrelate, then wrap-sum per batch
+            with np.errstate(over="ignore"):
+                h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+            s = int(h.sum(dtype=np.uint64))
+            return pa.table({"sig": pa.array([s & 0x7FFFFFFFFFFFFFFF],
+                                             pa.int64())})
+        parts = ds.map_batches(batch_sig, batch_format="pyarrow").take_all()
+        return sum(r["sig"] for r in parts) & 0xFFFFFFFFFFFFFFFF
+
+    def shortcut(ds_labels):
+        """Pointer doubling: label <- label(label). Every label value is
+        itself a node (labels are node ids inside the component), so the
+        self-join is total; combined with the neighbor-min step this
+        converges in O(log diameter) iterations instead of O(diameter) —
+        the large-star/small-star acceleration (PAPERS.md BTS)."""
+        j = hash_join(ds_labels, ds_labels, on="label", right_on="node",
+                      how="inner", suffixes=("", "_p"))
+
+        def take_parent(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t["node"], "label": t["label_p"]})
+        return j.map_batches(take_parent, batch_format="pyarrow")
+
+    prev_sig = _signature(labels)
     for _ in range(max_iterations):
         # propagate: join edges (on src) with labels -> candidate label for dst
         # (hash_join, not Dataset.join — see stages/join.py on why)
         msgs = hash_join(edges, labels, on="src", right_on="node",
                          how="inner").map_batches(to_msgs, batch_format="pyarrow")
         new_labels = (labels.union(msgs)
-                      .groupby("node").aggregate(Min("label", alias_name="label"))
-                      .materialize())
-        # join-free exact convergence check: labels only move downward, so
-        # unchanged ⇔ the (node,label) multiset-union of old and new has
-        # exactly n_nodes distinct pairs (joining two descendants of the
-        # same materialized parent trips a Ray 2.49 join-planner bug).
-        distinct = (labels.union(new_labels)
-                    .groupby(["node", "label"]).count().count())
+                      .groupby("node").aggregate(Min("label", alias_name="label")))
+        new_labels = shortcut(new_labels).materialize()
+        sig = _signature(new_labels)
         labels = new_labels
-        if distinct == n_nodes:
+        if sig == prev_sig:
             break
+        prev_sig = sig
     return labels.rename_columns({"label": "entity_id"})
 
 

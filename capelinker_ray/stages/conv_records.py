@@ -83,19 +83,35 @@ def _partials_fn(vocab: dict[str, int]):
     return partials
 
 
-def _combine(group: pd.DataFrame) -> pd.DataFrame:
-    if len(group) == 1:
-        return group
-    first = group.iloc[0:1].copy()
-    first["n_turns"] = group["n_turns"].sum()
-    first["ts_min"] = group["ts_min"].min()
-    first["ts_max"] = group["ts_max"].max()
-    first["text_chars"] = group["text_chars"].sum()
-    first["tool_mask"] = np.bitwise_or.reduce(group["tool_mask"].to_numpy())
-    for col in ("first_text_norm", "role0", "second_text_norm", "role1"):
-        nn = group[col].dropna()
-        first[col] = nn.iloc[0] if len(nn) else None
-    return first
+def _combine_partials(partials):
+    """Associative partial merge as ONE built-in hash aggregate — no
+    per-group Python calls. ``tool_mask`` merges by OR: the per-batch masks
+    are collected with ``Unique`` and OR-folded in a vectorized finalize
+    (Sum would double-count overlapping bits). ``first_text_norm``/roles use
+    ``Min``: exactly one batch contains a conversation's turn 0/1, so at
+    most one partial is non-null and Min (null-ignoring) selects it."""
+    from ray.data.aggregate import Max, Min, Sum, Unique
+
+    agg = partials.groupby("conv_id").aggregate(
+        Sum("n_turns", alias_name="n_turns"),
+        Min("ts_min", alias_name="ts_min"),
+        Max("ts_max", alias_name="ts_max"),
+        Sum("text_chars", alias_name="text_chars"),
+        Unique("tool_mask", alias_name="tool_masks"),
+        Min("first_text_norm", alias_name="first_text_norm"),
+        Min("role0", alias_name="role0"),
+        Min("second_text_norm", alias_name="second_text_norm"),
+        Min("role1", alias_name="role1"),
+    )
+
+    def fold_masks(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["tool_mask"] = df["tool_masks"].map(
+            lambda xs: int(np.bitwise_or.reduce(
+                np.asarray(list(xs), dtype=np.int64))) if len(xs) else 0)
+        return df.drop(columns=["tool_masks"])
+
+    return agg.map_batches(fold_masks, batch_format="pandas")
 
 
 def _finalize_fn(vocab: dict[str, int], prefix_len: int):
@@ -131,8 +147,7 @@ def build_conv_records(ds_turns, tool_vocab: dict[str, int] | None = None,
     partials = ds_turns.map_batches(_partials_fn(tool_vocab),
                                     batch_format="pandas",
                                     batch_size=batch_size)
-    combined = partials.groupby("conv_id").map_groups(_combine,
-                                                      batch_format="pandas")
+    combined = _combine_partials(partials)
     return combined.map_batches(_finalize_fn(tool_vocab, prefix_len),
                                 batch_format="pandas",
                                 batch_size=batch_size)

@@ -68,7 +68,17 @@ def hash_join(left, right, *, on: str | list[str], right_on=None,
     )
     tagged_schema = pa.schema(out_fields)
 
+    def _valid_keys(t: pa.Table, keys: list[str]):
+        """Null join keys never match (SQL semantics) AND break Ray's sort
+        shuffle ('<' vs NoneType) — mask them out of the shuffle."""
+        import pyarrow.compute as pc
+        ok = pc.is_valid(t[keys[0]])
+        for k in keys[1:]:
+            ok = pc.and_(ok, pc.is_valid(t[k]))
+        return ok
+
     def tag_left(t: pa.Table) -> pa.Table:
+        t = t.filter(_valid_keys(t, on))
         n = len(t)
         arrays = [t[k].cast(typ) if k in t.column_names else pa.nulls(n, typ)
                   for k, typ in out_fields[:-1]]
@@ -77,6 +87,7 @@ def hash_join(left, right, *, on: str | list[str], right_on=None,
                         schema=tagged_schema)
 
     def tag_right(t: pa.Table) -> pa.Table:
+        t = t.filter(_valid_keys(t, right_on))
         n = len(t)
         inv = {v: k for k, v in rmap.items()}      # out key -> right key
         inv_vals = {v: k for k, v in out_rvals.items()}  # out val -> right val
@@ -116,7 +127,26 @@ def hash_join(left, right, *, on: str | list[str], right_on=None,
         # pin the arrow schema: all-null groups must not degrade to null type
         return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
-    return tagged.groupby(on).map_groups(join_group, batch_format="pandas")
+    joined = tagged.groupby(on).map_groups(join_group, batch_format="pandas")
+
+    if how == "left":
+        # null-keyed left rows bypassed the shuffle: re-emit them with null
+        # right values (pin the same arrow schema)
+        def null_left(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            t = t.filter(pc.invert(_valid_keys(t, on)))
+            n = len(t)
+            arrays = []
+            for k in out_cols:
+                typ = dict(out_fields)[k]
+                if k in t.column_names:
+                    arrays.append(t[k].cast(typ))
+                else:
+                    arrays.append(pa.nulls(n, typ))
+            return pa.table(dict(zip(out_cols, arrays)), schema=out_schema)
+        joined = joined.union(
+            left.map_batches(null_left, batch_format="pyarrow"))
+    return joined
 
 
 def broadcast_join(left, right_df: pd.DataFrame, *, on: str | list[str],

@@ -1,0 +1,109 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Training-data-pipeline operator (build brief): top-k cosine neighbors of a
+query matrix against a ``list<float>`` embedding column.
+
+  * ``brute_force_topk`` — baseline: the query matrix is broadcast ONCE via
+    ``ray.put``; each batch does one numpy matmul against the shared
+    queries and keeps a per-batch top-k; a final small groupby(query)
+    merge reduces per-batch candidates to the global top-k. The dataset is
+    streamed — never materialized — so this scales to any corpus size with
+    memory ~ O(n_queries × k × n_blocks_in_flight).
+
+  * ``ivf_topk`` — scale path: coarse k-means-style centroids (seeded,
+    sampled driver-side), each row assigned to its nearest centroid in a
+    map_batches pass; queries probe only ``n_probe`` nearest centroid
+    partitions (a groupby-semi-join), cutting scanned rows by
+    n_centroids/n_probe at a small recall cost.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+__all__ = ["brute_force_topk", "ivf_topk"]
+
+
+def _norm_rows(M: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    return M / np.where(n == 0, 1, n)
+
+
+def brute_force_topk(ds, queries: np.ndarray, *, k: int = 5,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     query_ids: np.ndarray | None = None,
+                     batch_size: int = 16 * 1024):
+    """Dataset[(id, vec)] × (q, d) queries -> Dataset[(query_id, vec_id,
+    cosine, rank)] with exactly k rows per query (global top-k)."""
+    Q = _norm_rows(np.asarray(queries, np.float64))
+    qids = (np.arange(len(Q)) if query_ids is None
+            else np.asarray(query_ids))
+    q_ref = ray.put((Q, qids))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        Qm, qi = ray.get(q_ref)
+        V = _norm_rows(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        ids = df[id_col].to_numpy()
+        S = Qm @ V.T                       # (q, batch)
+        kk = min(k, S.shape[1])
+        top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        rows = {"query_id": [], id_col: [], "cosine": []}
+        for r in range(len(Qm)):
+            rows["query_id"].extend([qi[r]] * kk)
+            rows[id_col].extend(ids[top[r]])
+            rows["cosine"].extend(S[r, top[r]])
+        return pd.DataFrame(rows)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True],
+                          kind="stable").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=batch_size)
+    return partials.groupby("query_id").map_groups(merge,
+                                                   batch_format="pandas")
+
+
+def ivf_topk(ds, queries: np.ndarray, *, k: int = 5, n_centroids: int = 16,
+             n_probe: int = 4, vec_col: str = "embedding",
+             id_col: str = "vec_id", sample_size: int = 2048, seed: int = 7,
+             batch_size: int = 16 * 1024):
+    """IVF-style ANN: probe only the n_probe nearest centroid lists."""
+    # centroids from a driver-side sample (k-means++ style seeding, 5 Lloyd
+    # iterations — small, seeded, deterministic)
+    sample = np.stack(
+        ds.limit(sample_size).to_pandas()[vec_col].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    C = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                          replace=False)]
+    for _ in range(5):
+        d = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                C[c] = sample[m].mean(axis=0)
+    C = _norm_rows(C)
+    c_ref = ray.put(C)
+
+    Q = _norm_rows(np.asarray(queries, np.float64))
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]  # (q, n_probe)
+    wanted = set(map(int, np.unique(probe)))
+
+    def assign_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        Cm = ray.get(c_ref)
+        V = _norm_rows(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        df = df.copy()
+        df["_ivf"] = (V @ Cm.T).argmax(axis=1)
+        # prune rows in lists no query probes (the IVF scan saving)
+        return df[df["_ivf"].isin(wanted)]
+
+    pruned = ds.map_batches(assign_bucket, batch_format="pandas",
+                            batch_size=batch_size)
+    return brute_force_topk(pruned.drop_columns(["_ivf"]), Q, k=k,
+                            vec_col=vec_col, id_col=id_col,
+                            batch_size=batch_size)

@@ -1,0 +1,155 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's linkage surface (per the build brief): language ID,
+quality scoring, token counting and document fingerprinting over a text
+column — each a stateless vectorized ``map_batches`` stage. The heuristics
+are deliberately dependency-free (no fasttext/tiktoken in the environment):
+
+  token_count       whitespace tokens + a BPE-ish regex token estimate
+  quality_score     length / punctuation / stopword / uppercase ratios
+  lang_id           character-trigram cosine against tiny per-language
+                    profiles (en/nl/af — the reference corpus languages)
+  fingerprint       64-bit rolling-hash document fingerprint (deterministic)
+
+All run over ``documents``-shaped tables; compare stages/dedup.py for the
+near-duplicate operators built on the same primitives.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["add_token_counts", "add_quality_score", "add_lang_id",
+           "add_fingerprint"]
+
+# a GPT-2-style pre-tokenizer regex (public BPE convention): word pieces,
+# numbers, punctuation runs, whitespace collapsed
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
+
+_STOPWORDS = {
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this", "are",
+    "de", "het", "een", "en", "van", "die", "dat", "is", "te", "niet",
+}
+
+
+def add_token_counts(ds, text_col: str = "text", batch_size: int = 32 * 1024):
+    """+ ``n_ws_tokens`` (whitespace) and ``n_bpe_tokens`` (regex pieces)."""
+    def fn(t: pa.Table) -> pa.Table:
+        ws = pc.list_value_length(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.coalesce(t[text_col], "")), r"\s+"))
+        # empty string -> split gives [''] (length 1); fix to 0
+        empty = pc.equal(pc.utf8_length(pc.utf8_trim_whitespace(
+            pc.coalesce(t[text_col], ""))), 0)
+        ws = pc.if_else(empty, pa.scalar(0, pa.int32()), ws)
+        texts = t[text_col].to_pylist()
+        bpe = np.fromiter(
+            (len(_BPE_RE.findall(s)) if isinstance(s, str) else 0
+             for s in texts), dtype=np.int64, count=len(texts))
+        t = t.append_column("n_ws_tokens", ws.cast(pa.int64()))
+        t = t.append_column("n_bpe_tokens", pa.array(bpe, pa.int64()))
+        return t
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def add_quality_score(ds, text_col: str = "text", batch_size: int = 32 * 1024):
+    """+ quality components and a composite ``quality`` in [0,1].
+
+    Components: mean word length sanity, stopword ratio, alpha ratio,
+    uppercase ratio, repetition (distinct-token ratio) — the standard
+    C4/Gopher-style cheap filters, vectorized."""
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].fillna("")
+        toks = s.str.split()
+        n_tok = toks.str.len().fillna(0).astype(np.int64)
+        n_chars = s.str.len().astype(np.int64)
+        alpha = s.str.count(r"[A-Za-z]")
+        upper = s.str.count(r"[A-Z]")
+        uniq = toks.map(lambda xs: len(set(xs)) if xs else 0)
+        stop = toks.map(lambda xs: sum(1 for w in xs if w.lower() in _STOPWORDS)
+                        if xs else 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_wl = np.where(n_tok > 0, (alpha / np.maximum(n_tok, 1)), 0.0)
+            stop_ratio = np.where(n_tok > 0, stop / np.maximum(n_tok, 1), 0.0)
+            alpha_ratio = np.where(n_chars > 0, alpha / np.maximum(n_chars, 1), 0.0)
+            upper_ratio = np.where(n_chars > 0, upper / np.maximum(n_chars, 1), 0.0)
+            uniq_ratio = np.where(n_tok > 0, uniq / np.maximum(n_tok, 1), 0.0)
+        wl_ok = np.clip(1.0 - np.abs(mean_wl - 5.0) / 5.0, 0.0, 1.0)
+        score = (0.25 * wl_ok + 0.2 * np.clip(stop_ratio * 4, 0, 1)
+                 + 0.25 * alpha_ratio + 0.15 * (1.0 - upper_ratio)
+                 + 0.15 * uniq_ratio)
+        out = df.copy()
+        out["stop_ratio"] = stop_ratio
+        out["alpha_ratio"] = alpha_ratio
+        out["upper_ratio"] = upper_ratio
+        out["uniq_ratio"] = uniq_ratio
+        out["quality"] = score
+        return out
+    return ds.map_batches(fn, batch_format="pandas", batch_size=batch_size)
+
+
+# tiny trigram profiles (hand-picked frequent trigrams; heuristic lang-id)
+_LANG_PROFILES = {
+    "en": ["the", "and", "ing", "ion", "ent", "her", "for", "tha", "nth", "int"],
+    "nl": ["een", "het", "van", "der", "den", "ver", "aar", "gen", "oor", "ijk"],
+    "af": ["die", "van", "nie", "het", "ing", "ord", "aan", "wat", "ers", "ome"],
+}
+
+
+def add_lang_id(ds, text_col: str = "text", batch_size: int = 32 * 1024):
+    """+ ``lang_pred``: argmax trigram-profile hit rate ('und' if no signal)."""
+    profiles = {k: set(v) for k, v in _LANG_PROFILES.items()}
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        langs = list(profiles)
+        texts = df[text_col].fillna("").str.lower()
+        scores = np.zeros((len(df), len(langs)))
+        for j, lang in enumerate(langs):
+            for tri in profiles[lang]:
+                scores[:, j] += texts.str.count(re.escape(tri)).to_numpy()
+        lens = texts.str.len().to_numpy().clip(min=1)
+        scores = scores / lens[:, None]
+        best = scores.argmax(axis=1)
+        has = scores.max(axis=1) > 0
+        out = df.copy()
+        out["lang_pred"] = np.where(has, np.array(langs, dtype=object)[best], "und")
+        return out
+    return ds.map_batches(fn, batch_format="pandas", batch_size=batch_size)
+
+
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def fnv1a_64(strings) -> np.ndarray:
+    """FNV-1a-style 64-bit hash over unicode CODEPOINTS, fully vectorized:
+    strings decode once into a fixed-width codepoint matrix and the mix loop
+    runs over character positions only. Deterministic across runs/workers
+    (unlike process-salted Python hash())."""
+    from ..kernels.strdist import encode
+
+    codes, lengths, _valid = encode(strings)
+    n, L = codes.shape
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(L):
+            live = j < lengths
+            mixed = (h ^ codes[:, j].astype(np.uint64)) * _FNV_PRIME
+            h = np.where(live, mixed, h)
+    return h
+
+
+def add_fingerprint(ds, text_col: str = "text", batch_size: int = 32 * 1024):
+    """+ ``fingerprint``: int64 FNV-1a hash of whitespace-normalized text —
+    the exact-dedup / shard-lineage key (deterministic, content-addressed)."""
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        norm = (df[text_col].fillna("").str.strip().str.split().str.join(" "))
+        out = df.copy()
+        out["fingerprint"] = fnv1a_64(norm.tolist()).astype(np.int64)
+        return out
+    return ds.map_batches(fn, batch_format="pandas", batch_size=batch_size)

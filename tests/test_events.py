@@ -1,0 +1,58 @@
+"""Windowed-aggregate oracles: sessionize gap semantics, tumbling windows
+via partial aggregation."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from capelinker_ray.stages.events import (
+    session_stats, sessionize, tumbling_window_agg,
+)
+
+_MIN_US = 60_000_000
+
+
+def _events():
+    rows = []
+    eid = 0
+    for user, offsets in [(1, [0, 5, 10, 50, 55]),      # 2 sessions (gap 40m)
+                          (2, [0, 31, 62]),             # 3 sessions (31m gaps)
+                          (3, [0])]:                    # 1 session
+        for off in offsets:
+            rows.append({"event_id": eid, "user_id": user,
+                         "ts": pd.Timestamp("2025-01-01") +
+                               pd.Timedelta(minutes=off),
+                         "value": 1.0})
+            eid += 1
+    return pd.DataFrame(rows)
+
+
+def test_sessionize_gaps(ray_session):
+    out = sessionize(rd.from_pandas(_events()), gap_minutes=30).to_pandas()
+    per_user = out.groupby("user_id")["session_idx"].max() + 1
+    assert per_user.to_dict() == {1: 2, 2: 3, 3: 1}
+
+
+def test_session_stats(ray_session):
+    sess = sessionize(rd.from_pandas(_events()), gap_minutes=30)
+    stats = session_stats(sess).to_pandas()
+    s = stats.set_index("session_id")
+    assert s.loc["1#0", "n_events"] == 3
+    assert s.loc["1#1", "n_events"] == 2
+    assert s.loc["3#0", "value_sum"] == 1.0
+
+
+def test_tumbling_window_matches_pandas(ray_session):
+    df = _events()
+    out = tumbling_window_agg(rd.from_pandas(df), window_minutes=60,
+                              batch_size=2).to_pandas()
+    exp = (df.assign(window=(df["ts"].astype("int64") // (60 * _MIN_US)))
+           .groupby(["user_id", "window"])
+           .agg(n_events=("value", "size"), value_sum=("value", "sum"))
+           .reset_index())
+    out = out.sort_values(["user_id", "window"]).reset_index(drop=True)
+    exp = exp.sort_values(["user_id", "window"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["user_id", "window", "n_events", "value_sum"]].astype(
+            {"n_events": np.int64}),
+        exp.astype({"n_events": np.int64}), check_dtype=False)

@@ -1,0 +1,54 @@
+"""hash_join / broadcast_join vs pandas merge ground truth."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from capelinker_ray.stages.join import broadcast_join, hash_join
+
+
+def _l():
+    return pd.DataFrame({"k": ["a", "b", "b", "c", None],
+                         "lv": [1, 2, 3, 4, 5]})
+
+
+def _r():
+    return pd.DataFrame({"k": ["b", "c", "d"], "rv": [10, 20, 30]})
+
+
+def _sorted(df):
+    return (df.sort_values(list(df.columns))
+            .reset_index(drop=True)[sorted(df.columns)])
+
+
+def test_hash_join_inner(ray_session):
+    out = hash_join(rd.from_pandas(_l()), rd.from_pandas(_r()),
+                    on="k", how="inner").to_pandas()
+    exp = _l().merge(_r(), on="k", how="inner")
+    pd.testing.assert_frame_equal(_sorted(out), _sorted(exp),
+                                  check_dtype=False)
+
+
+def test_hash_join_left_keeps_unmatched(ray_session):
+    out = hash_join(rd.from_pandas(_l()), rd.from_pandas(_r()),
+                    on="k", how="left").to_pandas()
+    assert len(out) == len(_l().merge(_r(), on="k", how="left"))
+    missing = out[out["rv"].isna()]
+    assert set(missing["lv"]) == {1, 5}
+
+
+def test_hash_join_right_on_and_collision(ray_session):
+    r = _r().rename(columns={"k": "kk"})
+    r["lv"] = [100, 200, 300]  # name collision with left value col
+    out = hash_join(rd.from_pandas(_l()), rd.from_pandas(r),
+                    on="k", right_on="kk", how="inner").to_pandas()
+    assert "lv" in out.columns and "lv_r" in out.columns
+    assert set(out["lv_r"]) == {100, 200}
+
+
+def test_broadcast_join(ray_session):
+    out = broadcast_join(rd.from_pandas(_l()), _r(), on="k",
+                         how="left").to_pandas()
+    exp = _l().merge(_r(), on="k", how="left")
+    pd.testing.assert_frame_equal(_sorted(out), _sorted(exp),
+                                  check_dtype=False)

@@ -1,0 +1,61 @@
+"""Preflight profiler + multimodal plumbing + features stage oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from capelinker_ray.stages.features import distcalc
+from capelinker_ray.stages.multimodal import (
+    MediaFeaturizer, N_FEATURES, fake_media_table, featurize_media,
+)
+from capelinker_ray.stages.preflight import preflight
+
+
+def test_preflight_shares(ray_session):
+    df = pd.DataFrame({
+        "name": ["ABC", "", None, " x ", "Zz1"],
+        "num": [1.0, 2.0, None, 4.0, 100.0],
+    })
+    rep = preflight(rd.from_pandas(df)).set_index("column")
+    assert rep.loc["name", "n_missing"] == 1
+    assert rep.loc["name", "n_empty"] == 1          # ""≠NA (prep.R:127-131)
+    assert rep.loc["name", "n_ws_padded"] == 1
+    assert rep.loc["num", "vmin"] == 1.0 and rep.loc["num", "vmax"] == 100.0
+
+
+def test_preflight_model_variable_check(ray_session):
+    df = pd.DataFrame({"first_textdist": [0.1]})
+    with pytest.raises(KeyError, match="requires features"):
+        preflight(rd.from_pandas(df), model="m_boost_transcripts")
+
+
+def test_media_featurize_fake(ray_session):
+    ds = rd.from_arrow(fake_media_table(n=16, seed=3))
+    out = featurize_media(ds, fake=True, concurrency=(1, 2)).to_pandas()
+    assert len(out) == 16
+    feats = np.stack(out["media_features"].to_numpy())
+    assert feats.shape == (16, N_FEATURES)
+    np.testing.assert_allclose(feats.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_media_featurize_stub_raises():
+    with pytest.raises(NotImplementedError):
+        MediaFeaturizer(fake=False)
+
+
+def test_distcalc_reference_semantics(ray_session):
+    # distances.R:15-20 fixture shape: char var -> dist + sdx; numeric -> diff
+    df = pd.DataFrame({
+        "mlast_from": ["jong", "smid", None],
+        "mlast_to": ["jongh", "smit", "x"],
+        "year_from": [1828.0, 1829.0, 1830.0],
+        "year_to": [1800.0, 1829.0, np.nan],
+    })
+    out = distcalc(rd.from_pandas(df), character_variables=["mlast"],
+                   numeric_variables=["year"]).to_pandas()
+    assert out["mlastdist"].iloc[0] == pytest.approx(1 - 0.96, abs=1e-9)
+    assert out["mlastsdx"].iloc[1] == 0.0          # smid/smit same soundex
+    assert np.isnan(out["mlastdist"].iloc[2])      # NA propagation
+    assert out["yeardist"].iloc[0] == 28.0
+    assert np.isnan(out["yeardist"].iloc[2])

@@ -1,0 +1,66 @@
+"""End-to-end flagship oracles: golden quality on the seeded corpus, per-turn
+text-equality invariant, checkpoint resume (SURVEY §5 test plan c)."""
+
+from itertools import combinations
+
+import pandas as pd
+import ray.data as rd
+
+from capelinker_ray import synth
+from capelinker_ray.pipelines.linkage import link_transcripts
+
+
+def _pairs_of(df, col):
+    s = set()
+    for _, g in df.groupby(col):
+        s.update(combinations(sorted(g["conv_id"]), 2))
+    return s
+
+
+def _run(tmpdir=None, n_entities=80, seed=7):
+    turns, truth = synth.gen_corpus(n_entities=n_entities, seed=seed)
+    out = link_transcripts(rd.from_arrow(turns),
+                           checkpoint_dir=tmpdir, sort_output=True)
+    return turns, truth, out
+
+
+def test_flagship_quality_and_invariant(ray_session, tmp_path):
+    turns, truth, out = _run(str(tmp_path / "ck"))
+    ents = out["entities"].to_pandas()
+    m = ents.merge(truth.to_pandas(), on="conv_id",
+                   suffixes=("_pred", "_true"))
+    pred = _pairs_of(m, "entity_id_pred")
+    true = _pairs_of(m, "entity_id_true")
+    tp = len(pred & true)
+    prec = tp / len(pred) if pred else 1.0
+    rec = tp / len(true) if true else 1.0
+    f1 = 2 * prec * rec / (prec + rec)
+    assert prec >= 0.99, (prec, rec)
+    assert f1 >= 0.93, (prec, rec)
+
+    # per-turn text equality under stable (conv_id, turn_idx) order
+    tout = out["turns_out"].to_pandas().sort_values(
+        ["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    orig = turns.to_pandas().sort_values(
+        ["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    assert len(tout) == len(orig)
+    assert (tout["text"].fillna("<NA>") == orig["text"].fillna("<NA>")).all()
+    assert tout["entity_id"].notna().all()
+
+    # lineage/metrics records for every stage
+    stages = [r["stage"] for r in out["metrics"]]
+    assert stages == ["conv_records", "candidate_pairs", "scored_pairs",
+                      "links", "components", "entities", "turns_out"]
+    assert all(r["rows"] > 0 for r in out["metrics"])
+
+
+def test_checkpoint_resume_skips_stages(ray_session, tmp_path):
+    ck = str(tmp_path / "ck2")
+    _, _, out1 = _run(ck, n_entities=20, seed=11)
+    n1 = out1["entities"].count()
+    # second run must read checkpoints (records carry the first run's walls)
+    _, _, out2 = _run(ck, n_entities=20, seed=11)
+    assert out2["entities"].count() == n1
+    o1 = {r["stage"]: r["wall_seconds"] for r in out1["metrics"]}
+    o2 = {r["stage"]: r["wall_seconds"] for r in out2["metrics"]}
+    assert o1 == o2  # resumed run reuses the recorded lineage, no rebuild

@@ -1,0 +1,53 @@
+"""ANN oracles: brute-force top-k vs exact numpy; IVF recall."""
+
+import numpy as np
+import ray.data as rd
+
+from capelinker_ray.stages.simsearch import brute_force_topk, ivf_topk
+
+
+def _data(n=200, d=16, seed=0):
+    rng = np.random.default_rng(seed)
+    V = rng.normal(size=(n, d))
+    rows = [{"vec_id": i, "embedding": V[i].tolist()} for i in range(n)]
+    return V, rows
+
+
+def _exact_topk(V, Q, k):
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    S = Qn @ Vn.T
+    return {q: set(np.argsort(-S[q])[:k]) for q in range(len(Q))}
+
+
+def test_brute_force_matches_exact(ray_session):
+    V, rows = _data()
+    Q = V[:5]
+    out = brute_force_topk(rd.from_items(rows), Q, k=7).to_pandas()
+    exact = _exact_topk(V, Q, 7)
+    for q in range(5):
+        got = set(out[out["query_id"] == q]["vec_id"])
+        assert got == exact[q]
+    # rank 1 is the query itself (cosine 1.0)
+    r1 = out[out["rank"] == 1]
+    assert (r1["query_id"] == r1["vec_id"]).all()
+
+
+def test_brute_force_exact_k_rows_per_query(ray_session):
+    V, rows = _data(n=50)
+    out = brute_force_topk(rd.from_items(rows), V[:3], k=5).to_pandas()
+    assert (out.groupby("query_id").size() == 5).all()
+
+
+def test_ivf_recall(ray_session):
+    V, rows = _data(n=400, seed=2)
+    Q = V[:8]
+    exact = _exact_topk(V, Q, 5)
+    out = ivf_topk(rd.from_items(rows), Q, k=5, n_centroids=8,
+                   n_probe=4).to_pandas()
+    hits = total = 0
+    for q in range(8):
+        got = set(out[out["query_id"] == q]["vec_id"])
+        hits += len(got & exact[q])
+        total += 5
+    assert hits / total >= 0.7  # probing half the lists: high recall

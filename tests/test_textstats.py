@@ -1,0 +1,57 @@
+"""Text-analysis oracles: token counts, quality score, lang-id, fingerprint."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from capelinker_ray.stages.textstats import (
+    add_fingerprint, add_lang_id, add_quality_score, add_token_counts,
+    fnv1a_64,
+)
+
+
+def _docs():
+    return pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the quick brown fox", "", None, "a b  c d."],
+    })
+
+
+def test_token_counts(ray_session):
+    out = add_token_counts(rd.from_pandas(_docs())).to_pandas()
+    out = out.set_index("doc_id")
+    assert out.loc[1, "n_ws_tokens"] == 4
+    assert out.loc[2, "n_ws_tokens"] == 0
+    assert out.loc[3, "n_ws_tokens"] == 0
+    assert out.loc[4, "n_ws_tokens"] == 4
+    assert out.loc[4, "n_bpe_tokens"] == 5  # a b c d .
+
+
+def test_quality_score_range(ray_session):
+    out = add_quality_score(rd.from_pandas(_docs())).to_pandas()
+    assert ((out["quality"] >= 0) & (out["quality"] <= 1)).all()
+    assert out.set_index("doc_id").loc[1, "quality"] > \
+           out.set_index("doc_id").loc[2, "quality"]
+
+
+def test_lang_id(ray_session):
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the thing and another thing for the winner",
+                 "een van der heeren heeft het paard verkocht",
+                 "zzz qqq"],
+    })
+    out = add_lang_id(rd.from_pandas(df)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "lang_pred"] == "en"
+    assert out.loc[2, "lang_pred"] == "nl"
+    assert out.loc[3, "lang_pred"] == "und"
+
+
+def test_fingerprint_deterministic_and_ws_invariant(ray_session):
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["a  b c", "a b c", "a b d"]})
+    out = add_fingerprint(rd.from_pandas(df)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "fingerprint"] == out.loc[2, "fingerprint"]
+    assert out.loc[1, "fingerprint"] != out.loc[3, "fingerprint"]
+    # cross-process determinism: pinned value of FNV-1a("a b c")
+    assert int(np.uint64(out.loc[1, "fingerprint"])) == int(fnv1a_64(["a b c"])[0])
