@@ -72,18 +72,37 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
     return {"timings": timings, "counters": counters}
 
 
-def scaling_child(sf_dir: str, num_cpus: int) -> None:
+SCALING_DIR = os.environ.get("GRAFT_SCALING_DIR", "/tmp/capelinker_scaling")
+SCALING_ENTITIES = int(os.environ.get("GRAFT_SCALING_ENTITIES", "100000"))
+
+
+def ensure_scaling_corpus() -> str:
+    """Seeded synthetic corpus big enough to be COMPUTE-bound (the sf0.1
+    tables are overhead-bound at 32 cpus — scaling measured there would
+    measure Ray's fixed per-op latency, not the engine). Cached on disk;
+    sharded layout like a real ingest."""
+    marker = os.path.join(SCALING_DIR, "_DONE")
+    tdir = os.path.join(SCALING_DIR, "transcripts")
+    if not os.path.exists(marker):
+        from capelinker_ray import synth
+        os.makedirs(SCALING_DIR, exist_ok=True)
+        synth.write_corpus(SCALING_DIR, n_entities=SCALING_ENTITIES,
+                           seed=42, shards=32)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return tdir
+
+
+def scaling_child(tdir: str, num_cpus: int) -> None:
     """Fresh-process flagship run; prints one JSON line with pairs/sec."""
     import ray
     import ray.data as rd
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
-    from capelinker_ray.pipelines.queries import ensure_transcripts
     from capelinker_ray.pipelines.linkage import link_transcripts
 
-    path = ensure_transcripts(sf_dir)
     t0 = time.monotonic()
-    out = link_transcripts(rd.read_parquet(path), checkpoint_dir=None,
+    out = link_transcripts(rd.read_parquet(tdir), checkpoint_dir=None,
                            sort_output=True)
     n_pairs = out["pairs"].count()
     out["turns_out"].count()  # drive the full pipeline
@@ -94,13 +113,14 @@ def scaling_child(sf_dir: str, num_cpus: int) -> None:
                       "pairs_per_sec": round(n_pairs / wall, 2)}))
 
 
-def run_scaling(sf_dir: str) -> dict:
+def run_scaling(_sf_dir: str) -> dict:
+    tdir = ensure_scaling_corpus()
     results = {}
     for cpus in (8, 32):
         env = dict(os.environ, PYTHONPATH=REPO)
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-child",
-             sf_dir, str(cpus)],
+             tdir, str(cpus)],
             capture_output=True, text=True, env=env, timeout=3600)
         line = [ln for ln in p.stdout.splitlines()
                 if ln.startswith("{")][-1]

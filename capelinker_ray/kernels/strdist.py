@@ -164,12 +164,40 @@ def _common_prefix_len(A, la, B, lb, cap=4):
     return run.sum(axis=1).astype(np.int64)
 
 
+def _rows_equal(A, la, B, lb) -> np.ndarray:
+    """Rowwise exact string equality from codepoint matrices — O(n·L) fast
+    path so the O(n·L²) DP only runs on unequal pairs (near-dup workloads
+    compare MANY identical strings)."""
+    if la.shape != lb.shape:
+        return np.zeros(len(la), dtype=bool)
+    eq = la == lb
+    L = min(A.shape[1], B.shape[1])
+    if A.shape[1] != B.shape[1]:
+        # lengths equal but padding differs; compare the common width
+        eq &= (A[:, :L] == B[:, :L]).all(axis=1)
+        return eq
+    eq &= (A == B).all(axis=1) if L else eq
+    return eq
+
+
+def _core_with_eq_fastpath(core, A, la, B, lb, equal_value, *args):
+    eq = _rows_equal(A, la, B, lb)
+    n = len(la)
+    out = np.full(n, float(equal_value))
+    ne = ~eq
+    if ne.any():
+        out[ne] = core(np.ascontiguousarray(A[ne]), la[ne],
+                       np.ascontiguousarray(B[ne]), lb[ne], *args)
+    return out
+
+
 def jaro_sim(s1, s2, max_len: int | None = None,
              int_transpositions: bool = False) -> np.ndarray:
     """Pairwise Jaro similarity. Null in -> NaN out."""
     A, la, v1 = encode(s1, max_len)
     B, lb, v2 = encode(s2, max_len)
-    sim = _jaro_core(A, la, B, lb, int_transpositions)
+    sim = _core_with_eq_fastpath(_jaro_core, A, la, B, lb, 1.0,
+                                 int_transpositions)
     sim[~(v1 & v2)] = np.nan
     return sim
 
@@ -185,7 +213,8 @@ def jaro_winkler_sim(s1, s2, p: float = 0.1, bt: float = 0.0,
     """
     A, la, v1 = encode(s1, max_len)
     B, lb, v2 = encode(s2, max_len)
-    sim = _jaro_core(A, la, B, lb, int_transpositions)
+    sim = _core_with_eq_fastpath(_jaro_core, A, la, B, lb, 1.0,
+                                 int_transpositions)
     if p > 0:
         ell = _common_prefix_len(A, la, B, lb).astype(np.float64)
         boosted = sim + ell * p * (1.0 - sim)
@@ -236,6 +265,10 @@ def _edit_core(A, la, B, lb, transpositions: bool):
     return ans
 
 
+def _edit_core_f(A, la, B, lb, transpositions):
+    return _edit_core(A, la, B, lb, transpositions).astype(np.float64)
+
+
 def osa_dist(s1, s2, max_len: int | None = None) -> np.ndarray:
     """Optimal-string-alignment (restricted Damerau-Levenshtein) distance.
 
@@ -243,7 +276,7 @@ def osa_dist(s1, s2, max_len: int | None = None) -> np.ndarray:
     """
     A, la, v1 = encode(s1, max_len)
     B, lb, v2 = encode(s2, max_len)
-    d = _edit_core(A, la, B, lb, transpositions=True).astype(np.float64)
+    d = _core_with_eq_fastpath(_edit_core_f, A, la, B, lb, 0.0, True)
     d[~(v1 & v2)] = np.nan
     return d
 
@@ -251,7 +284,7 @@ def osa_dist(s1, s2, max_len: int | None = None) -> np.ndarray:
 def levenshtein_dist(s1, s2, max_len: int | None = None) -> np.ndarray:
     A, la, v1 = encode(s1, max_len)
     B, lb, v2 = encode(s2, max_len)
-    d = _edit_core(A, la, B, lb, transpositions=False).astype(np.float64)
+    d = _core_with_eq_fastpath(_edit_core_f, A, la, B, lb, 0.0, False)
     d[~(v1 & v2)] = np.nan
     return d
 
@@ -260,7 +293,7 @@ def osa_sim(s1, s2, max_len: int | None = None) -> np.ndarray:
     """stringsim(method='osa') parity: 1 - d / max(len1, len2); 1.0 when both empty."""
     A, la, v1 = encode(s1, max_len)
     B, lb, v2 = encode(s2, max_len)
-    d = _edit_core(A, la, B, lb, transpositions=True).astype(np.float64)
+    d = _core_with_eq_fastpath(_edit_core_f, A, la, B, lb, 0.0, True)
     mx = np.maximum(la, lb).astype(np.float64)
     sim = np.where(mx > 0, 1.0 - d / np.where(mx > 0, mx, 1.0), 1.0)
     sim[~(v1 & v2)] = np.nan

@@ -54,7 +54,7 @@ class MatchScorer:
 
 
 def score_pairs(ds_pairs, model: str, concurrency=(1, 8),
-                batch_size: int = 32 * 1024, num_cpus: float = 1.0):
+                batch_size: int | None = None, num_cpus: float = 1.0):
     """Dataset[pairs+features] -> + ``pred`` column via an actor pool."""
     return ds_pairs.map_batches(
         MatchScorer,

@@ -48,8 +48,9 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
                      minimum_confidence: float = 0.5,
                      blocktype: str = "equality", maxdist: float = 0.15,
                      max_block_pairs: int = DEFAULT_MAX_BLOCK_PAIRS,
-                     scorer_concurrency=(1, 8),
-                     sort_output: bool = True) -> dict:
+                     scorer_concurrency=None,
+                     sort_output: bool = True,
+                     input_partitions: int | str | None = "auto") -> dict:
     """Self-link (dedup) a transcript corpus into entity clusters.
 
     Returns dict of Datasets: records, pairs, scored, links, entities,
@@ -57,6 +58,15 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
     plus the checkpoint manager's lineage records under "metrics".
     """
     ck = CheckpointManager(checkpoint_dir)
+
+    if input_partitions:
+        # a small input (one parquet file = ONE block) would otherwise run
+        # every map stage in a single sequential task; at 100-TB scale the
+        # read already yields thousands of blocks — pass None to skip
+        if input_partitions == "auto":
+            from ..stages.grouped import default_partitions
+            input_partitions = default_partitions()
+        ds_turns = ds_turns.repartition(input_partitions)
 
     records = ck.stage(
         "conv_records",
@@ -72,13 +82,19 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
             keep_unmatched=False)),
         inputs=("conv_records",))
 
+    if scorer_concurrency is None:
+        # actor pool sized to the session — a fixed small pool throttles
+        # scoring on big machines/clusters
+        from ..stages.grouped import default_partitions
+        scorer_concurrency = (1, max(8, default_partitions() // 2))
+
     scored = ck.stage(
         "scored_pairs",
         lambda: score_pairs(
             pairs.select_columns(
                 ["conv_id_from", "conv_id_to"] + TRANSCRIPT_FEATURES),
             model, concurrency=scorer_concurrency),
-        inputs=("candidate_pairs",))
+        inputs=("candidate_pairs",), stream=True)
 
     links = ck.stage(
         "links",

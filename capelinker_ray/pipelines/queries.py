@@ -20,7 +20,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Sum
 
 from .. import synth
 from ..kernels.strdist import jaro_winkler_sim
@@ -175,8 +175,14 @@ def sql_conv_records(path: str) -> str:
 
 
 def q_block_sizes(sf_dir: str):
-    return (_records_ds(sf_dir).groupby("block_key")
-            .aggregate(Count(alias_name="n_records")))
+    from ..stages.grouped import grouped_map
+
+    def count_blocks(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("block_key", sort=False).size()
+               .rename("n_records").reset_index())
+        out["n_records"] = out["n_records"].astype(np.int64)
+        return out
+    return grouped_map(_records_ds(sf_dir), "block_key", count_blocks)
 
 
 def sql_block_sizes(path: str) -> str:
@@ -276,11 +282,18 @@ SELECT node AS conv_id, min(label) AS entity_id FROM walk GROUP BY node"""
 
 
 def q_dedup_exact(sf_dir: str):
+    from ..stages.grouped import grouped_map
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
-    return (docs.groupby("text").aggregate(
-        Min("doc_id", alias_name="keep_doc_id"),
-        Count(alias_name="n_dups")))
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("text", sort=False)
+               .agg(keep_doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+               .reset_index())
+        out["keep_doc_id"] = out["keep_doc_id"].astype(np.int64)
+        out["n_dups"] = out["n_dups"].astype(np.int64)
+        return out
+    return grouped_map(docs, "text", agg)
 
 
 def sql_dedup_exact(sf_dir: str) -> str:
@@ -306,16 +319,18 @@ FROM documents"""
 def q_events_sessionize(sf_dir: str):
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "event_id"])
+    from ..stages.grouped import grouped_map
     sess = sessionize(ev, gap_minutes=30.0)
 
-    def count_sessions(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_sessions": np.int64(g["session_idx"].max() + 1),
-            "n_events": np.int64(len(g)),
-        })
-    return sess.groupby("user_id").map_groups(count_sessions,
-                                              batch_format="pandas")
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("user_id", sort=False)
+               .agg(max_idx=("session_idx", "max"),
+                    n_events=("session_idx", "size"))
+               .reset_index())
+        out["n_sessions"] = (out["max_idx"] + 1).astype(np.int64)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out[["user_id", "n_sessions", "n_events"]]
+    return grouped_map(sess, "user_id", per_user)
 
 
 def sql_events_sessionize(sf_dir: str) -> str:

@@ -1,11 +1,13 @@
-"""Parquet sources/sinks (SURVEY §2.1).
+"""Parquet/CSV sources and partitioned sinks (SURVEY §2.1).
 
 The reference loads bundled .rda tables and CSVs eagerly
 (/root/reference/DESCRIPTION:18, data_raw/traindata_graafreinet.R:20-23);
-here every source is a lazy ``ray.data.read_parquet`` with column pruning,
-and every intermediate sink is a partitioned Parquet directory (the
-reference's manual ``saveRDS`` checkpoints, data_raw/pretrained.R:21-22,
-become first-class stage checkpoints — see pipelines/checkpoint.py).
+here every source is a lazy ``ray.data.read_*`` with COLUMN PRUNING pushed
+into the read (a read that loads all columns for a 2-column transform is
+wrong at 100 TB), and every sink is a partitioned Parquet directory — one
+file per block, never one giant file, so failed runs resume per partition
+(the reference's manual ``saveRDS`` checkpoints, data_raw/pretrained.R:21-22,
+are first-class in pipelines/checkpoint.py).
 """
 
 from __future__ import annotations
@@ -14,19 +16,31 @@ import ray.data as rd
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
-
-def read_transcripts(paths, columns=None, **kwargs):
-    """Read transcript turn table(s); prune to the needed columns at the read."""
-    return rd.read_parquet(paths, columns=columns or TRANSCRIPT_COLUMNS, **kwargs)
+__all__ = ["TRANSCRIPT_COLUMNS", "read_transcripts", "read_table",
+           "read_labeled_pairs", "write_partitioned"]
 
 
-def read_table(sf_dir: str, name: str, columns=None, **kwargs):
-    """Read one driver testdata table (TESTDATA.md)."""
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns, **kwargs)
+def read_transcripts(path: str, columns: list[str] | None = None,
+                     **kwargs):
+    """Transcript turn table; prune to the requested columns at the read."""
+    return rd.read_parquet(path, columns=columns or TRANSCRIPT_COLUMNS,
+                           **kwargs)
 
 
-def write_stage(ds, out_dir: str, **kwargs):
-    """Write a stage output as a partitioned Parquet directory (never one
-    giant file); returns the directory for downstream re-reads."""
-    ds.write_parquet(out_dir, **kwargs)
-    return out_dir
+def read_table(path: str, columns: list[str] | None = None, **kwargs):
+    """Generic parquet/csv source (fread analog for raw ingestion)."""
+    if path.endswith(".csv"):
+        ds = rd.read_csv(path, **kwargs)
+        return ds.select_columns(columns) if columns else ds
+    return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+def read_labeled_pairs(path: str, **kwargs):
+    """Labeled-pair fixture import (the reference's read_xlsx label
+    round-trip, data_raw/pretrained.R:185-187, re-based on parquet)."""
+    return rd.read_parquet(path, **kwargs)
+
+
+def write_partitioned(ds, path: str, **kwargs) -> None:
+    """Partitioned Parquet sink: one file per block (resumable layout)."""
+    ds.write_parquet(path, **kwargs)

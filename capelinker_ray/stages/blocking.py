@@ -44,7 +44,6 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from ..kernels.strdist import bigram_cosine_matrix, jaro_winkler_sim
 
@@ -77,14 +76,15 @@ def _hot_keys(tagged, block_col: str, cap: int) -> dict[str, int]:
                              "nt": out["T"].astype(np.int64)})
 
     stats = tagged.map_batches(partial, batch_format="pandas")
-    totals = stats.groupby(block_col).aggregate(
-        Sum("nf", alias_name="nf"), Sum("nt", alias_name="nt"))
 
-    def only_hot(df: pd.DataFrame) -> pd.DataFrame:
-        prod = df["nf"].to_numpy(np.float64) * df["nt"].to_numpy(np.float64)
-        return df[prod > cap]
+    def combine_and_filter(df: pd.DataFrame) -> pd.DataFrame:
+        tot = (df.groupby(block_col, sort=False)
+               .agg(nf=("nf", "sum"), nt=("nt", "sum")).reset_index())
+        prod = tot["nf"].to_numpy(np.float64) * tot["nt"].to_numpy(np.float64)
+        return tot[prod > cap]
 
-    hot = totals.map_batches(only_hot, batch_format="pandas").to_pandas()
+    from .grouped import grouped_map
+    hot = grouped_map(stats, block_col, combine_and_filter).to_pandas()
     if len(hot) == 0 or block_col not in hot.columns:
         return {}
     return {
@@ -94,7 +94,7 @@ def _hot_keys(tagged, block_col: str, cap: int) -> dict[str, int]:
     }
 
 
-def _salt_fn(block_col: str, hot: dict[str, int]):
+def _salt_fn(block_col: str, id_col: str, hot: dict[str, int]):
     hot_ref = ray.put(hot)  # broadcast once, read per task
 
     def salt(df: pd.DataFrame) -> pd.DataFrame:
@@ -113,7 +113,7 @@ def _salt_fn(block_col: str, hot: dict[str, int]):
             is_f = (hot_rows["_side"] == "F").to_numpy()
             # from-rows: one stable shard each
             f = hot_rows[is_f].copy()
-            fh = pd.util.hash_array(f["conv_id"].to_numpy(dtype=object))
+            fh = pd.util.hash_array(f[id_col].to_numpy(dtype=object))
             f["_salt"] = (fh % s[is_f].astype(np.uint64)).astype(np.int32)
             out.append(f)
             # to-rows: replicated to every shard of their block
@@ -207,7 +207,89 @@ def _pairs_fn(block_col: str, id_col: str, blocktype: str, maxdist: float,
         out["block_key"] = key
         return _norm_pair_dtypes(out, attr_cols, id_from_col, id_to_col)
 
-    return pairs
+    def empty_pairs() -> pd.DataFrame:
+        data = {f"{c}_from": pd.Series(dtype=object) for c in cols}
+        data.update({f"{c}_to": pd.Series(dtype=object) for c in cols})
+        data["score"] = pd.Series(dtype=np.float64)
+        data["matches"] = pd.Series(dtype=np.float64)
+        data["block_key"] = pd.Series(dtype=object)
+        return pd.DataFrame(data)
+
+    def equality_partition(part: pd.DataFrame) -> pd.DataFrame:
+        """Equality blocking, vectorized across ALL blocks of the partition:
+        group-offset arithmetic enumerates every (F,T) combo with pure numpy
+        — zero per-block Python (a partition holds ~10^3-10^5 blocks)."""
+        grp = part.groupby([block_col, "_salt"], sort=False).ngroup().to_numpy()
+        G = int(grp.max()) + 1 if len(grp) else 0
+        side_f = (part["_side"] == "F").to_numpy()
+        bkeys = part[block_col].to_numpy(dtype=object)
+
+        def side_frame(mask):
+            idx = np.nonzero(mask)[0]
+            order = np.argsort(grp[idx], kind="stable")
+            sel = idx[order]
+            return part.iloc[sel][cols].reset_index(drop=True), grp[sel], bkeys[sel]
+
+        fdf, gf, fbk = side_frame(side_f)
+        tdf, gt, _ = side_frame(~side_f)
+        nf = np.bincount(gf, minlength=G).astype(np.int64)
+        nt = np.bincount(gt, minlength=G).astype(np.int64)
+        fstart = np.cumsum(nf) - nf
+        tstart = np.cumsum(nt) - nt
+        sizes = nf * nt
+        total = int(sizes.sum())
+        pgrp = np.repeat(np.arange(G), sizes)
+        offs = np.cumsum(sizes) - sizes
+        within = np.arange(total, dtype=np.int64) - offs[pgrp]
+        ntg = np.maximum(nt[pgrp], 1)
+        fi = fstart[pgrp] + within // ntg
+        ti = tstart[pgrp] + within % ntg
+
+        if self_link and total:
+            keep = fdf[id_col].to_numpy(object)[fi] < tdf[id_col].to_numpy(object)[ti]
+            fi, ti = fi[keep], ti[keep]
+
+        out = pd.concat([
+            fdf.iloc[fi].add_suffix("_from").reset_index(drop=True),
+            tdf.iloc[ti].add_suffix("_to").reset_index(drop=True),
+        ], axis=1)
+        out["score"] = np.ones(len(fi), dtype=np.float64)
+        cnt = np.bincount(fi, minlength=len(fdf)) if len(fi) else \
+            np.zeros(len(fdf), dtype=np.int64)
+        out["matches"] = cnt[fi].astype(np.float64)
+        out["block_key"] = fbk[fi]
+
+        if keep_unmatched:
+            miss = np.nonzero(cnt == 0)[0]
+            if len(miss):
+                na = fdf.iloc[miss].add_suffix("_from").reset_index(drop=True)
+                for c in cols:
+                    na[f"{c}_to"] = None
+                na["score"] = np.nan
+                na["matches"] = 0.0
+                na["block_key"] = fbk[miss]
+                out = pd.concat([out, na], ignore_index=True)
+        return out
+
+    def pairs_partition(part: pd.DataFrame) -> pd.DataFrame:
+        """Coarse partition of many complete (block, salt) groups
+        (stages/grouped.py): per-block pair generation without Ray's
+        per-group overhead. The equality blocktype takes the fully
+        vectorized cross-block path."""
+        if not len(part):
+            return _norm_pair_dtypes(empty_pairs(), attr_cols,
+                                     id_from_col, id_to_col)
+        if blocktype == "equality":
+            out = pd.concat([empty_pairs(), equality_partition(part)],
+                            ignore_index=True)
+            return _norm_pair_dtypes(out, attr_cols, id_from_col, id_to_col)
+        frames = [empty_pairs()]
+        for _, g in part.groupby([block_col, "_salt"], sort=False):
+            frames.append(pairs(g))
+        out = pd.concat(frames, ignore_index=True)
+        return _norm_pair_dtypes(out, attr_cols, id_from_col, id_to_col)
+
+    return pairs_partition
 
 
 def candidates(ds_from, ds_to=None, *, block_col: str = "block_key",
@@ -233,14 +315,24 @@ def candidates(ds_from, ds_to=None, *, block_col: str = "block_key",
         if ds_to is not None:
             ds_to = ds_to.map_batches(add_bv, batch_format="pyarrow")
 
-    tagged_f = _tag_side(ds_from, "F")
     if self_link:
-        tagged = tagged_f.union(_tag_side(ds_from, "T"))
+        # one pass: each batch emits itself twice (F and T tags) — no
+        # second scan of the records dataset, no union of two map stages
+        def tag_both(t: pa.Table) -> pa.Table:
+            n = len(t)
+            sides = pa.array(np.concatenate([np.full(n, "F"), np.full(n, "T")]),
+                             pa.string())
+            return pa.concat_tables([t, t]).append_column("_side", sides)
+        tagged = ds_from.map_batches(tag_both, batch_format="pyarrow")
     else:
-        tagged = tagged_f.union(_tag_side(ds_to, "T"))
+        tagged = _tag_side(ds_from, "F").union(_tag_side(ds_to, "T"))
 
+    # the tagged table is scanned twice (hot-key detection, then salting) —
+    # pin it once so the upstream chain doesn't re-execute per scan
+    tagged = tagged.materialize()
     hot = _hot_keys(tagged, block_col, max_block_pairs)
-    salted = tagged.map_batches(_salt_fn(block_col, hot), batch_format="pandas")
+    salted = tagged.map_batches(_salt_fn(block_col, id_col, hot),
+                                batch_format="pandas")
 
     if attr_cols is None:
         schema_names = [n for n in ds_from.schema().names
@@ -249,10 +341,10 @@ def candidates(ds_from, ds_to=None, *, block_col: str = "block_key",
     if blocktype in ("bigram", "stringdist") and "_blockvar" not in attr_cols:
         attr_cols = attr_cols + ["_blockvar"]
 
+    from .grouped import grouped_map
     fn = _pairs_fn(block_col, id_col, blocktype, maxdist, attr_cols,
                    keep_unmatched, self_link, idf=idf)
-    pairs = salted.groupby([block_col, "_salt"]).map_groups(
-        fn, batch_format="pandas")
+    pairs = grouped_map(salted, [block_col, "_salt"], fn)
     if blocktype in ("bigram", "stringdist"):
         pairs = pairs.drop_columns(["_blockvar_from", "_blockvar_to"])
     return pairs

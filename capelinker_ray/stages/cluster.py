@@ -26,8 +26,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-from ray.data.aggregate import Min
-
 from .join import hash_join
 
 __all__ = ["connected_components", "expand_index", "attach_entity_ids"]
@@ -45,15 +43,69 @@ def _sym_edges(ds_links, id_from: str, id_to: str):
     return ds_links.map_batches(sym, batch_format="pyarrow")
 
 
+def _union_find_local(a_ids: np.ndarray, b_ids: np.ndarray):
+    """Vectorized driver-side connected components over (src,dst) id pairs.
+
+    np.unique gives SORTED uniques, so the min int code per component IS the
+    lexicographic-min id. Min-label propagation with pointer doubling —
+    O((E+V)·log D) fully-vectorized numpy, no Python per-edge loop.
+    Returns (nodes, entity_ids) string arrays."""
+    both = np.concatenate([np.asarray(a_ids, dtype=object),
+                           np.asarray(b_ids, dtype=object)])
+    uniques, codes = np.unique(both.astype(str), return_inverse=True)
+    n_edges = len(a_ids)
+    a, b = codes[:n_edges], codes[n_edges:]
+    label = np.arange(len(uniques), dtype=np.int64)
+    for _ in range(200):
+        old = label.copy()
+        m = np.minimum(label[a], label[b])
+        np.minimum.at(label, a, m)
+        np.minimum.at(label, b, m)
+        label = label[label]          # pointer doubling
+        if np.array_equal(label, old):
+            break
+    return uniques, uniques[label]
+
+
 def connected_components(ds_links, *, id_from: str = "conv_id_from",
                          id_to: str = "conv_id_to",
-                         max_iterations: int = 50):
+                         max_iterations: int = 50,
+                         strategy: str = "auto",
+                         driver_edge_threshold: int = 5_000_000,
+                         num_partitions: int | None = None):
     """Dataset[links] -> Dataset[(node:str, entity_id:str)].
 
     entity_id = lexicographic-min node id of the component (deterministic,
     coordination-free — no global counter at 100 TB).
+
+    ``strategy``: "auto" uses the DRIVER-SIDE union-find when the edge list
+    is small (links ≪ records for a linkage graph — (src,dst) id pairs for
+    5M edges are ~200 MB, trivially collectable; the cluster-scale cost
+    lives in producing the links, not closing them), else the distributed
+    hash-min + pointer-doubling iteration. "distributed" forces the
+    iterative path (exercised by tests); "driver" forces the local path.
     """
+    if strategy == "auto":
+        n_edges = ds_links.count()
+        strategy = ("driver" if n_edges <= driver_edge_threshold
+                    else "distributed")
+
+    if strategy == "driver":
+        import ray.data as rd
+        pairs = ds_links.select_columns([id_from, id_to]).to_pandas()
+        nodes, ents = _union_find_local(pairs[id_from].to_numpy(),
+                                        pairs[id_to].to_numpy())
+        # arrow blocks (Ray 2.49 rename_columns/select_columns choke on
+        # pandas blocks), one block — downstream joins repartition anyway
+        tbl = pa.table({
+            "node": pa.array(nodes.tolist(), pa.string()),
+            "entity_id": pa.array(ents.tolist(), pa.string()),
+        })
+        return rd.from_arrow(tbl)
+
     edges = _sym_edges(ds_links, id_from, id_to).materialize()
+    n_parts = (num_partitions if num_partitions
+               else min(64, max(8, edges.num_blocks())))
 
     # init: every node starts with the min label among itself + direct
     # neighbors (first hash-min round fused into initialization)
@@ -62,8 +114,19 @@ def connected_components(ds_links, *, id_from: str = "conv_id_from",
         lab = pc.if_else(pc.less_equal(t["src"], t["dst"]), t["src"], t["dst"])
         return pa.table({"node": t["src"], "label": lab})
 
-    labels = (edges.map_batches(init_msgs, batch_format="pyarrow")
-              .groupby("node").aggregate(Min("label", alias_name="label"))
+    from .grouped import grouped_map
+
+    _label_schema = pa.schema([("node", pa.string()), ("label", pa.string())])
+
+    def min_label_part(df: pd.DataFrame) -> pa.Table:
+        """Vectorized per-partition min-label (arrow out — unions with the
+        arrow msgs datasets need uniform block types)."""
+        out = (df.groupby("node", sort=False)["label"].min().reset_index())
+        return pa.Table.from_pandas(out, schema=_label_schema,
+                                    preserve_index=False)
+
+    labels = (grouped_map(edges.map_batches(init_msgs, batch_format="pyarrow"),
+                          "node", min_label_part, num_partitions=n_parts)
               .materialize())
 
     def to_msgs(t: pa.Table) -> pa.Table:
@@ -108,9 +171,11 @@ def connected_components(ds_links, *, id_from: str = "conv_id_from",
         # (hash_join, not Dataset.join — see stages/join.py on why)
         msgs = hash_join(edges, labels, on="src", right_on="node",
                          how="inner").map_batches(to_msgs, batch_format="pyarrow")
-        new_labels = (labels.union(msgs)
-                      .groupby("node").aggregate(Min("label", alias_name="label")))
-        new_labels = shortcut(new_labels).materialize()
+        new_labels = grouped_map(labels.union(msgs), "node", min_label_part,
+                                 num_partitions=n_parts)
+        # bound block growth: unions + shuffles compound the block count
+        # geometrically across iterations without an explicit repartition
+        new_labels = shortcut(new_labels).repartition(n_parts).materialize()
         sig = _signature(new_labels)
         labels = new_labels
         if sig == prev_sig:

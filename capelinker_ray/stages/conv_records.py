@@ -84,34 +84,32 @@ def _partials_fn(vocab: dict[str, int]):
 
 
 def _combine_partials(partials):
-    """Associative partial merge as ONE built-in hash aggregate — no
-    per-group Python calls. ``tool_mask`` merges by OR: the per-batch masks
-    are collected with ``Unique`` and OR-folded in a vectorized finalize
-    (Sum would double-count overlapping bits). ``first_text_norm``/roles use
-    ``Min``: exactly one batch contains a conversation's turn 0/1, so at
-    most one partial is non-null and Min (null-ignoring) selects it."""
-    from ray.data.aggregate import Max, Min, Sum, Unique
+    """Associative partial merge: ONE coarse hash-partitioned shuffle with a
+    vectorized pandas aggregation per partition (stages/grouped.py — Ray's
+    built-in groupby().aggregate() pays ~ms of Python per distinct key).
+    ``tool_mask`` merges by OR (Sum would double-count overlapping bits);
+    ``first_text_norm``/roles use ``first`` (null-skipping): exactly one
+    batch contains a conversation's turn 0/1, so at most one partial is
+    non-null."""
+    from .grouped import grouped_map
 
-    agg = partials.groupby("conv_id").aggregate(
-        Sum("n_turns", alias_name="n_turns"),
-        Min("ts_min", alias_name="ts_min"),
-        Max("ts_max", alias_name="ts_max"),
-        Sum("text_chars", alias_name="text_chars"),
-        Unique("tool_mask", alias_name="tool_masks"),
-        Min("first_text_norm", alias_name="first_text_norm"),
-        Min("role0", alias_name="role0"),
-        Min("second_text_norm", alias_name="second_text_norm"),
-        Min("role1", alias_name="role1"),
-    )
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("conv_id", sort=False)
+        out = g.agg(
+            n_turns=("n_turns", "sum"),
+            ts_min=("ts_min", "min"),
+            ts_max=("ts_max", "max"),
+            text_chars=("text_chars", "sum"),
+            first_text_norm=("first_text_norm", "first"),
+            role0=("role0", "first"),
+            second_text_norm=("second_text_norm", "first"),
+            role1=("role1", "first"),
+        )
+        out["tool_mask"] = g["tool_mask"].agg(
+            lambda s: int(np.bitwise_or.reduce(s.to_numpy().astype(np.int64))))
+        return out.reset_index()
 
-    def fold_masks(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["tool_mask"] = df["tool_masks"].map(
-            lambda xs: int(np.bitwise_or.reduce(
-                np.asarray(list(xs), dtype=np.int64))) if len(xs) else 0)
-        return df.drop(columns=["tool_masks"])
-
-    return agg.map_batches(fold_masks, batch_format="pandas")
+    return grouped_map(partials, "conv_id", agg)
 
 
 def _finalize_fn(vocab: dict[str, int], prefix_len: int):
@@ -129,7 +127,9 @@ def _finalize_fn(vocab: dict[str, int], prefix_len: int):
         df["role_sig"] = (df["role0"].fillna("") + ">" + df["role1"].fillna(""))
         df["block_key"] = df["first_text_prefix"] + "|" + df["role_sig"]
         df["tool_sig"] = df["tool_mask"].map(tool_sig_of)
-        df["epoch"] = (df["ts_min"].astype("int64") // _DAY_US).astype(np.int32)
+        ts_us = (pd.to_datetime(df["ts_min"]).astype("datetime64[ns]")
+                 .astype("int64") // 1000)
+        df["epoch"] = (ts_us // _DAY_US).astype(np.int32)
         df["n_turns"] = df["n_turns"].astype(np.int32)
         return df[RECORD_FIELDS]
     return finalize
@@ -137,7 +137,7 @@ def _finalize_fn(vocab: dict[str, int], prefix_len: int):
 
 def build_conv_records(ds_turns, tool_vocab: dict[str, int] | None = None,
                        prefix_len: int = BLOCK_PREFIX_LEN,
-                       batch_size: int = 64 * 1024):
+                       batch_size: int | None = None):
     """Dataset[turns + text_norm] -> Dataset[conversation records].
 
     One shuffle (of the already-aggregated partials, not the turns).

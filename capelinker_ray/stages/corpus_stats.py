@@ -1,0 +1,133 @@
+"""Record-level corpus statistics feeding features (SURVEY §2.5).
+
+The reference derives per-record features from corpus-wide aggregates:
+``namefreq`` (grouped count joined back,
+/root/reference/data_raw/traindata_graafreinet.R:121-122), per-group
+uniqueness scores (:112-119), min-max normalisation (util.R:169-175) and the
+greedy ``uniformise_string`` canonicalization dictionary (util.R:145-166).
+
+Distributed shapes:
+  add_group_count      partial counts per batch -> ONE small groupby of
+                       partials -> broadcast join back (never shuffles the
+                       full table twice)
+  normalise_column     two passes: global min/max aggregate, then a
+                       stateless map — the reference's normalise() but
+                       streaming
+  uniformise_column    distinct values + counts collected driver-side
+                       (distinct ≪ rows), greedy JW absorption there, the
+                       resulting dictionary broadcast back via ray.put —
+                       the documented plan for this order-dependent global
+                       op (SURVEY §7 hard part a)
+  add_group_uniqueness per-group mean pairwise JW distance of a string
+                       column (mfirst_uniqueness analog) via map_groups on
+                       bounded groups
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+from ray.data.aggregate import Max, Min
+
+from ..kernels.strdist import jaro_winkler_sim
+from ..kernels.textutil import uniformise_string
+
+__all__ = ["add_group_count", "normalise_column", "uniformise_column",
+           "add_group_uniqueness"]
+
+
+def add_group_count(ds, key_col: str, out_col: str = "group_count"):
+    """namefreq semantics: count per key, joined back broadcast-style."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(key_col, sort=False, dropna=False).size()
+        return out.rename("n").reset_index()
+
+    from .grouped import grouped_map
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(key_col, sort=False, dropna=False)["n"].sum()
+                .rename(out_col).reset_index())
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    totals = grouped_map(partials, key_col, combine).to_pandas()
+
+    ref = ray.put(totals)
+
+    def join_back(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(ref)
+        return df.merge(t, on=key_col, how="left")
+
+    return ds.map_batches(join_back, batch_format="pandas")
+
+
+def normalise_column(ds, col: str, out_col: str | None = None):
+    """(x - min) / (max - min) over the whole dataset (util.R:169-175):
+    one global aggregate, then a stateless vectorized map."""
+    out_col = out_col or f"{col}_norm"
+    stats = ds.aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"))
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    rng = (hi - lo) if hi > lo else 1.0
+
+    def scale(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[out_col] = (df[col].astype(float) - lo) / rng
+        return df
+    return ds.map_batches(scale, batch_format="pandas")
+
+
+def uniformise_column(ds, col: str, out_col: str | None = None,
+                      maxdist: float = 0.2):
+    """Greedy canonicalization dictionary computed driver-side over the
+    DISTINCT values (small relative to rows), broadcast back as a map."""
+    out_col = out_col or f"{col}_uniform"
+    distinct = [v for v in ds.unique(col) if isinstance(v, str)]
+    # frequency-ordered greedy absorption needs counts: reuse the kernel on
+    # the distinct+count expansion? The kernel orders by frequency; feed it
+    # the actual value multiset compressed as (value, count).
+    counts = (ds.groupby(col).count().to_pandas())
+    cnt_col = [c for c in counts.columns if c != col][0]
+    expanded = np.repeat(counts[col].to_numpy(dtype=object),
+                         np.minimum(counts[cnt_col].to_numpy(), 1000))
+    canon = uniformise_string(expanded, maxdist=maxdist)
+    mapping = dict(zip(expanded.tolist(), canon.tolist()))
+    ref = ray.put(mapping)
+
+    def apply_map(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        df = df.copy()
+        df[out_col] = df[col].map(lambda s: m.get(s, s)
+                                  if isinstance(s, str) else None)
+        return df
+    return ds.map_batches(apply_map, batch_format="pandas")
+
+
+def add_group_uniqueness(ds, group_col: str, str_col: str,
+                         out_col: str | None = None, p: float = 0.0,
+                         max_group: int = 2000):
+    """Per-group mean JW distance to the other group members
+    (mfirst_uniqueness, traindata_graafreinet.R:112-116). O(g²) per group —
+    groups beyond ``max_group`` are subsampled deterministically (the
+    reference would just OOM)."""
+    out_col = out_col or f"{str_col}_uniqueness"
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g[str_col].to_numpy(dtype=object)
+        n = len(vals)
+        ref_vals = vals
+        if n > max_group:
+            idx = np.linspace(0, n - 1, max_group).astype(int)
+            ref_vals = vals[idx]
+        sims = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            s = jaro_winkler_sim(np.full(len(ref_vals), vals[i], dtype=object),
+                                 ref_vals, p=p)
+            s_self = 1.0 if len(ref_vals) == len(vals) else 0.0
+            tot = np.nansum(s) - (s_self if n > 1 else 0.0)
+            denom = max((len(ref_vals) - (1 if n > 1 else 0)), 1)
+            sims[i] = 1.0 - tot / denom
+        g = g.copy()
+        g[out_col] = sims
+        return g
+
+    return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")

@@ -19,8 +19,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-from ray.data.aggregate import Min
-
 from .textstats import fnv1a_64
 
 __all__ = [
@@ -60,8 +58,12 @@ def exact_dedup(ds, *, key_col: str, id_col: str):
     """Keep the min-id representative per exact key: hash-partition by key,
     per-group first (reference ``duplicated()`` semantics,
     data_raw/pretrained.R:134-137, made deterministic by min-id)."""
-    return (ds.groupby(key_col)
-            .aggregate(Min(id_col, alias_name=f"keep_{id_col}")))
+    from .grouped import grouped_map
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(key_col, sort=False)[id_col].min()
+                .rename(f"keep_{id_col}").reset_index())
+    return grouped_map(ds, key_col, agg)
 
 
 # ---------------------------------------------------------------------------
@@ -70,7 +72,7 @@ def exact_dedup(ds, *, key_col: str, id_col: str):
 
 def minhash_signatures(ds, *, text_col: str = "text", id_col: str = "doc_id",
                        num_perm: int = 64, shingle_k: int = 5,
-                       batch_size: int = 8 * 1024):
+                       batch_size: int | None = None):
     """+ ``minhash`` (fixed_size_list<uint64? -> int64>[num_perm]).
 
     Permutations are simulated with splitmix64 streams over shingle hashes
@@ -133,29 +135,41 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     exploded = sigged.map_batches(explode, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_from": [], "id_to": [],
-                                 "est_jaccard": []}).astype(
-                {"id_from": np.int64, "id_to": np.int64,
-                 "est_jaccard": np.float64})
-        ids = g[id_col].to_numpy()
-        sig = np.stack(g["minhash"].to_numpy())
-        n = len(ids)
-        fi, ti = np.triu_indices(n, k=1)
-        est = (sig[fi] == sig[ti]).mean(axis=1)
-        keep = est >= jaccard_threshold
-        a, b = ids[fi[keep]], ids[ti[keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"id_from": lo.astype(np.int64),
-                             "id_to": hi.astype(np.int64),
-                             "est_jaccard": est[keep]})
+    def bucket_pairs_partition(part: pd.DataFrame) -> pd.DataFrame:
+        """Coarse partition holding many complete buckets: singleton buckets
+        (the vast majority) are dropped with ONE vectorized filter; only
+        multi-member buckets pay the per-bucket pair loop."""
+        empty = pd.DataFrame({"id_from": pd.Series(dtype=np.int64),
+                              "id_to": pd.Series(dtype=np.int64),
+                              "est_jaccard": pd.Series(dtype=np.float64)})
+        if not len(part):
+            return empty
+        sizes = part.groupby("band_key", sort=False)["band_key"].transform("size")
+        part = part[sizes > 1]
+        if not len(part):
+            return empty
+        frames = [empty]
+        for _, g in part.groupby("band_key", sort=False):
+            ids = g[id_col].to_numpy()
+            sig = np.stack(g["minhash"].to_numpy())
+            fi, ti = np.triu_indices(len(ids), k=1)
+            est = (sig[fi] == sig[ti]).mean(axis=1)
+            keep = est >= jaccard_threshold
+            a, b = ids[fi[keep]], ids[ti[keep]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            frames.append(pd.DataFrame({"id_from": lo.astype(np.int64),
+                                        "id_to": hi.astype(np.int64),
+                                        "est_jaccard": est[keep]}))
+        return pd.concat(frames, ignore_index=True)
 
-    pairs = exploded.groupby("band_key").map_groups(bucket_pairs,
-                                                    batch_format="pandas")
+    from .grouped import grouped_map
+    pairs = grouped_map(exploded, "band_key", bucket_pairs_partition)
+
     # same pair can fire in several bands -> keep one row per pair
-    return (pairs.groupby(["id_from", "id_to"])
-            .aggregate(Min("est_jaccard", alias_name="est_jaccard")))
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["id_from", "id_to"], sort=False)["est_jaccard"]
+                .min().reset_index())
+    return grouped_map(pairs, ["id_from", "id_to"], dedup_pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -163,7 +177,7 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 def simhash_signatures(ds, *, text_col: str = "text",
-                       batch_size: int = 8 * 1024):
+                       batch_size: int | None = None):
     """+ ``simhash`` int64: 64-bit Charikar simhash over token hashes."""
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()

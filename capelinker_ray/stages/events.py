@@ -18,9 +18,14 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from ray.data.aggregate import Count, Max, Min, Sum
-
 __all__ = ["sessionize", "session_stats", "tumbling_window_agg"]
+
+
+def _ts_us(s: pd.Series) -> np.ndarray:
+    """Timestamp column -> int64 MICROseconds regardless of pandas unit
+    (parquet reads arrive as datetime64[us], hand-built frames as [ns])."""
+    return (pd.to_datetime(s).astype("datetime64[ns]").astype("int64")
+            .to_numpy() // 1000)
 
 
 def sessionize(ds, *, user_col: str = "user_id", ts_col: str = "ts",
@@ -28,36 +33,51 @@ def sessionize(ds, *, user_col: str = "user_id", ts_col: str = "ts",
     """+ ``session_idx`` (0-based per user) and ``session_id`` (user#idx)."""
     gap_us = np.int64(gap_minutes * 60e6)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="stable").copy()
-        ts = g[ts_col].astype("int64").to_numpy()
-        new = np.empty(len(g), dtype=bool)
-        new[0] = True
-        new[1:] = (ts[1:] - ts[:-1]) > gap_us
-        idx = np.cumsum(new) - 1
-        g["session_idx"] = idx.astype(np.int64)
-        g["session_id"] = (g[user_col].astype(str) + "#" +
-                           pd.Series(idx, index=g.index).astype(str))
-        return g
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        """Coarse partition of many complete users (stages/grouped.py):
+        one sort + fully vectorized gap/cumsum across all users."""
+        if not len(df):
+            df = df.copy()
+            df["session_idx"] = pd.Series(dtype=np.int64)
+            df["session_id"] = pd.Series(dtype=object)
+            return df
+        df = df.sort_values([user_col, ts_col], kind="stable").copy()
+        ts = _ts_us(df[ts_col])
+        users = df[user_col].to_numpy()
+        new = np.ones(len(df), dtype=bool)
+        new[1:] = (users[1:] != users[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        sess_global = np.cumsum(new)
+        first = (pd.Series(sess_global).groupby(users).transform("min")
+                 .to_numpy())
+        idx = sess_global - first
+        df["session_idx"] = idx.astype(np.int64)
+        df["session_id"] = (df[user_col].astype(str) + "#" +
+                            pd.Series(idx, index=df.index).astype(str))
+        return df
 
-    return ds.groupby(user_col).map_groups(per_user, batch_format="pandas")
+    from .grouped import grouped_map
+    return grouped_map(ds, user_col, per_partition)
 
 
 def session_stats(ds_sessionized, *, user_col: str = "user_id",
                   ts_col: str = "ts", value_col: str = "value"):
     """Per-session aggregates over a sessionized dataset."""
-    return (ds_sessionized.groupby("session_id").aggregate(
-        Count(alias_name="n_events"),
-        Min(ts_col, alias_name="ts_start"),
-        Max(ts_col, alias_name="ts_end"),
-        Sum(value_col, alias_name="value_sum"),
-    ))
+    from .grouped import grouped_map
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("session_id", sort=False)
+                .agg(n_events=(value_col, "size"),
+                     ts_start=(ts_col, "min"),
+                     ts_end=(ts_col, "max"),
+                     value_sum=(value_col, "sum"))
+                .reset_index())
+    return grouped_map(ds_sessionized, "session_id", agg)
 
 
 def tumbling_window_agg(ds, *, user_col: str = "user_id",
                         ts_col: str = "ts", value_col: str = "value",
                         window_minutes: float = 60.0,
-                        batch_size: int = 64 * 1024):
+                        batch_size: int | None = None):
     """Per (user, window) count/sum with in-batch partial aggregation:
     raw events never cross the shuffle — only one partial row per
     (user, window) per batch does (SURVEY §4 'pre-aggregate before
@@ -65,7 +85,7 @@ def tumbling_window_agg(ds, *, user_col: str = "user_id",
     win_us = np.int64(window_minutes * 60e6)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        w = (df[ts_col].astype("int64") // win_us).astype(np.int64)
+        w = (_ts_us(df[ts_col]) // win_us).astype(np.int64)
         out = (df.assign(window=w)
                .groupby([user_col, "window"], sort=False)
                .agg(n_events=(value_col, "size"),
@@ -75,7 +95,12 @@ def tumbling_window_agg(ds, *, user_col: str = "user_id",
 
     partials = ds.map_batches(partial, batch_format="pandas",
                               batch_size=batch_size)
-    return (partials.groupby([user_col, "window"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("value_sum", alias_name="value_sum"),
-    ))
+
+    from .grouped import grouped_map
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([user_col, "window"], sort=False)
+                .agg(n_events=("n_events", "sum"),
+                     value_sum=("value_sum", "sum"))
+                .reset_index())
+    return grouped_map(partials, [user_col, "window"], combine)

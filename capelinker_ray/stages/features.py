@@ -77,7 +77,7 @@ def _distcalc_batch(t: pa.Table, character_variables, numeric_variables,
 
 def distcalc(ds_pairs, character_variables=(), numeric_variables=(),
              osa_variables=(), gauss_variables=None, p_jw: float = 0.1,
-             sdx: bool = True, batch_size: int = 32 * 1024):
+             sdx: bool = True, batch_size: int | None = None):
     """Dataset[pairs] -> same + feature columns (distances.R:23-45 parity)."""
     return ds_pairs.map_batches(
         lambda t: _distcalc_batch(t, character_variables, numeric_variables,
@@ -125,11 +125,16 @@ def _pair_features_batch(t: pa.Table, ts_sigma_days: float) -> pa.Table:
     ts_f = _num(t, "ts_min_from") / 86_400e6  # days
     ts_t = _num(t, "ts_min_to") / 86_400e6
 
+    # JW/OSA are O(len²) per pair — cap the compared prefix at 32 normalized
+    # chars (2× the 16-char blocking prefix; near-dup signal saturates long
+    # before that, and uncapped multi-hundred-char turns would dominate the
+    # whole pipeline's wall time). Identical strings short-circuit the DP
+    # entirely (strdist._core_with_eq_fastpath).
     cols = {
-        "first_textdist": 1.0 - jaro_winkler_sim(ff, ft, p=0.1),
-        "first_textdist_osa": 1.0 - osa_sim(ff, ft, max_len=64),
+        "first_textdist": 1.0 - jaro_winkler_sim(ff, ft, p=0.1, max_len=32),
+        "first_textdist_osa": 1.0 - osa_sim(ff, ft, max_len=32),
         "first_textsdx": soundex_dist(ff, ft),
-        "second_textdist": 1.0 - jaro_winkler_sim(sf, st, p=0.1),
+        "second_textdist": 1.0 - jaro_winkler_sim(sf, st, p=0.1, max_len=32),
         "initialsdist_osa": 1.0 - osa_sim(inf, int_, max_len=32),
         "tool_jacc": mask_jaccard(mask_f, mask_t),
         "role_sig_eq": role_eq,
@@ -146,7 +151,7 @@ def _pair_features_batch(t: pa.Table, ts_sigma_days: float) -> pa.Table:
 
 
 def add_pair_features(ds_pairs, ts_sigma_days: float = 30.0,
-                      batch_size: int = 16 * 1024):
+                      batch_size: int | None = None):
     """Conv-record pair table -> + TRANSCRIPT_FEATURES columns.
 
     ``matches`` (candidates per from-record) is already emitted by the

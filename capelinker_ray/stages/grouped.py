@@ -1,0 +1,77 @@
+"""Coarse hash-partitioned grouping — the engine's high-cardinality groupby.
+
+``Dataset.groupby(key).map_groups(fn)`` invokes ``fn`` once per DISTINCT
+KEY, paying Ray's per-group block-slice + UDF-call + block-build overhead
+(~1-3 ms). At 10^5-10^6 distinct keys that overhead alone is minutes —
+regardless of data size. ``grouped_map`` instead hash-buckets keys into
+``num_partitions`` COARSE groups (one Ray group each) and hands ``fn`` a
+frame holding MANY complete key-groups, which it processes with one
+vectorized pandas groupby. Same co-partitioning guarantee (every row of a
+key lands in exactly one call), ~key-count/num_partitions fewer UDF calls.
+
+All high-cardinality engine ops route through this: hash_join's per-key
+merge, rank selection, LSH bucket pairing, blocking pair generation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["grouped_map", "key_hash"]
+
+_PART = "__gpart"
+
+
+def key_hash(df: pd.DataFrame, keys: list[str]) -> np.ndarray:
+    """Deterministic (cross-process) uint64 hash of the key tuple."""
+    h = pd.util.hash_pandas_object(df[keys[0]], index=False).to_numpy()
+    for k in keys[1:]:
+        h2 = pd.util.hash_pandas_object(df[k], index=False).to_numpy()
+        h = (h * np.uint64(0x9E3779B97F4A7C15)) ^ h2
+    return h
+
+
+def default_partitions() -> int:
+    """2× cluster CPUs (bounded): scales reduce width with the session."""
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(8, min(2 * cpus, 512))
+
+
+def grouped_map(ds, keys: str | list[str], fn, *,
+                num_partitions: int | None = None,
+                batch_format: str = "pandas"):
+    """Apply ``fn(frame)`` to coarse hash partitions of complete key-groups.
+
+    ``fn`` receives a pandas DataFrame containing every row of each key in
+    its partition (the ``_PART`` helper column already stripped) and must
+    handle multiple keys — typically via one vectorized
+    ``frame.groupby(keys)``. Returns the concatenated Dataset.
+    ``num_partitions`` defaults to 2× cluster CPUs.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if num_partitions is None:
+        num_partitions = default_partitions()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[_PART] = (key_hash(df, keys) % np.uint64(num_partitions)).astype(
+            np.int64)
+        return df
+
+    def run(g: pd.DataFrame) -> object:
+        return fn(g.drop(columns=[_PART]))
+
+    parted = ds.map_batches(add_part, batch_format="pandas")
+    # reduce-task parallelism for the sort shuffle tracks the INPUT block
+    # count: a single-block input (one small parquet file) would funnel all
+    # num_partitions coarse groups through ONE sequential reduce task.
+    # Repartitioning pins reduce width to num_partitions regardless of how
+    # the input was laid out (at cluster scale pass num_partitions ≈ 2-4×
+    # total cores).
+    parted = parted.repartition(num_partitions)
+    return parted.groupby(_PART).map_groups(run, batch_format=batch_format)

@@ -35,7 +35,8 @@ def _arrow_types(ds) -> dict[str, pa.DataType]:
 
 
 def hash_join(left, right, *, on: str | list[str], right_on=None,
-              how: str = "inner", suffixes=("", "_r")):
+              how: str = "inner", suffixes=("", "_r"),
+              num_partitions: int | None = None):
     """Equi-join two Datasets. ``how`` in inner/left.
 
     Right-side key columns are renamed onto the left names before the
@@ -108,26 +109,20 @@ def hash_join(left, right, *, on: str | list[str], right_on=None,
     out_cols = on + lvals + [out_rvals[c] for c in rvals]
     out_schema = pa.schema([(k, dict(out_fields)[k]) for k in out_cols])
 
-    def join_group(g: pd.DataFrame) -> pa.Table:
-        l = g[g[_SIDE] == 0]
-        r = g[g[_SIDE] == 1]
-        nl, nr = len(l), len(r)
-        if nl == 0 or (nr == 0 and how == "inner"):
-            out = g.iloc[0:0][out_cols]
-        elif nr == 0:
-            out = l[out_cols]
-        else:
-            li = np.repeat(np.arange(nl), nr)
-            ri = np.tile(np.arange(nr), nl)
-            out = l.iloc[li][on + lvals].reset_index(drop=True)
-            rv = r.iloc[ri][[out_rvals[c] for c in rvals]].reset_index(drop=True)
-            for c in rvals:
-                out[out_rvals[c]] = rv[out_rvals[c]]
-            out = out[out_cols]
-        # pin the arrow schema: all-null groups must not degrade to null type
-        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+    def join_partition(g: pd.DataFrame) -> pa.Table:
+        """One COARSE hash partition (many complete key-groups): a single
+        vectorized pandas merge joins every key at once — no per-key UDF
+        calls (stages/grouped.py rationale)."""
+        l = g[g[_SIDE] == 0][on + lvals]
+        r = g[g[_SIDE] == 1][on + [out_rvals[c] for c in rvals]]
+        out = l.merge(r, on=on, how=how)
+        # pin the arrow schema: all-null partitions must not degrade types
+        return pa.Table.from_pandas(out[out_cols], schema=out_schema,
+                                    preserve_index=False)
 
-    joined = tagged.groupby(on).map_groups(join_group, batch_format="pandas")
+    from .grouped import grouped_map
+    joined = grouped_map(tagged, on, join_partition,
+                         num_partitions=num_partitions)
 
     if how == "left":
         # null-keyed left rows bypassed the shuffle: re-emit them with null

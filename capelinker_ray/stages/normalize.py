@@ -46,7 +46,7 @@ def _normalize_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("text_norm", normalize_expr(batch["text"]))
 
 
-def normalize_turns(ds, batch_size: int = 64 * 1024):
+def normalize_turns(ds, batch_size: int | None = None):
     """Dataset[transcript turns] -> same + ``text_norm`` column."""
     return ds.map_batches(_normalize_batch, batch_format="pyarrow",
                           batch_size=batch_size)

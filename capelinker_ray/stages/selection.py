@@ -31,19 +31,23 @@ __all__ = ["select_links"]
 
 def _rank_fn(group_col: str, pred_col: str, out_col: str, tie_break: str,
              other_id: str):
+    """Vectorized grouped rank over a COARSE partition holding many
+    complete id-groups (stages/grouped.py)."""
     def add_rank(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
         if tie_break == "average":
             # R parity: rank(-pred) with average ties (pred.R:47-48) — a
             # tied best pair ranks 1.5 on both rows and is dropped
-            g[out_col] = g[pred_col].rank(ascending=False, method="average")
+            g[out_col] = (g.groupby(group_col, sort=False)[pred_col]
+                          .rank(ascending=False, method="average"))
         else:
             # deterministic: ties broken by the other-side id, so piecewise-
             # constant tree scores (exact ties are COMMON for near-identical
             # pairs) still select exactly one pair per group
-            g = g.sort_values([pred_col, other_id], ascending=[False, True],
-                              kind="stable")
-            g[out_col] = np.arange(1, len(g) + 1, dtype=np.float64)
+            g = g.sort_values([group_col, pred_col, other_id],
+                              ascending=[True, False, True], kind="stable")
+            g[out_col] = (g.groupby(group_col, sort=False).cumcount()
+                          .to_numpy() + 1.0)
         return g
     return add_rank
 
@@ -84,13 +88,14 @@ def select_links(ds_scored, *, id_from: str = "conv_id_from",
             return df[df[pred_col] > minimum_confidence]
         return ds.map_batches(thr, batch_format="pandas")
 
-    ds = ds.groupby(id_from).map_groups(
-        _rank_fn(id_from, pred_col, "rank_from", tie_break, id_to),
-        batch_format="pandas")
+    from .grouped import grouped_map
+    ds = grouped_map(ds, id_from,
+                     _rank_fn(id_from, pred_col, "rank_from", tie_break,
+                              id_to))
     if linktype == "one:one":
-        ds = ds.groupby(id_to).map_groups(
-            _rank_fn(id_to, pred_col, "rank_to", tie_break, id_from),
-            batch_format="pandas")
+        ds = grouped_map(ds, id_to,
+                         _rank_fn(id_to, pred_col, "rank_to", tie_break,
+                                  id_from))
 
     def final_filter(df: pd.DataFrame) -> pd.DataFrame:
         m = (df["rank_from"] == 1.0) & (df[pred_col] > minimum_confidence)

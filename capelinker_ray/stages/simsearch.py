@@ -34,7 +34,7 @@ def _norm_rows(M: np.ndarray) -> np.ndarray:
 def brute_force_topk(ds, queries: np.ndarray, *, k: int = 5,
                      vec_col: str = "embedding", id_col: str = "vec_id",
                      query_ids: np.ndarray | None = None,
-                     batch_size: int = 16 * 1024):
+                     batch_size: int | None = None):
     """Dataset[(id, vec)] × (q, d) queries -> Dataset[(query_id, vec_id,
     cosine, rank)] with exactly k rows per query (global top-k)."""
     Q = _norm_rows(np.asarray(queries, np.float64))
@@ -71,7 +71,7 @@ def brute_force_topk(ds, queries: np.ndarray, *, k: int = 5,
 def ivf_topk(ds, queries: np.ndarray, *, k: int = 5, n_centroids: int = 16,
              n_probe: int = 4, vec_col: str = "embedding",
              id_col: str = "vec_id", sample_size: int = 2048, seed: int = 7,
-             batch_size: int = 16 * 1024):
+             batch_size: int | None = None):
     """IVF-style ANN: probe only the n_probe nearest centroid lists."""
     # centroids from a driver-side sample (k-means++ style seeding, 5 Lloyd
     # iterations — small, seeded, deterministic)

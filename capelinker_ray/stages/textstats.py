@@ -38,7 +38,7 @@ _STOPWORDS = {
 }
 
 
-def add_token_counts(ds, text_col: str = "text", batch_size: int = 32 * 1024):
+def add_token_counts(ds, text_col: str = "text", batch_size: int | None = None):
     """+ ``n_ws_tokens`` (whitespace) and ``n_bpe_tokens`` (regex pieces)."""
     def fn(t: pa.Table) -> pa.Table:
         ws = pc.list_value_length(pc.split_pattern_regex(
@@ -57,7 +57,7 @@ def add_token_counts(ds, text_col: str = "text", batch_size: int = 32 * 1024):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
-def add_quality_score(ds, text_col: str = "text", batch_size: int = 32 * 1024):
+def add_quality_score(ds, text_col: str = "text", batch_size: int | None = None):
     """+ quality components and a composite ``quality`` in [0,1].
 
     Components: mean word length sanity, stopword ratio, alpha ratio,
@@ -101,7 +101,7 @@ _LANG_PROFILES = {
 }
 
 
-def add_lang_id(ds, text_col: str = "text", batch_size: int = 32 * 1024):
+def add_lang_id(ds, text_col: str = "text", batch_size: int | None = None):
     """+ ``lang_pred``: argmax trigram-profile hit rate ('und' if no signal)."""
     profiles = {k: set(v) for k, v in _LANG_PROFILES.items()}
 
@@ -144,7 +144,7 @@ def fnv1a_64(strings) -> np.ndarray:
     return h
 
 
-def add_fingerprint(ds, text_col: str = "text", batch_size: int = 32 * 1024):
+def add_fingerprint(ds, text_col: str = "text", batch_size: int | None = None):
     """+ ``fingerprint``: int64 FNV-1a hash of whitespace-normalized text —
     the exact-dedup / shard-lineage key (deterministic, content-addressed)."""
     def fn(df: pd.DataFrame) -> pd.DataFrame:

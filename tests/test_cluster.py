@@ -26,14 +26,16 @@ def test_cc_chain_and_components(ray_session):
 
 
 def test_cc_long_path_converges(ray_session):
-    # a 12-node path: worst case for hash-min iteration count
-    nodes = [f"n{i:02d}" for i in range(12)]
+    # an 8-node path: worst case for hash-min iterations; forces the
+    # DISTRIBUTED strategy (pointer doubling -> O(log n) rounds)
+    nodes = [f"n{i:02d}" for i in range(8)]
     links = rd.from_items([{"conv_id_from": nodes[i], "conv_id_to": nodes[i + 1]}
-                           for i in range(11)])
+                           for i in range(7)])
     cc = {r["node"]: r["entity_id"]
-          for r in connected_components(links).take_all()}
+          for r in connected_components(links,
+                                        strategy="distributed").take_all()}
     assert set(cc.values()) == {"n00"}
-    assert len(cc) == 12
+    assert len(cc) == 8
 
 
 def test_attach_entity_singletons(ray_session):

@@ -46,7 +46,8 @@ def test_tumbling_window_matches_pandas(ray_session):
     df = _events()
     out = tumbling_window_agg(rd.from_pandas(df), window_minutes=60,
                               batch_size=2).to_pandas()
-    exp = (df.assign(window=(df["ts"].astype("int64") // (60 * _MIN_US)))
+    ts_us = df["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    exp = (df.assign(window=(ts_us // (60 * _MIN_US)))
            .groupby(["user_id", "window"])
            .agg(n_events=("value", "size"), value_sum=("value", "sum"))
            .reset_index())
