@@ -73,7 +73,7 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
 
 
 SCALING_DIR = os.environ.get("GRAFT_SCALING_DIR", "/tmp/capelinker_scaling")
-SCALING_ENTITIES = int(os.environ.get("GRAFT_SCALING_ENTITIES", "100000"))
+SCALING_ENTITIES = int(os.environ.get("GRAFT_SCALING_ENTITIES", "400000"))
 
 
 def ensure_scaling_corpus() -> str:

@@ -186,8 +186,14 @@ def _core_with_eq_fastpath(core, A, la, B, lb, equal_value, *args):
     out = np.full(n, float(equal_value))
     ne = ~eq
     if ne.any():
-        out[ne] = core(np.ascontiguousarray(A[ne]), la[ne],
-                       np.ascontiguousarray(B[ne]), lb[ne], *args)
+        An = np.ascontiguousarray(A[ne])
+        Bn = np.ascontiguousarray(B[ne])
+        # ASCII fast path: the DP inner loops are memory-bound; uint8
+        # codepoints quarter the traffic (uint32 kept for general unicode)
+        if ((An.max(initial=0) < 256) and (Bn.max(initial=0) < 256)):
+            An = An.astype(np.uint8)
+            Bn = Bn.astype(np.uint8)
+        out[ne] = core(An, la[ne], Bn, lb[ne], *args)
     return out
 
 

@@ -37,7 +37,7 @@ __all__ = ["link_transcripts", "PAIR_ATTR_COLS"]
 # conv-record attributes the pair stage actually needs (wide rows never
 # carry unused columns through the blocking shuffle)
 PAIR_ATTR_COLS = [
-    "first_text_norm", "second_text_norm", "first_text_initials",
+    "first_text_32", "second_text_32", "first_text_initials",
     "role_sig", "tool_mask", "n_turns", "text_chars", "ts_min", "epoch",
 ]
 
@@ -73,14 +73,19 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
         lambda: build_conv_records(normalize_turns(ds_turns)),
         inputs=("turns",))
 
-    pairs = ck.stage(
-        "candidate_pairs",
-        lambda: add_pair_features(candidates(
+    def build_pairs():
+        from ..stages.grouped import default_partitions
+        cand = candidates(
             records, None, block_col="block_key", id_col="conv_id",
             blocktype=blocktype, maxdist=maxdist,
             attr_cols=PAIR_ATTR_COLS, max_block_pairs=max_block_pairs,
-            keep_unmatched=False)),
-        inputs=("conv_records",))
+            keep_unmatched=False)
+        # pair blocks inherit the (salted) block layout — a hot shard can
+        # hold ~max_block_pairs rows whose O(len²) feature DP would make one
+        # straggler task gate the stage; rebalance into small even blocks
+        return add_pair_features(cand.repartition(4 * default_partitions()))
+
+    pairs = ck.stage("candidate_pairs", build_pairs, inputs=("conv_records",))
 
     if scorer_concurrency is None:
         # actor pool sized to the session — a fixed small pool throttles
@@ -118,10 +123,15 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
         inputs=("conv_records", "components"))
 
     def build_turns_out():
-        out = hash_join(
-            ds_turns,
-            entities.select_columns(["conv_id", "entity_id"]),
-            on="conv_id", how="left")
+        ent_map = entities.select_columns(["conv_id", "entity_id"])
+        if entities.count() <= 5_000_000:
+            # conv->entity map is small relative to the turn table:
+            # broadcast once instead of shuffling every turn row twice
+            from ..stages.join import broadcast_join
+            out = broadcast_join(ds_turns, ent_map.to_pandas(),
+                                 on="conv_id", how="left")
+        else:
+            out = hash_join(ds_turns, ent_map, on="conv_id", how="left")
         # the per-turn text-equality invariant is checked under stable
         # (conv_id, turn_idx) order (BASELINE.json input_hint)
         return out.sort(["conv_id", "turn_idx"]) if sort_output else out

@@ -428,6 +428,103 @@ def sql_lineitem_agg(sf_dir: str) -> str:
 FROM lineitem GROUP BY l_returnflag, l_linestatus"""
 
 
+def q_group_count(sf_dir: str):
+    """namefreq analog (SURVEY §2.5): per-key count joined back broadcast."""
+    from ..stages.corpus_stats import add_group_count
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    out = add_group_count(docs, "lang", "lang_freq")
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["lang_freq"] = df["lang_freq"].astype(np.int64)
+        return df
+    return out.map_batches(cast, batch_format="pandas")
+
+
+def sql_group_count(sf_dir: str) -> str:
+    return ("SELECT doc_id, lang, "
+            "CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS lang_freq "
+            "FROM documents")
+
+
+def q_normalise_column(sf_dir: str):
+    """min-max normalise (util.R:169-175) over lineitem quantity."""
+    from ..stages.corpus_stats import normalise_column
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    out = normalise_column(li, "l_quantity", "q_norm")
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["q_norm"] = df["q_norm"].round(6)
+        return df
+    return out.map_batches(rnd, batch_format="pandas")
+
+
+def sql_normalise_column(sf_dir: str) -> str:
+    return """SELECT l_orderkey, l_linenumber, l_quantity,
+  round((l_quantity - min(l_quantity) OVER ()) /
+        (max(l_quantity) OVER () - min(l_quantity) OVER ()), 6) AS q_norm
+FROM lineitem"""
+
+
+_BAND_SIGMA = 100.0
+_BAND_MAXDIST = 0.3
+
+
+def q_numeric_band(sf_dir: str):
+    """numeric blocktype (candidates.R:74-81) as a band join on supplier
+    account balance: keep pairs with gk similarity > 1-maxdist."""
+    from ..stages.blocking import numeric_candidates
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_acctbal"])
+    out = numeric_candidates(sup, sup, value_col="s_acctbal",
+                             id_col="s_suppkey", sigma=_BAND_SIGMA,
+                             maxdist=_BAND_MAXDIST, attr_cols=["s_acctbal"])
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["score"].notna()]
+        out = pd.DataFrame({
+            "s_suppkey_from": df["s_suppkey_from"].astype(np.int64),
+            "s_suppkey_to": df["s_suppkey_to"].astype(np.int64),
+            "gk_sim": df["score"].round(6),
+        })
+        return out
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_numeric_band(sf_dir: str) -> str:
+    return f"""SELECT a.s_suppkey AS s_suppkey_from,
+       b.s_suppkey AS s_suppkey_to,
+       round(exp(-abs(a.s_acctbal - b.s_acctbal) / ({_BAND_SIGMA} * {_BAND_SIGMA})), 6) AS gk_sim
+FROM supplier a CROSS JOIN supplier b
+WHERE exp(-abs(a.s_acctbal - b.s_acctbal) / ({_BAND_SIGMA} * {_BAND_SIGMA})) > {1 - _BAND_MAXDIST}"""
+
+
+def q_embedding_dup(sf_dir: str):
+    """embedding-cosine near-dup pairs (exact single-block oracle mode)."""
+    from ..stages.dedup import embedding_dup_pairs
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    out = embedding_dup_pairs(emb, threshold=0.4, exact_block=True)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "id_from": df["id_from"].astype(np.int64),
+            "id_to": df["id_to"].astype(np.int64),
+            "cosine": df["cosine"].round(4),
+        })
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_embedding_dup(sf_dir: str) -> str:
+    return """SELECT a.vec_id AS id_from, b.vec_id AS id_to,
+       round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"""
+
+
 # --- rows-only queries (non-SQL-expressible: models, sketches, stubs) ------
 
 def q_flagship_entities(sf_dir: str):
@@ -483,6 +580,10 @@ def build_queries() -> dict:
         "events_sessionize": q_events_sessionize,
         "ann_topk": q_ann_topk,
         "lineitem_agg": q_lineitem_agg,
+        "group_count": q_group_count,
+        "normalise_column": q_normalise_column,
+        "numeric_band": q_numeric_band,
+        "embedding_dup": q_embedding_dup,
         # rows-only (no SQL oracle): model scoring / sketches / stubs
         "flagship_entities": q_flagship_entities,
         "minhash_dedup": q_minhash_dedup,
@@ -507,4 +608,8 @@ def build_oracle_sql() -> dict:
         "events_sessionize": sql_events_sessionize(_ORACLE_SF_DIR),
         "ann_topk": sql_ann_topk(_ORACLE_SF_DIR),
         "lineitem_agg": sql_lineitem_agg(_ORACLE_SF_DIR),
+        "group_count": sql_group_count(_ORACLE_SF_DIR),
+        "normalise_column": sql_normalise_column(_ORACLE_SF_DIR),
+        "numeric_band": sql_numeric_band(_ORACLE_SF_DIR),
+        "embedding_dup": sql_embedding_dup(_ORACLE_SF_DIR),
     }

@@ -94,6 +94,28 @@ def _hot_keys(tagged, block_col: str, cap: int) -> dict[str, int]:
     }
 
 
+def _self_link_hot_keys(ds, block_col: str, cap: int) -> dict[str, int]:
+    """Self-link variant: pair count per block = n², so hot blocks fall out
+    of a single partial-count pass + tiny combine over the records."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(block_col, sort=False).size().rename("n")
+                .reset_index())
+
+    from .grouped import grouped_map
+
+    def combine_and_filter(df: pd.DataFrame) -> pd.DataFrame:
+        tot = (df.groupby(block_col, sort=False)["n"].sum().reset_index())
+        n = tot["n"].to_numpy(np.float64)
+        return tot[n * n > cap]
+
+    stats = ds.map_batches(partial, batch_format="pandas")
+    hot = grouped_map(stats, block_col, combine_and_filter).to_pandas()
+    if len(hot) == 0 or block_col not in hot.columns:
+        return {}
+    return {k: int(math.ceil((n * n) / cap))
+            for k, n in zip(hot[block_col], hot["n"]) if n > 1}
+
+
 def _salt_fn(block_col: str, id_col: str, hot: dict[str, int]):
     hot_ref = ray.put(hot)  # broadcast once, read per task
 
@@ -323,14 +345,15 @@ def candidates(ds_from, ds_to=None, *, block_col: str = "block_key",
             sides = pa.array(np.concatenate([np.full(n, "F"), np.full(n, "T")]),
                              pa.string())
             return pa.concat_tables([t, t]).append_column("_side", sides)
+        ds_from = ds_from.materialize()  # scanned by hot-key pass + tagging
         tagged = ds_from.map_batches(tag_both, batch_format="pyarrow")
+        # self-link: nf == nt == block size, so hot keys come from ONE cheap
+        # count over the records themselves — no tagged materialization
+        hot = _self_link_hot_keys(ds_from, block_col, max_block_pairs)
     else:
-        tagged = _tag_side(ds_from, "F").union(_tag_side(ds_to, "T"))
-
-    # the tagged table is scanned twice (hot-key detection, then salting) —
-    # pin it once so the upstream chain doesn't re-execute per scan
-    tagged = tagged.materialize()
-    hot = _hot_keys(tagged, block_col, max_block_pairs)
+        tagged = (_tag_side(ds_from, "F").union(_tag_side(ds_to, "T"))
+                  .materialize())
+        hot = _hot_keys(tagged, block_col, max_block_pairs)
     salted = tagged.map_batches(_salt_fn(block_col, id_col, hot),
                                 batch_format="pandas")
 

@@ -184,10 +184,28 @@ def connected_components(ds_links, *, id_from: str = "conv_id_from",
     return labels.rename_columns({"label": "entity_id"})
 
 
-def attach_entity_ids(ds_records, ds_components, *, id_col: str = "conv_id"):
+def attach_entity_ids(ds_records, ds_components, *, id_col: str = "conv_id",
+                      broadcast_threshold: int = 5_000_000):
     """Left-join entity ids back onto records; unlinked records become their
     own singleton entity (entity_id = own id), mirroring the reference's
-    'every record keeps an index' contract (util.R:17-21)."""
+    'every record keeps an index' contract (util.R:17-21).
+
+    The component map holds one row per LINKED record — usually tiny
+    relative to the corpus — so it is broadcast (``ray.put`` once, pandas
+    merge per batch, NO shuffle) below ``broadcast_threshold`` rows; the
+    shuffle hash_join is the fallback for genuinely huge link graphs."""
+    if ds_components.count() <= broadcast_threshold:
+        comp = ds_components.to_pandas().rename(columns={"node": id_col})
+        from .join import broadcast_join
+        joined = broadcast_join(ds_records, comp, on=id_col, how="left")
+
+        def fill_pd(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["entity_id"] = df["entity_id"].where(
+                df["entity_id"].notna(), df[id_col].astype(str))
+            return df
+        return joined.map_batches(fill_pd, batch_format="pandas")
+
     joined = hash_join(ds_records, ds_components, on=id_col, right_on="node",
                        how="left")
 

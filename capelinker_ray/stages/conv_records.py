@@ -40,6 +40,10 @@ RECORD_FIELDS = [
     "tool_mask", "tool_sig", "n_turns", "text_chars",
     "ts_min", "ts_max", "epoch", "block_key",
     "first_text_prefix", "first_text_initials",
+    # 32-char feature prefixes: the PAIR table carries these instead of the
+    # full turn texts (the feature kernels cap at 32 chars anyway, and full
+    # texts would multiply the shuffled/materialized pair bytes ~5-10x)
+    "first_text_32", "second_text_32",
 ]
 
 _DAY_US = 86_400_000_000
@@ -122,6 +126,8 @@ def _finalize_fn(vocab: dict[str, int], prefix_len: int):
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         ft = df["first_text_norm"].fillna("")
+        df["first_text_32"] = df["first_text_norm"].str.slice(0, 32)
+        df["second_text_32"] = df["second_text_norm"].str.slice(0, 32)
         df["first_text_prefix"] = ft.str.slice(0, prefix_len)
         df["first_text_initials"] = _initials(ft.to_numpy(dtype=object))
         df["role_sig"] = (df["role0"].fillna("") + ">" + df["role1"].fillna(""))

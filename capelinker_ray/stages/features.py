@@ -107,8 +107,18 @@ TRANSCRIPT_FEATURES = [
 
 
 def _pair_features_batch(t: pa.Table, ts_sigma_days: float) -> pa.Table:
-    ff, ft = _obj(t, "first_text_norm_from"), _obj(t, "first_text_norm_to")
-    sf, st = _obj(t, "second_text_norm_from"), _obj(t, "second_text_norm_to")
+    # prefer the 32-char prefix columns (what pipelines ship through the
+    # pair table); fall back to the full normalized texts for pair tables
+    # built with custom attr_cols — values are identical either way because
+    # the kernels cap at max_len=32
+    def txt(base: str, side: str):
+        for c in (f"{base}_32_{side}", f"{base}_norm_{side}"):
+            if c in t.column_names:
+                return _obj(t, c)
+        return np.full(len(t), None, dtype=object)
+
+    ff, ft = txt("first_text", "from"), txt("first_text", "to")
+    sf, st = txt("second_text", "from"), txt("second_text", "to")
     inf, int_ = _obj(t, "first_text_initials_from"), _obj(t, "first_text_initials_to")
     rf, rt = _obj(t, "role_sig_from"), _obj(t, "role_sig_to")
 
