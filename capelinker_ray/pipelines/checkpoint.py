@@ -23,13 +23,35 @@ of loss is one stage, not the pipeline.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import shutil
 import time
 
 import ray.data as rd
 
 __all__ = ["CheckpointManager"]
+
+
+def _write_empty(path: str, ds) -> None:
+    """Persist a zero-row parquet file carrying the dataset's schema."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    sch = ds.schema(fetch_if_missing=True)
+    cols = {}
+    for n, t in zip(sch.names if sch else [], sch.types if sch else []):
+        if not isinstance(t, pa.DataType):
+            try:
+                t = (pa.string() if t == np.dtype(object)
+                     else pa.from_numpy_dtype(t))
+            except Exception:
+                t = pa.string()
+        cols[n] = pa.array([], t)
+    pq.write_table(pa.table(cols), os.path.join(path, "empty_0.parquet"))
 
 
 class CheckpointManager:
@@ -40,6 +62,9 @@ class CheckpointManager:
             os.makedirs(root, exist_ok=True)
         self._ordinal = 0
         self.records: list[dict] = []
+        # stage -> effective param hash (own params + upstream hashes), so a
+        # changed parameter invalidates the stage AND everything downstream
+        self._hashes: dict[str, str] = {}
 
     def _marker(self, stage: str) -> str:
         return os.path.join(self.root, stage, "_SUCCESS.json")
@@ -47,11 +72,27 @@ class CheckpointManager:
     def done(self, stage: str) -> bool:
         return bool(self.root) and os.path.exists(self._marker(stage))
 
+    def _effective_hash(self, name: str, params: dict | None,
+                        inputs: tuple[str, ...]) -> str:
+        payload = {
+            "stage": name,
+            "params": params or {},
+            "inputs": {i: self._hashes.get(i, "") for i in inputs},
+        }
+        blob = json.dumps(payload, sort_keys=True, default=repr)
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
     def stage(self, name: str, build, *, inputs: tuple[str, ...] = (),
-              stream: bool = False):
+              params: dict | None = None, stream: bool = False):
         """Run ``build() -> Dataset`` under checkpoint ``name``.
 
-        On resume the parquet checkpoint is read instead of recomputing.
+        On resume the parquet checkpoint is read instead of recomputing —
+        but ONLY if the stage's ``params`` hash (chained through its
+        upstream stages' hashes) matches the one recorded in
+        ``_SUCCESS.json``: rerunning with a different model / threshold /
+        blocktype against the same checkpoint_dir recomputes from the first
+        divergent stage instead of silently serving stale results.
+
         Without a root, non-``stream`` stages are pinned with
         ``materialize()`` — downstream consumers fan out from the object
         store instead of re-executing the whole upstream chain per consumer
@@ -60,21 +101,36 @@ class CheckpointManager:
         exactly one consumer drives.
         """
         self._ordinal += 1
+        h = self._effective_hash(name, params, inputs)
+        self._hashes[name] = h
         if not self.root:
             ds = build()
             return ds if stream else ds.materialize()
         path = os.path.join(self.root, name)
         if self.done(name):
-            return rd.read_parquet(path)
+            with open(self._marker(name)) as f:
+                rec = json.load(f)
+            if rec.get("param_hash", h) == h:
+                return rd.read_parquet(path)
+            # parameter / upstream change: fall through and recompute
+        if os.path.isdir(path):
+            # clear stale or partial output — never mix files of two runs
+            shutil.rmtree(path)
         t0 = time.monotonic()
         ds = build()
         # write_parquet drives the streaming execution; one file per block
         ds.write_parquet(path)
+        if not os.path.isdir(path) or not any(
+                f.endswith(".parquet") for f in os.listdir(path)):
+            # zero-row result: write_parquet emits no files — persist an
+            # empty schema-typed file so resume still round-trips
+            _write_empty(path, ds)
         out = rd.read_parquet(path)
         rec = {
             "stage": name,
             "ordinal": self._ordinal,
             "inputs": list(inputs),
+            "param_hash": h,
             "rows": out.count(),
             "files": len([f for f in os.listdir(path)
                           if f.endswith(".parquet")]),

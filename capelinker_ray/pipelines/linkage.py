@@ -73,6 +73,10 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
         lambda: build_conv_records(normalize_turns(ds_turns)),
         inputs=("turns",))
 
+    pair_params = {"blocktype": blocktype, "maxdist": maxdist,
+                   "max_block_pairs": max_block_pairs,
+                   "attr_cols": PAIR_ATTR_COLS}
+
     def build_pairs():
         from ..stages.grouped import default_partitions
         cand = candidates(
@@ -85,7 +89,8 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
         # straggler task gate the stage; rebalance into small even blocks
         return add_pair_features(cand.repartition(4 * default_partitions()))
 
-    pairs = ck.stage("candidate_pairs", build_pairs, inputs=("conv_records",))
+    pairs = ck.stage("candidate_pairs", build_pairs, inputs=("conv_records",),
+                     params=pair_params)
 
     if scorer_concurrency is None:
         # actor pool sized to the session — a fixed small pool throttles
@@ -99,7 +104,7 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
             pairs.select_columns(
                 ["conv_id_from", "conv_id_to"] + TRANSCRIPT_FEATURES),
             model, concurrency=scorer_concurrency),
-        inputs=("candidate_pairs",), stream=True)
+        inputs=("candidate_pairs",), params={"model": model}, stream=True)
 
     links = ck.stage(
         "links",
@@ -107,7 +112,9 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
                              id_to="conv_id_to", pred_col="pred",
                              minimum_confidence=minimum_confidence,
                              linktype=linktype),
-        inputs=("scored_pairs",))
+        inputs=("scored_pairs",),
+        params={"linktype": linktype,
+                "minimum_confidence": minimum_confidence})
 
     components = ck.stage(
         "components",
@@ -137,7 +144,8 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
         return out.sort(["conv_id", "turn_idx"]) if sort_output else out
 
     turns_out = ck.stage("turns_out", build_turns_out,
-                         inputs=("turns", "entities"), stream=True)
+                         inputs=("turns", "entities"),
+                         params={"sort_output": sort_output}, stream=True)
 
     return {
         "records": records, "pairs": pairs, "scored": scored,

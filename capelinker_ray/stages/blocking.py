@@ -458,17 +458,35 @@ def numeric_candidates(ds_from, ds_to, *, value_col: str, id_col: str,
         out["block_key"] = str(g["_bin"].iloc[0])
         return _norm_pair_dtypes(out, attr_cols, f"{id_col}_from", f"{id_col}_to")
 
-    raw = tagged.groupby("_bin").map_groups(pairs, batch_format="pandas")
+    from .grouped import grouped_map
+
+    def pairs_partition(part: pd.DataFrame) -> pd.DataFrame:
+        # coarse partition of many complete bins (stages/grouped.py): the
+        # per-bin dense band window runs in a plain loop with zero Ray
+        # per-group overhead (bins are width-bounded, so each is small)
+        frames = [pairs(g) for _, g in part.groupby("_bin", sort=False)]
+        if not frames:
+            return pairs(part.head(0))
+        return pd.concat(frames, ignore_index=True)
+
+    raw = grouped_map(tagged, "_bin", pairs_partition)
 
     # a from-row probes 3 bins -> a (from,to) pair matches in exactly 1 bin
     # (each to-row lives in one bin), so no pair dedup is needed; but a
-    # from-row matched only in a neighbor bin also emitted a home-bin NA row.
-    # Resolve per from-id: keep real pairs, else the single NA row.
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        real = g[g["score"].notna()]
-        return real if len(real) else g.head(1)
+    # from-row matched only in a neighbor bin also emitted a home-bin NA row
+    # (at most ONE per from-id: NA rows come only from the home bin).
+    # Resolve co-partitioned by from-id, fully vectorized: drop the NA row
+    # iff the same from-id has a real pair somewhere in the partition.
+    id_from_col = f"{id_col}_from"
 
-    return raw.groupby(f"{id_col}_from").map_groups(resolve, batch_format="pandas")
+    def resolve_partition(part: pd.DataFrame) -> pd.DataFrame:
+        real_mask = part["score"].notna()
+        real = part[real_mask]
+        na = part[~real_mask]
+        na = na[~na[id_from_col].isin(real[id_from_col])]
+        return pd.concat([real, na], ignore_index=True)
+
+    return grouped_map(raw, id_from_col, resolve_partition)
 
 
 # ---------------------------------------------------------------------------

@@ -93,6 +93,12 @@ def connected_components(ds_links, *, id_from: str = "conv_id_from",
     if strategy == "driver":
         import ray.data as rd
         pairs = ds_links.select_columns([id_from, id_to]).to_pandas()
+        if len(pairs) == 0:
+            # a 0-row dataset can surface with no columns at all (Ray emits
+            # zero blocks) — the component table is simply empty
+            return rd.from_arrow(pa.table({
+                "node": pa.array([], pa.string()),
+                "entity_id": pa.array([], pa.string())}))
         nodes, ents = _union_find_local(pairs[id_from].to_numpy(),
                                         pairs[id_to].to_numpy())
         # arrow blocks (Ray 2.49 rename_columns/select_columns choke on
@@ -196,6 +202,9 @@ def attach_entity_ids(ds_records, ds_components, *, id_col: str = "conv_id",
     shuffle hash_join is the fallback for genuinely huge link graphs."""
     if ds_components.count() <= broadcast_threshold:
         comp = ds_components.to_pandas().rename(columns={"node": id_col})
+        if len(comp) == 0:
+            comp = pd.DataFrame({id_col: pd.Series(dtype=object),
+                                 "entity_id": pd.Series(dtype=object)})
         from .join import broadcast_join
         joined = broadcast_join(ds_records, comp, on=id_col, how="left")
 

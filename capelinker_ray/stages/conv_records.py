@@ -53,16 +53,18 @@ def collect_tool_vocab(ds) -> dict[str, int]:
     """Distinct tool names -> bit index. Small global aggregate, computed once
     and broadcast (the reference's model-registry-style shared state)."""
     names = sorted(x for x in ds.unique("tool") if x is not None)
-    if len(names) > 63:
-        # cap the exact mask at 63 tools; the tail shares the overflow bit
-        names = names[:63]
+    if len(names) > 62:
+        # cap the exact mask at 62 tools; the tail shares overflow bit 62 —
+        # bit 63 stays clear so int64 masks remain non-negative (negative is
+        # the dedicated NULL sentinel for mask_jaccard)
+        names = names[:62]
     return {n: i for i, n in enumerate(names)}
 
 
 def _partials_fn(vocab: dict[str, int]):
     def partials(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
-        tool_bit = df["tool"].map(vocab).fillna(63).astype(np.int64)
+        tool_bit = df["tool"].map(vocab).fillna(62).astype(np.int64)
         df["_bit"] = np.where(df["tool"].isna(), 0,
                               np.int64(1) << tool_bit.to_numpy())
         df["_chars"] = df["text"].str.len().fillna(0).astype(np.int64)

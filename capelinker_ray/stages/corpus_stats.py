@@ -130,4 +130,16 @@ def add_group_uniqueness(ds, group_col: str, str_col: str,
         g[out_col] = sims
         return g
 
-    return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
+    from .grouped import grouped_map
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        # coarse hash partition of many COMPLETE groups (stages/grouped.py):
+        # one Ray task per partition instead of one per distinct key
+        frames = [per_group(g) for _, g in part.groupby(group_col, sort=False)]
+        if not frames:
+            part = part.copy()
+            part[out_col] = np.array([], dtype=np.float64)
+            return part
+        return pd.concat(frames, ignore_index=True)
+
+    return grouped_map(ds, group_col, per_partition)

@@ -178,19 +178,31 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
 def simhash_signatures(ds, *, text_col: str = "text",
                        batch_size: int | None = None):
-    """+ ``simhash`` int64: 64-bit Charikar simhash over token hashes."""
+    """+ ``simhash`` int64: 64-bit Charikar simhash over token hashes.
+
+    Vectorized across the whole batch: all tokens of all docs are hashed in
+    one ``fnv1a_64`` call, per-doc/per-bit ±1 sums come from 64 bincounts
+    over the flattened token->doc index — no per-document Python loop."""
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
-        sigs = np.zeros(len(df), dtype=np.uint64)
-        for i, s in enumerate(df[text_col].fillna("")):
-            toks = s.lower().split()
-            if not toks:
-                continue
-            h = fnv1a_64(toks)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-            v = np.where(bits.astype(bool), 1, -1).sum(axis=0)
-            sigs[i] = np.packbits((v > 0).astype(np.uint8)[::-1], bitorder="little")\
-                        .view(np.uint64)[0]
+        n = len(df)
+        tok_lists = df[text_col].fillna("").str.lower().str.split()
+        lens = tok_lists.str.len().to_numpy(np.int64)
+        sigs = np.zeros(n, dtype=np.uint64)
+        if lens.sum():
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in tok_lists])
+            doc_idx = np.repeat(np.arange(n), lens)
+            h = fnv1a_64(flat)
+            v = np.empty((n, 64), dtype=np.float64)
+            for j in range(64):
+                bit = ((h >> np.uint64(j)) & np.uint64(1)).astype(np.float64)
+                v[:, j] = np.bincount(doc_idx, weights=2.0 * bit - 1.0,
+                                      minlength=n)
+            packed = np.packbits((v > 0).astype(np.uint8), axis=1,
+                                 bitorder="little")
+            sigs = packed.view(np.uint64).reshape(n)
+            sigs[lens == 0] = np.uint64(0)
         out["simhash"] = sigs.astype(np.int64)
         return out
     return ds.map_batches(fn, batch_format="pandas", batch_size=batch_size)

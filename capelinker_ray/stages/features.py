@@ -29,6 +29,7 @@ Everything is vectorized numpy over Arrow columns; no Python loop over pairs.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ..kernels.strdist import (
@@ -127,10 +128,8 @@ def _pair_features_batch(t: pa.Table, ts_sigma_days: float) -> pa.Table:
     mask_f = np.where(np.isnan(mf), -1, mf).astype(np.int64)
     mask_t = np.where(np.isnan(mt), -1, mt).astype(np.int64)
 
-    role_eq = np.empty(len(rf), dtype=np.float64)
-    for i in range(len(rf)):  # tiny strings; still cheap, but vectorize-able
-        a, b = rf[i], rt[i]
-        role_eq[i] = np.nan if (a is None or b is None) else float(a == b)
+    role_null = pd.isna(rf) | pd.isna(rt)
+    role_eq = np.where(role_null, np.nan, (rf == rt).astype(np.float64))
 
     ts_f = _num(t, "ts_min_from") / 86_400e6  # days
     ts_t = _num(t, "ts_min_to") / 86_400e6

@@ -56,10 +56,16 @@ def select_links(ds_scored, *, id_from: str = "conv_id_from",
                  id_to: str = "conv_id_to", pred_col: str = "pred",
                  minimum_confidence: float = 0.5, linktype: str = "one:one",
                  carry_cols: list[str] | None = None,
-                 tie_break: str = "deterministic"):
+                 tie_break: str = "average"):
     """Dataset[scored pairs] -> Dataset[accepted links].
 
     Output columns: id_from, id_to, pred, rank_from[, rank_to], carry_cols.
+
+    ``tie_break`` defaults to ``"average"`` — exact reference parity
+    (pred.R:47-54: a tied-best pair ranks 1.5 on both rows and BOTH are
+    dropped). Pass ``"deterministic"`` to instead break exact ties by the
+    other-side id and always keep exactly one pair per group (useful with
+    piecewise-constant tree scores, where exact ties are common).
     """
     if linktype not in ("one:one", "many:one", "threshold"):
         raise ValueError(

@@ -49,12 +49,13 @@ def brute_force_topk(ds, queries: np.ndarray, *, k: int = 5,
         S = Qm @ V.T                       # (q, batch)
         kk = min(k, S.shape[1])
         top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
-        rows = {"query_id": [], id_col: [], "cosine": []}
-        for r in range(len(Qm)):
-            rows["query_id"].extend([qi[r]] * kk)
-            rows[id_col].extend(ids[top[r]])
-            rows["cosine"].extend(S[r, top[r]])
-        return pd.DataFrame(rows)
+        # keep ALL candidates tied with the kk-th best (an exact-cosine tie
+        # at the k boundary must not drop the globally id-least candidate —
+        # the final merge breaks ties by (cosine desc, id asc))
+        thr = S[np.arange(len(Qm))[:, None], top].min(axis=1)
+        qr, vc = np.nonzero(S >= thr[:, None])
+        return pd.DataFrame({"query_id": qi[qr], id_col: ids[vc],
+                             "cosine": S[qr, vc]})
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", id_col], ascending=[False, True],
@@ -74,9 +75,15 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 5, n_centroids: int = 16,
              batch_size: int | None = None):
     """IVF-style ANN: probe only the n_probe nearest centroid lists."""
     # centroids from a driver-side sample (k-means++ style seeding, 5 Lloyd
-    # iterations — small, seeded, deterministic)
+    # iterations — small, seeded, deterministic). Sampled UNIFORMLY across
+    # the dataset (seeded per-row bernoulli), not first-rows — a limit() on
+    # sorted input would collapse every centroid into the leading key range.
+    n_rows = ds.count()
+    frac = min(1.0, (2.0 * sample_size) / max(n_rows, 1))
+    samp_ds = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
     sample = np.stack(
-        ds.limit(sample_size).to_pandas()[vec_col].to_numpy()).astype(np.float64)
+        samp_ds.limit(sample_size).to_pandas()[vec_col].to_numpy()
+    ).astype(np.float64)
     rng = np.random.default_rng(seed)
     C = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)),
                           replace=False)]

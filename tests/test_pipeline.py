@@ -64,3 +64,28 @@ def test_checkpoint_resume_skips_stages(ray_session, tmp_path):
     o1 = {r["stage"]: r["wall_seconds"] for r in out1["metrics"]}
     o2 = {r["stage"]: r["wall_seconds"] for r in out2["metrics"]}
     assert o1 == o2  # resumed run reuses the recorded lineage, no rebuild
+
+
+def test_checkpoint_param_change_invalidates(ray_session, tmp_path):
+    """A changed stage parameter must NOT serve stale checkpointed results
+    (ADVICE r1): rerunning with a different minimum_confidence recomputes
+    the selection stage and everything downstream, but still reuses the
+    upstream (parameter-identical) candidate/score checkpoints."""
+    ck = str(tmp_path / "ck3")
+    turns, _ = synth.gen_corpus(n_entities=20, seed=11)
+    out1 = link_transcripts(rd.from_arrow(turns), checkpoint_dir=ck,
+                            sort_output=False, minimum_confidence=0.5)
+    n_links1 = out1["links"].count()
+    w1 = {r["stage"]: r["wall_seconds"] for r in out1["metrics"]}
+    # impossible threshold -> zero links survive; stale checkpoint would
+    # still return n_links1 rows
+    out2 = link_transcripts(rd.from_arrow(turns), checkpoint_dir=ck,
+                            sort_output=False, minimum_confidence=1.1)
+    assert n_links1 > 0
+    assert out2["links"].count() == 0
+    w2 = {r["stage"]: r["wall_seconds"] for r in out2["metrics"]}
+    # upstream stages (params unchanged) were resumed, not rebuilt
+    assert w2["candidate_pairs"] == w1["candidate_pairs"]
+    assert w2["conv_records"] == w1["conv_records"]
+    # downstream of the changed parameter was recomputed
+    assert w2["links"] != w1["links"] or out2["links"].count() == 0
