@@ -525,6 +525,108 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"""
 
 
+_BIGRAM_MAXDIST = 0.35
+
+
+def _bigram_sides(sf_dir: str):
+    """Two linkage sides from the conv records: odd-epoch records link TO
+    even-epoch records (the vignette's year==1828 vs year<1828 split,
+    vignettes/example.rmd:78-84, grafted onto transcript epochs)."""
+    recs = build_conv_records(normalize_turns(_read_turns(sf_dir)))
+
+    def side(parity: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[df["epoch"] % 2 == parity]
+            return out[["conv_id", "first_text_prefix"]]
+        return f
+    f = recs.map_batches(side(1), batch_format="pandas")
+    t = recs.map_batches(side(0), batch_format="pandas")
+    return f, t
+
+
+def _q_bigram(sf_dir: str, idf: bool):
+    from ..stages.bigram import bigram_candidates
+    f, t = _bigram_sides(sf_dir)
+    out = bigram_candidates(f, t, blockvariable="first_text_prefix",
+                            id_col="conv_id", maxdist=_BIGRAM_MAXDIST,
+                            idf=idf)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["score"] = df["score"].round(6)
+        return df[["id_from", "id_to", "score", "matches"]]
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def q_bigram_candidates(sf_dir: str):
+    """Corpus-wide bigram-cosine candidates (candidates.R:82-96, the
+    reference's DEFAULT blocktype) — no pre-block."""
+    return _q_bigram(sf_dir, idf=False)
+
+
+def q_idf_bigram_candidates(sf_dir: str):
+    """idf-weighted variant (candidates.R:97-112)."""
+    return _q_bigram(sf_dir, idf=True)
+
+
+def _sql_bigram(path: str, idf: bool) -> str:
+    maxsim = 1.0 - _BIGRAM_MAXDIST
+    prefix = "substr(coalesce(first_text_norm, ''), 1, 16)"
+    weighted = (
+        "fw AS (SELECT fb.conv_id, fb.bg, fb.c * w.w AS v "
+        "FROM fb JOIN w USING (bg)),\n"
+        "tw AS (SELECT tb.conv_id, tb.bg, tb.c * w.w AS v "
+        "FROM tb JOIN w USING (bg)),\n"
+        if idf else
+        "fw AS (SELECT conv_id, bg, CAST(c AS DOUBLE) AS v FROM fb),\n"
+        "tw AS (SELECT conv_id, bg, CAST(c AS DOUBLE) AS v FROM tb),\n")
+    idf_ctes = (
+        "nn AS (SELECT (SELECT count(*) FROM f) + (SELECT count(*) FROM t) "
+        "AS n),\n"
+        "w AS (SELECT bg, ln(CAST(nn.n AS DOUBLE) / dfs.df) AS w FROM "
+        "(SELECT bg, CAST(count(*) AS DOUBLE) AS df FROM "
+        "(SELECT conv_id, bg FROM fb UNION ALL SELECT conv_id, bg FROM tb) "
+        "GROUP BY bg) dfs CROSS JOIN nn),\n" if idf else "")
+    return f"""WITH {_sql_recs(path)},
+f AS (SELECT conv_id, {prefix} AS s FROM recs WHERE epoch % 2 = 1),
+t AS (SELECT conv_id, {prefix} AS s FROM recs WHERE epoch % 2 = 0),
+fb AS (
+  SELECT conv_id, substr(s2, CAST(g AS INTEGER), 2) AS bg, count(*) AS c
+  FROM (SELECT conv_id, s2, unnest(range(1, length(s2))) AS g
+        FROM (SELECT conv_id, '#' || s || '#' AS s2 FROM f))
+  GROUP BY 1, 2
+),
+tb AS (
+  SELECT conv_id, substr(s2, CAST(g AS INTEGER), 2) AS bg, count(*) AS c
+  FROM (SELECT conv_id, s2, unnest(range(1, length(s2))) AS g
+        FROM (SELECT conv_id, '#' || s || '#' AS s2 FROM t))
+  GROUP BY 1, 2
+),
+{idf_ctes}{weighted}fn AS (SELECT conv_id, sqrt(sum(v * v)) AS nrm FROM fw GROUP BY conv_id),
+tn AS (SELECT conv_id, sqrt(sum(v * v)) AS nrm FROM tw GROUP BY conv_id),
+dots AS (
+  SELECT fw.conv_id AS a, tw.conv_id AS b, sum(fw.v * tw.v) AS d
+  FROM fw JOIN tw USING (bg) GROUP BY 1, 2
+),
+cand AS (
+  SELECT a, b, d / (fn.nrm * tn.nrm) AS score
+  FROM dots JOIN fn ON fn.conv_id = a JOIN tn ON tn.conv_id = b
+  WHERE d / (fn.nrm * tn.nrm) > {maxsim}
+),
+m AS (SELECT a, CAST(count(*) AS DOUBLE) AS matches FROM cand GROUP BY a)
+SELECT f.conv_id AS id_from, cand.b AS id_to, round(cand.score, 6) AS score,
+       coalesce(m.matches, 0.0) AS matches
+FROM f LEFT JOIN cand ON cand.a = f.conv_id LEFT JOIN m ON m.a = f.conv_id"""
+
+
+def sql_bigram_candidates(path: str) -> str:
+    return _sql_bigram(path, idf=False)
+
+
+def sql_idf_bigram_candidates(path: str) -> str:
+    return _sql_bigram(path, idf=True)
+
+
 # --- rows-only queries (non-SQL-expressible: models, sketches, stubs) ------
 
 def q_flagship_entities(sf_dir: str):
@@ -584,6 +686,8 @@ def build_queries() -> dict:
         "normalise_column": q_normalise_column,
         "numeric_band": q_numeric_band,
         "embedding_dup": q_embedding_dup,
+        "bigram_candidates": q_bigram_candidates,
+        "idf_bigram_candidates": q_idf_bigram_candidates,
         # rows-only (no SQL oracle): model scoring / sketches / stubs
         "flagship_entities": q_flagship_entities,
         "minhash_dedup": q_minhash_dedup,
@@ -612,4 +716,6 @@ def build_oracle_sql() -> dict:
         "normalise_column": sql_normalise_column(_ORACLE_SF_DIR),
         "numeric_band": sql_numeric_band(_ORACLE_SF_DIR),
         "embedding_dup": sql_embedding_dup(_ORACLE_SF_DIR),
+        "bigram_candidates": sql_bigram_candidates(path),
+        "idf_bigram_candidates": sql_idf_bigram_candidates(path),
     }

@@ -1,0 +1,88 @@
+"""Corpus-wide bigram-cosine candidate generation (stages/bigram.py):
+value parity with the dense reference kernel (itself pinned to the
+candidates.R roxygen example), hot-dim salting, self-link, idf variant."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from capelinker_ray.kernels.strdist import bigram_cosine_matrix
+from capelinker_ray.stages.bigram import bigram_candidates
+
+
+def _expected(fdf, tdf, maxdist, idf=False):
+    sim = bigram_cosine_matrix(fdf["s"].to_numpy(object),
+                               tdf["s"].to_numpy(object), idf=idf)
+    maxsim = 1 - maxdist
+    exp = []
+    for i in range(len(fdf)):
+        js = np.nonzero(sim[i] > maxsim)[0]
+        for j in js:
+            exp.append((str(fdf.id.iloc[i]), str(tdf.id.iloc[j]),
+                        round(sim[i, j], 8), float(len(js))))
+        if len(js) == 0:
+            exp.append((str(fdf.id.iloc[i]), None, None, 0.0))
+    return sorted(exp)
+
+
+def _got(out):
+    return sorted(
+        (r.id_from, r.id_to if pd.notna(r.id_to) else None,
+         round(r.score, 8) if pd.notna(r.score) else None, r.matches)
+        for r in out.itertuples())
+
+
+def _rand(n, seed, alphabet="abcdefgh"):
+    rng = np.random.default_rng(seed)
+    letters = np.array(list(alphabet))
+    return ["".join(rng.choice(letters, size=rng.integers(3, 9)))
+            for _ in range(n)]
+
+
+def test_bigram_roxygen_fixture(ray_session):
+    # the candidates.R example data (candidates.R:27-29)
+    d1 = pd.DataFrame({"s": ["jong", "smid", "nauda"], "id": ["1", "2", "3"]})
+    d2 = pd.DataFrame({"s": ["jongh", "jong", "smit", "veld"],
+                       "id": ["a", "b", "c", "d"]})
+    for idf in (False, True):
+        for maxdist in (0.15, 0.5):
+            out = bigram_candidates(
+                rd.from_pandas(d1), rd.from_pandas(d2), blockvariable="s",
+                id_col="id", maxdist=maxdist, idf=idf).to_pandas()
+            assert _got(out) == _expected(d1, d2, maxdist, idf)
+
+
+def test_bigram_corpus_wide_with_salting(ray_session):
+    f = pd.DataFrame({"s": _rand(120, 1) + [None, ""],
+                      "id": [f"f{i:03d}" for i in range(122)]})
+    t = pd.DataFrame({"s": _rand(150, 2) + ["", "zz"],
+                      "id": [f"t{i:03d}" for i in range(152)]})
+    # max_block_pairs=40 forces the hot-dim salting path
+    out = bigram_candidates(rd.from_pandas(f), rd.from_pandas(t),
+                            blockvariable="s", id_col="id", maxdist=0.5,
+                            max_block_pairs=40).to_pandas()
+    assert _got(out) == _expected(f, t, 0.5)
+
+
+def test_bigram_idf_corpus_wide(ray_session):
+    f = pd.DataFrame({"s": _rand(80, 3), "id": [f"f{i}" for i in range(80)]})
+    t = pd.DataFrame({"s": _rand(90, 4), "id": [f"t{i}" for i in range(90)]})
+    out = bigram_candidates(rd.from_pandas(f), rd.from_pandas(t),
+                            blockvariable="s", id_col="id", maxdist=0.4,
+                            idf=True).to_pandas()
+    assert _got(out) == _expected(f, t, 0.4, idf=True)
+
+
+def test_bigram_self_link(ray_session):
+    g = pd.DataFrame({"s": _rand(100, 5), "id": [f"g{i:03d}" for i in range(100)]})
+    out = bigram_candidates(rd.from_pandas(g), None, blockvariable="s",
+                            id_col="id", maxdist=0.4,
+                            keep_unmatched=False).to_pandas()
+    sim = bigram_cosine_matrix(g["s"].to_numpy(object),
+                               g["s"].to_numpy(object))
+    fi, ti = np.nonzero(sim > 0.6)
+    exp = sorted((g.id.iloc[i], g.id.iloc[j], round(sim[i, j], 8))
+                 for i, j in zip(fi, ti) if g.id.iloc[i] < g.id.iloc[j])
+    got = sorted((r.id_from, r.id_to, round(r.score, 8))
+                 for r in out.itertuples())
+    assert got == exp
