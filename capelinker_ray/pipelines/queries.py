@@ -647,6 +647,50 @@ def q_simhash(sf_dir: str):
     return simhash_signatures(docs).select_columns(["doc_id", "simhash"])
 
 
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup PAIRS: banded chunk LSH + exact Hamming verify
+    (pigeonhole-exact recall for hamming <= 6 with 8 bands)."""
+    from ..stages.dedup import simhash_dup_pairs
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return simhash_dup_pairs(docs, max_hamming=6, bands=8)
+
+
+def q_ngram_dedup(sf_dir: str):
+    """Exact character-5-gram Jaccard near-dup pairs (exact small-corpus
+    path; the unblocked-at-scale path adds a MinHash-LSH prefilter and is
+    pytest-covered)."""
+    from ..stages.dedup import ngram_jaccard_pairs
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(docs, n=5, threshold=0.5)
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["jaccard"] = df["jaccard"].round(6)
+        return df
+    return out.map_batches(rnd, batch_format="pandas")
+
+
+def sql_ngram_dedup(sf_dir: str) -> str:
+    return """WITH g AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS gm
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i
+        FROM documents WHERE length(text) >= 5)
+),
+s AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS c FROM g GROUP BY doc_id),
+x AS (
+  SELECT a.doc_id AS id_from, b.doc_id AS id_to,
+         CAST(count(*) AS DOUBLE) AS inter
+  FROM g a JOIN g b ON a.gm = b.gm AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT x.id_from, x.id_to,
+       round(x.inter / (sa.c + sb.c - x.inter), 6) AS jaccard
+FROM x JOIN s sa ON sa.doc_id = x.id_from JOIN s sb ON sb.doc_id = x.id_to
+WHERE x.inter / (sa.c + sb.c - x.inter) >= 0.5"""
+
+
 def q_lang_quality(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "lang"])
@@ -692,6 +736,8 @@ def build_queries() -> dict:
         "flagship_entities": q_flagship_entities,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_dedup": q_ngram_dedup,
         "lang_quality": q_lang_quality,
         "media_features": q_media_features,
     }
@@ -718,4 +764,5 @@ def build_oracle_sql() -> dict:
         "embedding_dup": sql_embedding_dup(_ORACLE_SF_DIR),
         "bigram_candidates": sql_bigram_candidates(path),
         "idf_bigram_candidates": sql_idf_bigram_candidates(path),
+        "ngram_dedup": sql_ngram_dedup(_ORACLE_SF_DIR),
     }

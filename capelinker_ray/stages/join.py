@@ -14,6 +14,11 @@ well-tested shuffle path.
 Cost model: one all-to-all shuffle of (left ∪ right); per-key work is the
 in-group pandas merge. Broadcast the right side instead (broadcast_join)
 whenever it is small — that variant is shuffle-free.
+
+Caveat: the tagged union null-pads each side's value columns, and pandas
+represents nullable int64 as float64 — int values above 2^53 (hashes,
+signatures) lose their low bits in transit. Ship such payloads as
+fixed-size BINARY (see stages/dedup._pack_rows) or as strings.
 """
 
 from __future__ import annotations

@@ -68,3 +68,106 @@ def test_embedding_dup_pairs(ray_session):
     out = embedding_dup_pairs(rd.from_items(rows), threshold=0.99,
                               exact_block=True).to_pandas()
     assert set(zip(out["id_from"], out["id_to"])) == {(1, 2)}
+
+
+def _corpus(n=120, seed=9):
+    """Synthetic doc corpus with planted near-dup families."""
+    rng = np.random.default_rng(seed)
+    words = ["alpha", "beta", "gamma", "delta", "engine", "query", "stream",
+             "shuffle", "batch", "vector", "tokens", "filter"]
+    docs, ids = [], []
+    for i in range(n):
+        base = " ".join(rng.choice(words, size=12))
+        docs.append(base)
+        ids.append(2 * i)
+        if i % 4 == 0:  # planted near-dup: one word tweaked
+            docs.append(base.replace(base.split()[0], "omega", 1))
+            ids.append(2 * i + 1)
+    return pd.DataFrame({"doc_id": ids, "text": docs})
+
+
+def test_simhash_pairs_exact_recall(ray_session):
+    """simhash_dup_pairs must return EXACTLY the pairs with Hamming <= k
+    (pigeonhole banding: bands > max_hamming -> no recall loss)."""
+    from capelinker_ray.stages.dedup import simhash_dup_pairs
+    df = _corpus()
+    out = simhash_dup_pairs(rd.from_pandas(df), max_hamming=6,
+                            bands=8).to_pandas()
+    sigs = simhash_signatures(rd.from_pandas(df)).to_pandas()
+    s = sigs.set_index("doc_id")["simhash"].to_dict()
+    ham = lambda a, b: bin((np.uint64(a) ^ np.uint64(b)) &
+                           np.uint64(2**64 - 1)).count("1")
+    ids = sorted(s)
+    exp = sorted((a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+                 if ham(s[a], s[b]) <= 6)
+    got = sorted(zip(out["id_from"], out["id_to"]))
+    assert got == exp
+    assert len(got) > 0  # planted near-dups must collide
+
+
+def test_ngram_blocked_matches_exact(ray_session):
+    """Vectorized in-block kernel == unblocked exact output on a corpus
+    where blocks partition the docs."""
+    df = _corpus(60)
+    df["blk"] = df["doc_id"] // 40  # a few multi-doc blocks
+    blocked = ngram_jaccard_pairs(rd.from_pandas(df), block_col="blk",
+                                  threshold=0.4).to_pandas()
+    exact = ngram_jaccard_pairs(rd.from_pandas(df),
+                                threshold=0.4).to_pandas()
+    # blocked finds the subset of exact pairs that share a block
+    blk_of = df.set_index("doc_id")["blk"].to_dict()
+    exp = exact[[blk_of[a] == blk_of[b]
+                 for a, b in zip(exact["id_from"], exact["id_to"])]]
+    key = lambda d: sorted(zip(d["id_from"], d["id_to"],
+                               d["jaccard"].round(9)))
+    assert key(blocked) == key(exp)
+    assert len(blocked) > 0
+
+
+def test_ngram_minhash_prefilter(ray_session):
+    """Prefilter path: exact precision, near-total recall on the planted
+    corpus, identical jaccard values for pairs it returns."""
+    df = _corpus(80)
+    exact = ngram_jaccard_pairs(rd.from_pandas(df),
+                                threshold=0.5).to_pandas()
+    pre = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.5,
+                              prefilter="minhash").to_pandas()
+    ex = dict(((a, b), round(j, 9)) for a, b, j in
+              zip(exact["id_from"], exact["id_to"], exact["jaccard"]))
+    got = dict(((a, b), round(j, 9)) for a, b, j in
+               zip(pre["id_from"], pre["id_to"], pre["jaccard"]))
+    assert set(got) <= set(ex)            # exact precision
+    assert all(ex[k] == v for k, v in got.items())
+    assert len(got) >= 0.9 * len(ex) > 0  # high recall
+
+
+def test_ngram_unblocked_cap_raises(ray_session):
+    df = _corpus(30)
+    try:
+        ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.5,
+                            unblocked_cap=10)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "O(n²)" in str(e) or "block_col" in str(e)
+
+
+def test_embedding_lsh_path(ray_session):
+    """Banded multi-table LSH finds the planted near-identical vectors the
+    exact path finds (recall check on an easy 0.98-cosine corpus)."""
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(40, 16))
+    vecs, ids = [], []
+    for i in range(40):
+        vecs.append(base[i]); ids.append(2 * i)
+        if i % 3 == 0:  # planted near-dup
+            vecs.append(base[i] + rng.normal(scale=0.01, size=16))
+            ids.append(2 * i + 1)
+    df = pd.DataFrame({"vec_id": ids, "embedding": [list(v) for v in vecs]})
+    exact = embedding_dup_pairs(rd.from_pandas(df), threshold=0.98,
+                                exact_block=True).to_pandas()
+    lsh = embedding_dup_pairs(rd.from_pandas(df), threshold=0.98,
+                              n_tables=8, n_planes=6).to_pandas()
+    ex = set(zip(exact["id_from"], exact["id_to"]))
+    got = set(zip(lsh["id_from"], lsh["id_to"]))
+    assert got <= ex                      # exact verification: no FPs
+    assert len(got) >= 0.9 * len(ex) > 0  # multi-table recall
