@@ -41,6 +41,12 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
     timings: dict[str, float] = {}
     counters: dict[str, int] = {}
 
+    # untimed warmup: spin up the Ray worker pool + import the data plane
+    # in the workers so the FIRST timed query doesn't pay process-start
+    # latency (the r1 driver run charged ~14 s of cold start to the
+    # flagship timer)
+    rd.range(10_000).map_batches(lambda b: b).count()
+
     t0 = time.monotonic()
     turns = rd.read_parquet(path)
     out = link_transcripts(turns, checkpoint_dir=None, sort_output=True)
