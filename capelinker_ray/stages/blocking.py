@@ -314,7 +314,7 @@ def _pairs_fn(block_col: str, id_col: str, blocktype: str, maxdist: float,
     return pairs_partition
 
 
-def candidates(ds_from, ds_to=None, *, block_col: str = "block_key",
+def candidates(ds_from, ds_to=None, *, block_col: str | None = "block_key",
                id_col: str = "conv_id", blocktype: str = "equality",
                blockvariable: str | None = None, maxdist: float = 0.15,
                attr_cols: list[str] | None = None,
@@ -326,7 +326,29 @@ def candidates(ds_from, ds_to=None, *, block_col: str = "block_key",
     id_to`` pair dedup. For "bigram"/"stringdist" the coarse ``block_col``
     pre-blocks and ``blockvariable`` (default: the block column itself) is
     the string compared within the block.
+
+    ``block_col=None`` with ``blocktype="bigram"`` runs the CORPUS-WIDE
+    bigram-cosine join (the reference's default, no pre-block:
+    candidates.R:82-112) via the inverted-index blocker in
+    ``stages/bigram.py`` — note its slimmer output schema (id_from:str,
+    id_to:str, score, matches; join attributes back with
+    stages.join.hash_join). Corpus-wide "stringdist" (dense all-pairs JW)
+    is intentionally unsupported — use ``broadcast_jw_candidates`` for a
+    small to-side, or bigram blocking as the scalable pre-filter.
     """
+    if block_col is None:
+        if blocktype == "bigram":
+            from .bigram import bigram_candidates
+            if blockvariable is None:
+                raise ValueError("corpus-wide bigram blocking needs "
+                                 "blockvariable=")
+            return bigram_candidates(
+                ds_from, ds_to, blockvariable=blockvariable, id_col=id_col,
+                maxdist=maxdist, idf=idf, keep_unmatched=keep_unmatched,
+                max_block_pairs=max_block_pairs)
+        raise ValueError(
+            f"block_col=None (corpus-wide) is only supported for "
+            f"blocktype='bigram', got {blocktype!r}")
     self_link = ds_to is None
     if blocktype in ("bigram", "stringdist"):
         bv = blockvariable or block_col

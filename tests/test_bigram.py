@@ -86,3 +86,22 @@ def test_bigram_self_link(ray_session):
     got = sorted((r.id_from, r.id_to, round(r.score, 8))
                  for r in out.itertuples())
     assert got == exp
+
+
+def test_candidates_corpus_wide_delegation(ray_session):
+    """candidates(block_col=None, blocktype='bigram') == bigram_candidates
+    (the reference's no-pre-block default, same API entry point)."""
+    from capelinker_ray.stages.blocking import candidates
+    d1 = pd.DataFrame({"s": ["jong", "smid", "nauda"], "id": ["1", "2", "3"]})
+    d2 = pd.DataFrame({"s": ["jongh", "jong", "smit", "veld"],
+                       "id": ["a", "b", "c", "d"]})
+    out = candidates(rd.from_pandas(d1), rd.from_pandas(d2), block_col=None,
+                     blocktype="bigram", blockvariable="s", id_col="id",
+                     maxdist=0.5).to_pandas()
+    assert _got(out) == _expected(d1, d2, 0.5)
+    try:
+        candidates(rd.from_pandas(d1), rd.from_pandas(d2), block_col=None,
+                   blocktype="stringdist", blockvariable="s", id_col="id")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
