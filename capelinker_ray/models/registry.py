@@ -41,9 +41,18 @@ def resolve_artifact(model: str | dict) -> dict:
         return load_artifact(model)
     if model not in _cache:
         p = artifact_path(model)
-        if not os.path.exists(p):
-            raise KeyError(
-                f"unknown pretrained model {model!r}; available: "
-                f"{pretrained_models()} (train via scripts/train_pretrained.py)")
-        _cache[model] = load_artifact(p)
+        if os.path.exists(p):
+            _cache[model] = load_artifact(p)
+        else:
+            # fall back to the reference's bundled pretrained models
+            # (imported from pretrained_models.rda on first use)
+            from .import_r import REFERENCE_MODELS_RDA, \
+                import_reference_models
+            if os.path.exists(REFERENCE_MODELS_RDA):
+                import_reference_models(register=True)
+            if model not in _cache:
+                raise KeyError(
+                    f"unknown pretrained model {model!r}; available: "
+                    f"{sorted(set(pretrained_models()) | set(_cache))} "
+                    f"(train via scripts/train_pretrained.py)")
     return _cache[model]

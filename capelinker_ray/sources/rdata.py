@@ -25,7 +25,8 @@ import struct
 import numpy as np
 import pandas as pd
 
-__all__ = ["read_rda", "rda_dataset"]
+__all__ = ["read_rda", "rda_dataset", "r_value", "r_attrs",
+           "r_list_to_dict"]
 
 _NA_INT = -2147483648
 
@@ -67,6 +68,14 @@ class _Reader:
             return self.refs[idx - 1]
         if typ == 0xFE:                       # NILVALUE
             return None
+        if typ in (253, 252, 251, 250, 241, 242):
+            # GLOBALENV / UNBOUNDVALUE / MISSINGARG / BASENAMESPACE /
+            # BASEENV / EMPTYENV — opaque singletons
+            return None
+        if typ in (248, 249):                 # PACKAGESXP / NAMESPACESXP
+            self.refs.append(None)
+            self._string_vec()                # persistent name
+            return None
         if typ == 1:                          # SYMSXP
             name = self.item()                # CHARSXP
             self.refs.append(name)
@@ -76,7 +85,12 @@ class _Reader:
             if n == -1:
                 return None
             return self.bytes(n).decode("utf-8", errors="replace")
-        if typ == 2:                          # LISTSXP (pairlist node)
+        if typ in (2, 6, 3, 5, 17, 240, 239):
+            # pairlist-shaped: LISTSXP / LANGSXP / CLOSXP / PROMSXP /
+            # DOTSXP (+ legacy ATTRLANGSXP/ATTRLISTSXP). For CLOSXP the
+            # tag is the closure environment, car=formals, cdr=body.
+            if typ in (240, 239):
+                has_attr = True
             attr = self.item() if has_attr else None
             tag = self.item() if has_tag else None
             car = self.item()
@@ -87,6 +101,24 @@ class _Reader:
             elif cdr is not None:
                 out.append((None, cdr, None))
             return out
+        if typ == 4:                          # ENVSXP
+            self.refs.append(None)            # ref slot (placeholder)
+            self.i4()                         # locked flag
+            self.item()                       # enclosing env
+            self.item()                       # frame
+            self.item()                       # hash table
+            self.item()                       # attributes
+            return None
+        if typ == 24:                         # RAWSXP
+            n = self.i4()
+            vals = self.bytes(n)
+            return self._with_attr(vals, has_attr, typ)
+        if typ == 21:                         # BCODESXP — skip bytecode
+            self._read_bc()
+            return None
+        if typ == 25:                         # S4SXP
+            attr_list = self.item() if has_attr else None
+            return ("<S4>", attr_list)
         if typ in (10, 13):                   # LGLSXP / INTSXP
             n = self.i4()
             vals = self.ints(n)
@@ -128,6 +160,47 @@ class _Reader:
                 return state
             raise NotImplementedError(f"ALTREP class {cls_name!r}")
         raise NotImplementedError(f"SEXP type {typ} at offset {self.p - 4}")
+
+    # --- bytecode skipping (serialize.c ReadBC/ReadBCConsts/ReadBCLang) --
+
+    def _read_bc(self):
+        self.i4()                             # rep-table length
+        self._read_bc1()
+
+    def _read_bc1(self):
+        self.item()                           # code (INTSXP)
+        n = self.i4()                         # constant-pool length
+        for _ in range(n):
+            t = self.i4()
+            if t == 21:
+                self._read_bc1()
+            elif t in (2, 6, 239, 240, 243, 244):
+                self._read_bclang(t)
+            else:
+                self.item()                   # t was the writer's pad int
+
+    def _read_bclang(self, t: int):
+        if t == 243:                          # BCREPREF
+            self.i4()
+            return
+        if t in (244, 2, 6, 239, 240):
+            if t == 244:                      # BCREPDEF
+                self.i4()                     # rep position
+                t = self.i4()
+            if t in (239, 240):               # ATTR variants carry attrs
+                self.item()
+            self.item()                       # tag
+            self._read_bclang(self.i4())      # car
+            self._read_bclang(self.i4())      # cdr
+            return
+        self.item()                           # padded plain item
+
+    def _string_vec(self):
+        """Persistent-name string vector (PACKAGESXP/NAMESPACESXP)."""
+        if self.i4() != 0:
+            raise NotImplementedError("names in persistent strings")
+        n = self.i4()
+        return [self.item() for _ in range(n)]
 
     def _with_attr(self, vals, has_attr: bool, typ: int):
         if not has_attr:
@@ -208,8 +281,27 @@ def read_rda(path: str) -> dict:
         if "data.frame" in klass:
             out[tag] = _to_frame(car)
         else:
-            out[tag] = _strip(car)
+            # non-frame objects keep their (value, attrs) tuple — use
+            # r_value / r_attrs to unwrap (class, names, dim, ...)
+            out[tag] = car
     return out
+
+
+def r_value(v):
+    """Unwrap an R object to its value (drop attributes)."""
+    return _strip(v)
+
+
+def r_attrs(v) -> dict:
+    """An R object's attribute dict ({} when none)."""
+    return _attrs(v)
+
+
+def r_list_to_dict(v) -> dict:
+    """Named R list -> {name: element} (elements still wrapped)."""
+    vals = _strip(v)
+    names = list(_strip(_attrs(v).get("names", [])))
+    return dict(zip(names, vals))
 
 
 def rda_dataset(path: str, name: str | None = None):
