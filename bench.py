@@ -74,6 +74,16 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
     q_lineitem_agg(sf_dir).count()
     timings["lineitem_agg"] = round(time.monotonic() - t0, 3)
 
+    from capelinker_ray.pipelines.queries import (q_bigram_candidates,
+                                                  q_doc_curation)
+    t0 = time.monotonic()
+    counters["bigram_pairs"] = q_bigram_candidates(sf_dir).count()
+    timings["bigram_candidates"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    counters["curation_removed"] = q_doc_curation(sf_dir).count()
+    timings["doc_curation"] = round(time.monotonic() - t0, 3)
+
     ray.shutdown()
     return {"timings": timings, "counters": counters}
 

@@ -32,6 +32,10 @@ def feature_matrix(t: pa.Table, feature_names: list[str]) -> np.ndarray:
             if pa.types.is_boolean(a.type):
                 a = a.cast(pa.float64())
             cols.append(np.array(a.to_pylist(), dtype=np.float64))
+        elif name == "(Intercept)":
+            # R model.matrix intercept column (imported reference boosters
+            # were trained with it): constant 1, never split on
+            cols.append(np.ones(n))
         else:
             # absent feature -> all-NaN column; trees route it down the
             # learned default branch (xgboost NA semantics, example.rmd:147)

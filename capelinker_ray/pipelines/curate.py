@@ -1,0 +1,158 @@
+"""Document-curation pipeline: the end-to-end training-data cleanse.
+
+Composes the engine's text-analysis and dedup operators into the standard
+LLM-corpus curation flow (build brief: "the operations a large-scale
+training-data pipeline would need"), all streaming:
+
+  annotate   token counts + quality score + language id (one stateless
+             map_batches chain, stages/textstats.py)
+  filter     length / quality / language gates, each rejection tagged
+             with a reason
+  exact dup  hash-partitioned min-id-per-text (stages/dedup.exact_dedup
+             shape) — non-representatives removed as "exact_dup"
+  near dup   MinHash+LSH pairs -> connected components -> every member
+             except the lexicographic-min representative removed as
+             "near_dup" (transitive families collapse to ONE doc, not
+             pairwise-greedy)
+
+Returns {"kept": Dataset, "removed": Dataset[id, reason], "stats": dict}.
+Removal id-sets are the DUPLICATES (small relative to the corpus — never
+the keep-list), broadcast via ray.put below ``broadcast_threshold`` with
+a hash anti-join fallback above it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from ..stages.cluster import connected_components
+from ..stages.dedup import minhash_lsh_dedup
+from ..stages.grouped import grouped_map
+from ..stages.textstats import add_lang_id, add_quality_score, \
+    add_token_counts
+from ..stages.textstats import fnv1a_64
+
+__all__ = ["curate_documents"]
+
+
+def _anti_join_ids(ds, bad_ids, id_col: str, broadcast_threshold: int):
+    """Drop rows whose id is in ``bad_ids`` (small-side broadcast; hash
+    anti-join via stages/join for genuinely huge removal sets)."""
+    if len(bad_ids) <= broadcast_threshold:
+        ref = ray.put(set(int(x) for x in bad_ids))
+
+        def drop(df: pd.DataFrame) -> pd.DataFrame:
+            bad = ray.get(ref)
+            return df[~df[id_col].isin(bad)]
+        return ds.map_batches(drop, batch_format="pandas")
+    from ..stages.join import hash_join
+    bad = rd.from_pandas(pd.DataFrame({id_col: np.asarray(bad_ids,
+                                                          np.int64),
+                                       "_bad": np.int8(1)}))
+    joined = hash_join(ds, bad, on=id_col, how="left")
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["_bad"].isna()].drop(columns=["_bad"])
+    return joined.map_batches(keep, batch_format="pandas")
+
+
+def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                     min_tokens: int = 5, max_tokens: int = 100_000,
+                     min_quality: float = 0.3,
+                     langs: list[str] | None = None,
+                     near_dup: bool = True,
+                     jaccard_threshold: float = 0.8,
+                     broadcast_threshold: int = 5_000_000) -> dict:
+    annotated = add_lang_id(add_quality_score(add_token_counts(
+        ds, text_col=text_col), text_col=text_col), text_col=text_col)
+    annotated = annotated.materialize()
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        reason = np.full(len(df), "", dtype=object)
+        nt = df["n_ws_tokens"].to_numpy(np.int64)
+        reason[nt < min_tokens] = "too_short"
+        reason[nt > max_tokens] = "too_long"
+        q = df["quality"].to_numpy(np.float64)
+        reason[(reason == "") & (q < min_quality)] = "low_quality"
+        if langs is not None:
+            ok_lang = df["lang_pred"].isin(langs).to_numpy()
+            reason[(reason == "") & ~ok_lang] = "bad_lang"
+        df = df.copy()
+        df["_reason"] = reason
+        return df
+
+    gated = annotated.map_batches(gate, batch_format="pandas")\
+        .materialize()
+
+    def pass_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["_reason"] == ""].drop(columns=["_reason"])
+
+    def fail_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["_reason"] != ""][[id_col, "_reason"]]
+        return out.rename(columns={"_reason": "reason"})
+
+    survivors = gated.map_batches(pass_rows, batch_format="pandas")\
+        .materialize()
+    removed_frames = [gated.map_batches(fail_rows, batch_format="pandas")]
+
+    # exact dup: min id per text hash; emit ONLY the non-representatives
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_th"] = fnv1a_64(df[text_col].fillna("").tolist())\
+            .astype(np.int64)
+        return df
+
+    def exact_losers(part: pd.DataFrame) -> pd.DataFrame:
+        keep = part.groupby("_th", sort=False)[id_col].transform("min")
+        out = part[part[id_col] != keep][[id_col]]
+        out = out.copy()
+        out["reason"] = "exact_dup"
+        return out
+
+    hashed = survivors.map_batches(add_hash, batch_format="pandas")
+    exact_removed = grouped_map(hashed, "_th", exact_losers).to_pandas()
+    removed_frames.append(rd.from_pandas(
+        exact_removed if len(exact_removed) else
+        pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                      "reason": pd.Series(dtype=object)})))
+    survivors = _anti_join_ids(survivors, exact_removed[id_col].to_numpy()
+                               if len(exact_removed) else [],
+                               id_col, broadcast_threshold)
+
+    near_removed = pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                                 "reason": pd.Series(dtype=object)})
+    if near_dup:
+        survivors = survivors.materialize()
+        pairs = minhash_lsh_dedup(survivors, text_col=text_col,
+                                  id_col=id_col,
+                                  jaccard_threshold=jaccard_threshold)
+        comp = connected_components(pairs, id_from="id_from",
+                                    id_to="id_to").to_pandas()
+        if len(comp):
+            comp["node_i"] = comp["node"].astype(np.int64)
+            comp["ent_i"] = comp["entity_id"].astype(np.int64)
+            losers = comp[comp["node_i"] != comp["ent_i"]]
+            near_removed = pd.DataFrame({
+                id_col: losers["node_i"].to_numpy(np.int64),
+                "reason": "near_dup"})
+        survivors = _anti_join_ids(survivors,
+                                   near_removed[id_col].to_numpy()
+                                   if len(near_removed) else [],
+                                   id_col, broadcast_threshold)
+    removed_frames.append(rd.from_pandas(
+        near_removed if len(near_removed) else
+        pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                      "reason": pd.Series(dtype=object)})))
+
+    removed = removed_frames[0]
+    for f in removed_frames[1:]:
+        removed = removed.union(f)
+    kept = survivors.materialize()
+    removed = removed.materialize()
+    n_in = ds.count()
+    stats = {"input": n_in, "kept": kept.count(),
+             "removed": removed.count()}
+    return {"kept": kept, "removed": removed, "stats": stats}

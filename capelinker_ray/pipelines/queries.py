@@ -698,6 +698,18 @@ def q_lang_quality(sf_dir: str):
     return out.select_columns(["doc_id", "lang", "lang_pred", "quality"])
 
 
+def q_doc_curation(sf_dir: str):
+    """End-to-end training-data curation: annotate -> gate -> exact dedup
+    -> near-dup family collapse. Returns the removal ledger (doc_id,
+    reason); model-free but minhash-based, so rows-only."""
+    from ..pipelines.curate import curate_documents
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = curate_documents(docs, min_tokens=5, min_quality=0.2,
+                           jaccard_threshold=0.6)
+    return out["removed"]
+
+
 def q_media_features(sf_dir: str):
     media = rd.from_arrow(fake_media_table(n=64, seed=3))
     out = featurize_media(media, fake=True, concurrency=(1, 2))
@@ -738,6 +750,7 @@ def build_queries() -> dict:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ngram_dedup": q_ngram_dedup,
+        "doc_curation": q_doc_curation,
         "lang_quality": q_lang_quality,
         "media_features": q_media_features,
     }

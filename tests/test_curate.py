@@ -1,0 +1,69 @@
+"""Document curation pipeline (pipelines/curate.py) and the one-call
+predict_links API (pipelines/predict.py)."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from capelinker_ray.pipelines.curate import curate_documents
+
+
+def _corpus():
+    base = ("the quick brown fox jumps over the lazy dog while the river "
+            "keeps flowing through the quiet green valley toward the sea")
+    rows = [
+        (1, base),                                  # keep
+        (2, base + " and the birds sing"),          # near-dup of 1
+        (3, base.replace("quick", "qiuck")),        # near-dup of 1 (family)
+        (4, "tiny"),                                # too_short
+        (5, "x y z w v " + "!!! ??? ### $$$ " * 40),  # low quality
+        (6, base),                                  # exact dup of 1
+        (7, "a completely different document about distributed query "
+            "engines processing large corpora with streaming shuffles"),
+    ]
+    return pd.DataFrame({"doc_id": [r[0] for r in rows],
+                         "text": [r[1] for r in rows]})
+
+
+def test_curate_reasons_and_transitive_family(ray_session):
+    out = curate_documents(rd.from_pandas(_corpus()), min_tokens=5,
+                           min_quality=0.5, jaccard_threshold=0.55)
+    kept = out["kept"].to_pandas()
+    removed = out["removed"].to_pandas().set_index("doc_id")["reason"]
+    assert removed[4] == "too_short"
+    assert removed[5] == "low_quality"
+    assert removed[6] == "exact_dup"
+    # the {1,2,3} near-dup family collapses to its min-id representative
+    assert 1 in set(kept["doc_id"]) and 7 in set(kept["doc_id"])
+    assert removed[2] == "near_dup" and removed[3] == "near_dup"
+    assert out["stats"]["input"] == 7
+    assert out["stats"]["kept"] + out["stats"]["removed"] == 7
+    # annotations survive on kept docs
+    assert {"n_ws_tokens", "quality", "lang_pred"} <= set(kept.columns)
+
+
+def test_predict_links_with_reference_model(ray_session):
+    """One-call reference API: score with the bundled randomForest model
+    and rank-select — exercises the imported R model inside a distributed
+    pipeline."""
+    import os
+    import pytest
+    if not os.path.exists(
+            "/root/reference/data/pretrained_models.rda"):
+        pytest.skip("reference models not available")
+    from capelinker_ray.pipelines.predict import predict_links
+    # candidates: a1 has one good and one bad match; b1 only bad
+    cand = pd.DataFrame({
+        "pid_from": ["a1", "a1", "b1"],
+        "pid_to": ["x", "y", "z"],
+        "mlastdist": [0.0, 0.7, 0.8],
+        "mfirstdist": [0.05, 0.6, 0.9],
+        "wfirstdist": [0.0, 0.8, 0.7],
+        "yeardist": [1.0, 9.0, 12.0],
+    })
+    out = predict_links(rd.from_pandas(cand), id_from="pid_from",
+                        id_to="pid_to", model="m_rf_baptisms_sparse",
+                        minimum_confidence=0.5,
+                        linktype="one:one").to_pandas()
+    assert set(zip(out["pid_from"], out["pid_to"])) == {("a1", "x")}
+    assert (out["pred"] > 0.5).all()

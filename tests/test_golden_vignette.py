@@ -73,6 +73,11 @@ def test_vignette_golden_parity(ray_session):
     lbl["correct"] = ((lbl.linkid_from == lbl.linkid_to)
                       & lbl.linkid_from.notna()
                       & lbl.linkid_to.notna()).astype(float)
+    # canonical row order: grouped_map output arrives in partition order,
+    # which would otherwise leak nondeterminism into subsampled training
+    lbl = lbl.sort_values(["persid_from", "persid_to"],
+                          key=lambda s: s.astype(np.int64),
+                          kind="stable").reset_index(drop=True)
     for v in ["mlast", "mfirst", "wlast", "wfirst"]:
         lbl[f"{v}dist"] = 1.0 - jaro_winkler_sim(
             lbl[f"{v}_from"].to_numpy(object),
@@ -83,11 +88,15 @@ def test_vignette_golden_parity(ray_session):
     # grouped 70/30 split (rmd:129-137; R's RNG not reproducible — own
     # seed, same protocol: split on persid_from so blocks stay together)
     rng = np.random.default_rng(123871)
-    ids = lbl["id_from"].unique()
+    # sort: unique() order follows partition arrival order and would make
+    # the split (and thus the metrics) nondeterministic across runs
+    id_int = lbl["id_from"].astype(np.int64)
+    ids = np.sort(id_int.unique())
     tr_ids = set(rng.choice(ids, size=int(np.ceil(len(ids) * 0.7)),
                             replace=False))
-    tr = lbl[lbl.id_from.isin(tr_ids)]
-    te = lbl[~lbl.id_from.isin(tr_ids)]
+    in_train = id_int.isin(tr_ids)
+    tr = lbl[in_train]
+    te = lbl[~in_train]
 
     mdl = GBTClassifier(n_rounds=500, max_depth=6, eta=0.3,
                         min_child_weight=1, gamma=1, subsample=0.8,
