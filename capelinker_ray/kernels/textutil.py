@@ -140,27 +140,20 @@ def minmax_normalise(x) -> np.ndarray:
     return (x - lo) / (rng if rng != 0 else 1.0)
 
 
-def uniformise_string(strings, maxdist: float = 0.2) -> np.ndarray:
-    """Greedy canonicalization of near-duplicate strings.
-
-    Order-dependent global state (SURVEY §2.5 'hard parts'): sort distinct
-    strings by descending frequency; repeatedly absorb every string within JW
-    distance ``maxdist`` (p=0.1) of the current head into the head. Intended
-    to run driver-side over the *distinct*-value table (small relative to
-    rows), then be broadcast back as a mapping.
-
-    Returns the canonicalized string array (same shape as input).
-    """
-    arr = _as_object_array(strings)
-    vals, counts = np.unique([s for s in arr if isinstance(s, str)], return_counts=True)
-    # sort by -count, ties by first appearance in the sorted-unique order
-    # (R's sort(-table(x)) sorts by count desc, name asc for ties)
+def uniformise_mapping(vals, counts, maxdist: float = 0.2) -> dict:
+    """Greedy canonicalization dictionary from (distinct value, count)
+    pairs: sort by descending frequency (ties name-asc, matching R's
+    ``sort(-table(x))``); repeatedly absorb every string within JW
+    distance ``maxdist`` (p=0.1) of the current head into the head."""
+    vals = np.asarray(vals, dtype=object)
+    counts = np.asarray(counts, dtype=np.int64)
     order = np.lexsort((vals, -counts))
     queue = list(vals[order])
     mapping: dict[str, str] = {}
     while queue:
         head = queue[0]
-        d = jw_dist(np.full(len(queue), head, dtype=object), np.array(queue, dtype=object), p=0.1)
+        d = jw_dist(np.full(len(queue), head, dtype=object),
+                    np.array(queue, dtype=object), p=0.1)
         near = d < maxdist
         keep = []
         for s, hit in zip(queue, near):
@@ -169,6 +162,23 @@ def uniformise_string(strings, maxdist: float = 0.2) -> np.ndarray:
             else:
                 keep.append(s)
         queue = keep
+    return mapping
+
+
+def uniformise_string(strings, maxdist: float = 0.2) -> np.ndarray:
+    """Greedy canonicalization of near-duplicate strings.
+
+    Order-dependent global state (SURVEY §2.5 'hard parts'): intended to
+    run driver-side over the *distinct*-value table (small relative to
+    rows), then be broadcast back as a mapping (uniformise_mapping is the
+    (value, count)-pair entry point the distributed op feeds directly).
+
+    Returns the canonicalized string array (same shape as input).
+    """
+    arr = _as_object_array(strings)
+    vals, counts = np.unique([s for s in arr if isinstance(s, str)],
+                             return_counts=True)
+    mapping = uniformise_mapping(vals, counts, maxdist)
     out = np.empty(len(arr), dtype=object)
     for i, s in enumerate(arr):
         out[i] = mapping.get(s, s) if isinstance(s, str) else None

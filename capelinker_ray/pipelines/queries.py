@@ -698,6 +698,53 @@ def q_lang_quality(sf_dir: str):
     return out.select_columns(["doc_id", "lang", "lang_pred", "quality"])
 
 
+def q_asof_join(sf_dir: str):
+    """Per-user as-of join (backward): odd events pick the latest earlier
+    even event's value (DuckDB ASOF JOIN parity)."""
+    from ..stages.events import asof_join
+    from ..stages.grouped import grouped_map
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def odd(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["event_id"] % 2 == 1][["event_id", "user_id", "ts"]]
+
+    def even_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["event_id"] % 2 == 0]
+        return (d.groupby(["user_id", "ts"], sort=False)["value"].max()
+                .rename("r_value").reset_index())
+
+    def even_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["user_id", "ts"], sort=False)["r_value"].max()
+                .reset_index())
+
+    left = ev.map_batches(odd, batch_format="pandas")
+    right = grouped_map(ev.map_batches(even_partial, batch_format="pandas"),
+                        ["user_id", "ts"], even_combine)
+    out = asof_join(left, right, by="user_id", ts_col="ts",
+                    right_cols=["r_value"])
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_id", "user_id", "ts", "ts_r", "r_value"]].copy()
+        out["event_id"] = out["event_id"].astype(np.int64)
+        out["r_value"] = out["r_value"].round(6)
+        return out
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_asof_join(sf_dir: str) -> str:
+    return """WITH le AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1
+), re AS (
+  SELECT user_id, ts, max(value) AS r_value FROM events
+  WHERE event_id % 2 = 0 GROUP BY user_id, ts
+)
+SELECT le.event_id, le.user_id, le.ts, re.ts AS ts_r,
+       round(re.r_value, 6) AS r_value
+FROM le ASOF LEFT JOIN re
+  ON le.user_id = re.user_id AND re.ts <= le.ts"""
+
+
 def q_doc_curation(sf_dir: str):
     """End-to-end training-data curation: annotate -> gate -> exact dedup
     -> near-dup family collapse. Returns the removal ledger (doc_id,
@@ -744,6 +791,7 @@ def build_queries() -> dict:
         "embedding_dup": q_embedding_dup,
         "bigram_candidates": q_bigram_candidates,
         "idf_bigram_candidates": q_idf_bigram_candidates,
+        "asof_join": q_asof_join,
         # rows-only (no SQL oracle): model scoring / sketches / stubs
         "flagship_entities": q_flagship_entities,
         "minhash_dedup": q_minhash_dedup,
@@ -778,4 +826,5 @@ def build_oracle_sql() -> dict:
         "bigram_candidates": sql_bigram_candidates(path),
         "idf_bigram_candidates": sql_idf_bigram_candidates(path),
         "ngram_dedup": sql_ngram_dedup(_ORACLE_SF_DIR),
+        "asof_join": sql_asof_join(_ORACLE_SF_DIR),
     }

@@ -31,7 +31,6 @@ import ray
 from ray.data.aggregate import Max, Min
 
 from ..kernels.strdist import jaro_winkler_sim
-from ..kernels.textutil import uniformise_string
 
 __all__ = ["add_group_count", "normalise_column", "uniformise_column",
            "add_group_uniqueness"]
@@ -79,18 +78,26 @@ def normalise_column(ds, col: str, out_col: str | None = None):
 def uniformise_column(ds, col: str, out_col: str | None = None,
                       maxdist: float = 0.2):
     """Greedy canonicalization dictionary computed driver-side over the
-    DISTINCT values (small relative to rows), broadcast back as a map."""
+    DISTINCT (value, count) table (small relative to rows), broadcast back
+    as a map — exact frequency order, no value-repetition expansion."""
+    from ..kernels.textutil import uniformise_mapping
     out_col = out_col or f"{col}_uniform"
-    distinct = [v for v in ds.unique(col) if isinstance(v, str)]
-    # frequency-ordered greedy absorption needs counts: reuse the kernel on
-    # the distinct+count expansion? The kernel orders by frequency; feed it
-    # the actual value multiset compressed as (value, count).
-    counts = (ds.groupby(col).count().to_pandas())
-    cnt_col = [c for c in counts.columns if c != col][0]
-    expanded = np.repeat(counts[col].to_numpy(dtype=object),
-                         np.minimum(counts[cnt_col].to_numpy(), 1000))
-    canon = uniformise_string(expanded, maxdist=maxdist)
-    mapping = dict(zip(expanded.tolist(), canon.tolist()))
+    # partial counts per batch -> ONE small combine (add_group_count shape)
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(col, sort=False).size().rename("n")
+                .reset_index())
+
+    from .grouped import grouped_map
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(col, sort=False)["n"].sum().reset_index())
+
+    counts = grouped_map(ds.map_batches(partial, batch_format="pandas"),
+                         col, combine).to_pandas()
+    counts = counts[[isinstance(v, str) for v in counts[col]]]
+    mapping = uniformise_mapping(counts[col].to_numpy(object),
+                                 counts["n"].to_numpy(np.int64),
+                                 maxdist=maxdist)
     ref = ray.put(mapping)
 
     def apply_map(df: pd.DataFrame) -> pd.DataFrame:

@@ -18,7 +18,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-__all__ = ["sessionize", "session_stats", "tumbling_window_agg"]
+__all__ = ["sessionize", "session_stats", "tumbling_window_agg",
+           "asof_join"]
 
 
 def _ts_us(s: pd.Series) -> np.ndarray:
@@ -104,3 +105,85 @@ def tumbling_window_agg(ds, *, user_col: str = "user_id",
                      value_sum=("value_sum", "sum"))
                 .reset_index())
     return grouped_map(partials, [user_col, "window"], combine)
+
+
+def asof_join(left, right, *, by: str, ts_col: str = "ts",
+              right_cols: list[str] | None = None, suffix: str = "_r",
+              num_partitions: int | None = None):
+    """Per-key as-of join: each left row picks the LATEST right row with
+    ``right.ts <= left.ts`` for the same ``by`` key (DuckDB/kdb ASOF JOIN
+    semantics, "backward" direction). Unmatched left rows keep nulls.
+
+    Distributed shape: ONE co-partitioning shuffle of the tagged union by
+    ``by`` (stages/grouped.py), then a vectorized ``pandas.merge_asof``
+    per coarse partition — the partitioning assumption is that one key's
+    rows fit a partition (same contract as every grouped op here).
+    Right-side ties on (key, ts) resolve to the row latest in (ts,
+    right_cols) sort order; pre-aggregate the right side to unique
+    (key, ts) rows for fully deterministic output.
+    """
+    import pyarrow as pa
+    from .grouped import grouped_map
+
+    if right_cols is None:
+        right_cols = [c for c in right.schema().names
+                      if c not in (by, ts_col)]
+    lcols = list(left.schema().names)
+    # right value/ts columns land suffixed in the output
+    r_out = {c: c + suffix if c in lcols else c for c in right_cols}
+    r_out_ts = ts_col + suffix
+
+    def _types(ds):
+        s = ds.schema()
+        return {n: (t if isinstance(t, pa.DataType) else pa.string())
+                for n, t in zip(s.names, s.types)}
+
+    ltypes = _types(left)
+    rtypes = _types(right)
+    # unified tagged schema: left cols + suffixed right ts/value cols
+    fields = ([(c, ltypes[c]) for c in lcols]
+              + [(r_out_ts, rtypes[ts_col])]
+              + [(r_out[c], rtypes[c]) for c in right_cols]
+              + [("_aside", pa.int8())])
+    schema = pa.schema(fields)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = len(t)
+        arrays = [t[c].cast(typ) if c in t.column_names else
+                  pa.nulls(n, typ) for c, typ in fields[:-1]]
+        arrays.append(pa.array(np.zeros(n, np.int8)))
+        return pa.table(dict(zip([f[0] for f in fields], arrays)),
+                        schema=schema)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = len(t)
+        src = {r_out_ts: ts_col, **{v: k for k, v in r_out.items()},
+               by: by}
+        arrays = []
+        for c, typ in fields[:-1]:
+            s = src.get(c)
+            if s is not None and s in t.column_names:
+                arrays.append(t[s].cast(typ))
+            else:
+                arrays.append(pa.nulls(n, typ))
+        arrays.append(pa.array(np.ones(n, np.int8)))
+        return pa.table(dict(zip([f[0] for f in fields], arrays)),
+                        schema=schema)
+
+    tagged = (left.map_batches(tag_left, batch_format="pyarrow")
+              .union(right.select_columns([by, ts_col] + right_cols)
+                     .map_batches(tag_right, batch_format="pyarrow")))
+
+    out_cols = lcols + [r_out_ts] + [r_out[c] for c in right_cols]
+
+    def join_partition(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_aside"] == 0][lcols].sort_values(ts_col, kind="stable")
+        r = (g[g["_aside"] == 1][[by, r_out_ts] + list(r_out.values())]
+             .sort_values([r_out_ts] + list(r_out.values()),
+                          kind="stable"))
+        out = pd.merge_asof(l, r, left_on=ts_col, right_on=r_out_ts,
+                            by=by, direction="backward")
+        return out[out_cols]
+
+    return grouped_map(tagged, by, join_partition,
+                       num_partitions=num_partitions)

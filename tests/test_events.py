@@ -57,3 +57,26 @@ def test_tumbling_window_matches_pandas(ray_session):
         out[["user_id", "window", "n_events", "value_sum"]].astype(
             {"n_events": np.int64}),
         exp.astype({"n_events": np.int64}), check_dtype=False)
+
+
+def test_asof_join(ray_session):
+    """Backward as-of join: latest right row with ts <= left ts per key;
+    unmatched left rows keep nulls."""
+    import pandas as pd
+    from capelinker_ray.stages.events import asof_join
+    L = pd.DataFrame({
+        "user_id": ["a", "a", "a", "b", "c"],
+        "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00",
+                              "2024-01-01 09:00", "2024-01-01 10:30",
+                              "2024-01-02 00:00"]),
+        "event_id": [1, 2, 3, 4, 5]})
+    R = pd.DataFrame({
+        "user_id": ["a", "a", "b"],
+        "ts": pd.to_datetime(["2024-01-01 09:30", "2024-01-01 10:30",
+                              "2024-01-01 10:00"]),
+        "value": [1.5, 2.5, 9.0]})
+    out = asof_join(rd.from_pandas(L), rd.from_pandas(R),
+                    by="user_id").to_pandas()
+    got = out.sort_values("event_id")
+    assert list(got["value"].fillna(-1)) == [1.5, 2.5, -1, 9.0, -1]
+    assert got["ts_r"].notna().tolist() == [True, True, False, True, False]
