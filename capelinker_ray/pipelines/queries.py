@@ -757,6 +757,21 @@ def q_doc_curation(sf_dir: str):
     return out["removed"]
 
 
+def q_sketch_stats(sf_dir: str):
+    """Mergeable sketches over lineitem: HLL distinct orderkeys +
+    histogram quantiles of quantity (approximate by design — rows-only;
+    accuracy is pytest-pinned against exact answers)."""
+    from ..stages.sketch import approx_distinct, approx_quantiles
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    li = li.materialize()
+    n_orders = approx_distinct(li, "l_orderkey")
+    quants = approx_quantiles(li, "l_quantity", qs=(0.25, 0.5, 0.75))
+    quants = quants.copy()
+    quants["approx_distinct_orders"] = np.int64(n_orders)
+    return quants
+
+
 def q_media_features(sf_dir: str):
     media = rd.from_arrow(fake_media_table(n=64, seed=3))
     out = featurize_media(media, fake=True, concurrency=(1, 2))
@@ -799,6 +814,7 @@ def build_queries() -> dict:
         "simhash_pairs": q_simhash_pairs,
         "ngram_dedup": q_ngram_dedup,
         "doc_curation": q_doc_curation,
+        "sketch_stats": q_sketch_stats,
         "lang_quality": q_lang_quality,
         "media_features": q_media_features,
     }
