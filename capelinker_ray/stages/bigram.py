@@ -161,8 +161,15 @@ def _explode_fn(blockvariable: str, id_col: str, lookup_ref, maxsim: float,
         sides = df["_side"].to_numpy(dtype=object)
         ids = df[id_col].to_numpy(dtype=object)
 
-        rows: list[tuple] = []
-        for u, s, e, nsq in zip(udoc, rec_starts, rec_ends, norms_sq):
+        # per-RECORD loop builds the sparse vectors; row replication is
+        # pointer-level np.repeat (no per-exploded-row Python)
+        n_rec = len(udoc)
+        rec_dims = np.empty(n_rec, dtype=object)
+        rec_vals = np.empty(n_rec, dtype=object)
+        rec_npref = np.zeros(n_rec, dtype=np.int64)
+        dim_chunks: list[np.ndarray] = []
+        for k, (u, s, e, nsq) in enumerate(zip(udoc, rec_starts, rec_ends,
+                                               norms_sq)):
             if nsq <= 0:
                 continue
             dims_u = rank[s:e].astype(np.int32)
@@ -178,16 +185,23 @@ def _explode_fn(blockvariable: str, id_col: str, lookup_ref, maxsim: float,
                 npref = int(np.searchsorted(-tail, -maxsim_sq,
                                             side="left")) + 1
                 npref = min(npref, len(dims_u))
-            sid, rid = sides[u], ids[u]
-            for j in range(npref):
-                rows.append((np.int64(dims_u[j]), sid, rid, dims_u, vals_u,
-                             npref))
-        if not rows:
+            rec_dims[k] = dims_u
+            rec_vals[k] = vals_u
+            rec_npref[k] = npref
+            if npref:
+                dim_chunks.append(dims_u[:npref].astype(np.int64))
+        keep = rec_npref > 0
+        if not keep.any():
             return _empty_exploded()
-        out = pd.DataFrame(rows, columns=list(_EXPLODE_SCHEMA))
-        out["_dim"] = out["_dim"].astype(np.int64)
-        out["_npref"] = out["_npref"].astype(np.int64)
-        return out
+        reps = rec_npref[keep]
+        return pd.DataFrame({
+            "_dim": np.concatenate(dim_chunks),
+            "_side": np.repeat(sides[udoc[keep]], reps),
+            "_id": np.repeat(ids[udoc[keep]], reps),
+            "_dims": np.repeat(rec_dims[keep], reps),
+            "_vals": np.repeat(rec_vals[keep], reps),
+            "_npref": np.repeat(reps, reps),
+        })
     return explode
 
 
