@@ -53,6 +53,14 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
                      input_partitions: int | str | None = "auto") -> dict:
     """Self-link (dedup) a transcript corpus into entity clusters.
 
+    ``blocktype``: "equality" (default — exact block_key match),
+    "bigram"/"stringdist" (fuzzy within the block_key pre-block), or
+    "bigram_global"/"idf_bigram_global" (the REFERENCE's default: corpus-
+    wide bigram cosine on the first-turn prefix with no pre-block, via the
+    inverted-index blocker — higher recall on key-corrupted duplicates at
+    the cost of the fuzzy-join shuffle; pair a looser ``maxdist`` ~0.3-0.5
+    with it).
+
     Returns dict of Datasets: records, pairs, scored, links, entities,
     turns_out (turn-level, entity_id attached, (conv_id, turn_idx)-sorted),
     plus the checkpoint manager's lineage records under "metrics".
@@ -79,6 +87,24 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
 
     def build_pairs():
         from ..stages.grouped import default_partitions
+        if blocktype in ("bigram_global", "idf_bigram_global"):
+            # the reference's DEFAULT blocking: corpus-wide bigram cosine
+            # on the normalized first-turn prefix, NO pre-block
+            # (candidates.R:82-112 via the inverted-index blocker); slim
+            # id pairs come back, attributes join on per PAIR
+            from ..stages.bigram import attach_pair_attrs, \
+                bigram_candidates
+            cand = bigram_candidates(
+                records, None, blockvariable="first_text_prefix",
+                id_col="conv_id", maxdist=maxdist,
+                idf=blocktype.startswith("idf"), keep_unmatched=False,
+                max_block_pairs=max_block_pairs)
+            wide = attach_pair_attrs(cand, records, id_col="conv_id",
+                                     attr_cols=PAIR_ATTR_COLS)
+            wide = wide.rename_columns({"id_from": "conv_id_from",
+                                        "id_to": "conv_id_to"})
+            return add_pair_features(
+                wide.repartition(4 * default_partitions()))
         cand = candidates(
             records, None, block_col="block_key", id_col="conv_id",
             blocktype=blocktype, maxdist=maxdist,

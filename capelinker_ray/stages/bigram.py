@@ -395,3 +395,31 @@ def bigram_candidates(ds_from, ds_to=None, *, blockvariable: str,
 
     return grouped_map(both, "id_from", resolve,
                        num_partitions=num_partitions)
+
+
+def attach_pair_attrs(pairs, records, *, id_col: str,
+                      attr_cols: list[str],
+                      num_partitions: int | None = None):
+    """(id_from, id_to, ...) pairs + record attributes -> the wide
+    ``{attr}_from`` / ``{attr}_to`` pair table the feature stage consumes
+    (candidates() emits this inline; the corpus-wide bigram blocker ships
+    slim id pairs and joins attributes back here — two hash joins of the
+    PAIR table, never a per-bucket replication of wide rows).
+
+    Record ids are matched as strings (bigram_candidates normalizes pair
+    ids to str)."""
+    from .join import hash_join
+
+    def side(suffix: str):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {f"id{suffix}": t[id_col].cast(pa.string())}
+            for c in attr_cols:
+                cols[f"{c}{suffix}"] = t[c]
+            return pa.table(cols)
+        return records.map_batches(fn, batch_format="pyarrow")
+
+    out = hash_join(pairs, side("_from"), on="id_from",
+                    num_partitions=num_partitions)
+    out = hash_join(out, side("_to"), on="id_to", how="left",
+                    num_partitions=num_partitions)
+    return out

@@ -89,3 +89,24 @@ def test_checkpoint_param_change_invalidates(ray_session, tmp_path):
     assert w2["conv_records"] == w1["conv_records"]
     # downstream of the changed parameter was recomputed
     assert w2["links"] != w1["links"] or out2["links"].count() == 0
+
+
+def test_flagship_bigram_global_blocking(ray_session):
+    """blocktype='bigram_global' runs the reference's DEFAULT (corpus-wide
+    bigram cosine, no pre-block) inside the flagship: the corrupted-prefix
+    duplicates that equality blocking misses by design become candidates,
+    lifting recall to 1.0 on the seeded corpus (vs 0.98 for equality)."""
+    turns, truth = synth.gen_corpus(n_entities=80, seed=7)
+    out = link_transcripts(rd.from_arrow(turns), checkpoint_dir=None,
+                           blocktype="bigram_global", maxdist=0.3,
+                           sort_output=False)
+    ents = out["entities"].to_pandas()
+    m = ents.merge(truth.to_pandas(), on="conv_id",
+                   suffixes=("_pred", "_true"))
+    pred = _pairs_of(m, "entity_id_pred")
+    true = _pairs_of(m, "entity_id_true")
+    tp = len(pred & true)
+    prec = tp / len(pred) if pred else 1.0
+    rec = tp / len(true) if true else 1.0
+    assert prec >= 0.99, (prec, rec)
+    assert rec >= 0.99, (prec, rec)
