@@ -110,9 +110,10 @@ class CheckpointManager:
         if self.done(name):
             with open(self._marker(name)) as f:
                 rec = json.load(f)
-            if rec.get("param_hash", h) == h:
+            if rec.get("param_hash") == h:
                 return rd.read_parquet(path)
-            # parameter / upstream change: fall through and recompute
+            # parameter / upstream change — or a legacy marker with no
+            # recorded hash, which must NOT be trusted: recompute
         if os.path.isdir(path):
             # clear stale or partial output — never mix files of two runs
             shutil.rmtree(path)

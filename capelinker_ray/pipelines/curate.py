@@ -100,10 +100,11 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     # exact dup: min id per text hash; emit ONLY the non-representatives
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_th"] = fnv1a_64(df[text_col].fillna("").tolist())\
-            .astype(np.int64)
-        return df
+        # only (id, hash) cross the dedup shuffle — never the texts
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "_th": fnv1a_64(df[text_col].fillna("").tolist())
+            .astype(np.int64)})
 
     def exact_losers(part: pd.DataFrame) -> pd.DataFrame:
         keep = part.groupby("_th", sort=False)[id_col].transform("min")

@@ -134,13 +134,18 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
 
     links = ck.stage(
         "links",
+        # tie_break pinned: tree scores tie exactly all the time, and the
+        # flagship wants one link kept per group — the reference-parity
+        # "average" default (drop both) is for predict_links callers
         lambda: select_links(scored, id_from="conv_id_from",
                              id_to="conv_id_to", pred_col="pred",
                              minimum_confidence=minimum_confidence,
-                             linktype=linktype),
+                             linktype=linktype,
+                             tie_break="deterministic"),
         inputs=("scored_pairs",),
         params={"linktype": linktype,
-                "minimum_confidence": minimum_confidence})
+                "minimum_confidence": minimum_confidence,
+                "tie_break": "deterministic"})
 
     components = ck.stage(
         "components",

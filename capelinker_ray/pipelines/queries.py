@@ -769,7 +769,7 @@ def q_sketch_stats(sf_dir: str):
     quants = approx_quantiles(li, "l_quantity", qs=(0.25, 0.5, 0.75))
     quants = quants.copy()
     quants["approx_distinct_orders"] = np.int64(n_orders)
-    return quants
+    return rd.from_pandas(quants)   # uniform contract: queries -> Dataset
 
 
 def q_media_features(sf_dir: str):

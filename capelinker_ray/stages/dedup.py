@@ -290,31 +290,42 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
         grp = grp[order]
         ids = part[id_col].to_numpy(np.int64)
         M = _unpack_rows(part["sig_b"], np.int64)
-        # triu pair indices per bucket, all buckets at once
+        # triu pair indices per bucket, all buckets at once; enumeration
+        # runs in bounded CHUNKs so a degenerate mega-bucket (e.g. 100k
+        # boilerplate docs sharing a band) cannot allocate k²/2 indices in
+        # one shot. NOTE the OUTPUT of a clique of near-identical docs is
+        # inherently quadratic — run exact_dedup first on dup-heavy
+        # corpora (pipelines/curate.py does exactly that).
         n_per = np.bincount(grp)
         starts = np.cumsum(n_per) - n_per
         n_pairs = n_per * (n_per - 1) // 2
         tot = int(n_pairs.sum())
-        pgrp = np.repeat(np.arange(len(n_per)), n_pairs)
-        offs = np.cumsum(n_pairs) - n_pairs
-        w = np.arange(tot, dtype=np.int64) - offs[pgrp]  # within-bucket pair
-        k = n_per[pgrp]
-        # map linear index w -> (i, j) of the k x k strict upper triangle
-        i_ = (k - 2 - np.floor(
-            np.sqrt(-8.0 * w + 4.0 * k * (k - 1) - 7) / 2.0 - 0.5)
-        ).astype(np.int64)
-        j_ = (w + i_ + 1 - k * (k - 1) // 2
-              + (k - i_) * ((k - i_) - 1) // 2).astype(np.int64)
-        fi = starts[pgrp] + i_
-        ti = starts[pgrp] + j_
-        est = (M[fi] == M[ti]).mean(axis=1)
-        keep = est >= jaccard_threshold
-        a, b = ids[fi[keep]], ids[ti[keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pa.table({"id_from": pa.array(lo, pa.int64()),
-                         "id_to": pa.array(hi, pa.int64()),
-                         "est_jaccard": pa.array(est[keep], pa.float64())},
-                        schema=pair_schema)
+        cum = np.cumsum(n_pairs)
+        offs = cum - n_pairs
+        CHUNK = 5_000_000
+        frames = []
+        for s0 in range(0, tot, CHUNK):
+            idx = np.arange(s0, min(s0 + CHUNK, tot), dtype=np.int64)
+            pgrp = np.searchsorted(cum, idx, side="right")
+            w = idx - offs[pgrp]               # within-bucket pair index
+            k = n_per[pgrp]
+            # map linear index w -> (i, j) of the strict upper triangle
+            i_ = (k - 2 - np.floor(
+                np.sqrt(-8.0 * w + 4.0 * k * (k - 1) - 7) / 2.0 - 0.5)
+            ).astype(np.int64)
+            j_ = (w + i_ + 1 - k * (k - 1) // 2
+                  + (k - i_) * ((k - i_) - 1) // 2).astype(np.int64)
+            fi = starts[pgrp] + i_
+            ti = starts[pgrp] + j_
+            est = (M[fi] == M[ti]).mean(axis=1)
+            keep = est >= jaccard_threshold
+            a, b = ids[fi[keep]], ids[ti[keep]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            frames.append(pd.DataFrame({"id_from": lo, "id_to": hi,
+                                        "est_jaccard": est[keep]}))
+        out = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(out, schema=pair_schema,
+                                    preserve_index=False)
 
     from .grouped import grouped_map
     pairs = grouped_map(exploded, "band_key", bucket_pairs_partition)
@@ -338,7 +349,12 @@ def simhash_signatures(ds, *, text_col: str = "text",
 
     Vectorized across the whole batch: all tokens of all docs are hashed in
     one ``fnv1a_64`` call, per-doc/per-bit ±1 sums come from 64 bincounts
-    over the flattened token->doc index — no per-document Python loop."""
+    over the flattened token->doc index — no per-document Python loop.
+
+    Compatibility note: bit ORDER differs from the pre-r2 implementation
+    (which packed the bit vector reversed) — Hamming distances between
+    same-version signatures are unchanged, but signatures persisted by the
+    old code must not be compared against new ones."""
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
         n = len(df)

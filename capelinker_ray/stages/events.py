@@ -177,13 +177,21 @@ def asof_join(left, right, *, by: str, ts_col: str = "ts",
     out_cols = lcols + [r_out_ts] + [r_out[c] for c in right_cols]
 
     def join_partition(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["_aside"] == 0][lcols].sort_values(ts_col, kind="stable")
-        r = (g[g["_aside"] == 1][[by, r_out_ts] + list(r_out.values())]
+        l = g[g["_aside"] == 0][lcols]
+        r = g[g["_aside"] == 1][[by, r_out_ts] + list(r_out.values())]
+        # merge_asof raises on null on-keys; null-ts left rows are simply
+        # unmatched (DuckDB ASOF LEFT semantics), null-ts right rows can
+        # never match
+        l_na = l[l[ts_col].isna()]
+        l = l[l[ts_col].notna()].sort_values(ts_col, kind="stable")
+        r = (r[r[r_out_ts].notna()]
              .sort_values([r_out_ts] + list(r_out.values()),
                           kind="stable"))
         out = pd.merge_asof(l, r, left_on=ts_col, right_on=r_out_ts,
                             by=by, direction="backward")
-        return out[out_cols]
+        if len(l_na):
+            out = pd.concat([out, l_na], ignore_index=True)
+        return out.reindex(columns=out_cols)
 
     return grouped_map(tagged, by, join_partition,
                        num_partitions=num_partitions)

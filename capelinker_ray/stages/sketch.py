@@ -80,7 +80,12 @@ def approx_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75), *,
     stats = ds.aggregate(Min(col, alias_name="lo"),
                          Max(col, alias_name="hi"))
     lo, hi = float(stats["lo"]), float(stats["hi"])
-    width = (hi - lo) / bins if hi > lo else 1.0
+    if hi <= lo:
+        # constant column: every quantile IS the value (interpolating
+        # inside a fallback-width bin would report lo + up to 1.0)
+        return pd.DataFrame({"q": [float(q) for q in qs],
+                             "value": [lo] * len(qs)})
+    width = (hi - lo) / bins
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         v = df[col].dropna().to_numpy(np.float64)

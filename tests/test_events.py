@@ -80,3 +80,19 @@ def test_asof_join(ray_session):
     got = out.sort_values("event_id")
     assert list(got["value"].fillna(-1)) == [1.5, 2.5, -1, 9.0, -1]
     assert got["ts_r"].notna().tolist() == [True, True, False, True, False]
+
+
+def test_asof_join_null_ts(ray_session):
+    """Null-ts left rows stay unmatched instead of crashing merge_asof;
+    null-ts right rows never match."""
+    import pandas as pd
+    from capelinker_ray.stages.events import asof_join
+    L = pd.DataFrame({"user_id": ["a", "a"],
+                      "ts": [pd.Timestamp("2024-01-01 10:00"), pd.NaT],
+                      "event_id": [1, 2]})
+    R = pd.DataFrame({"user_id": ["a", "a"],
+                      "ts": [pd.Timestamp("2024-01-01 09:00"), pd.NaT],
+                      "value": [7.0, 99.0]})
+    out = asof_join(rd.from_pandas(L), rd.from_pandas(R),
+                    by="user_id").to_pandas().sort_values("event_id")
+    assert list(out["value"].fillna(-1)) == [7.0, -1]

@@ -110,3 +110,28 @@ def test_flagship_bigram_global_blocking(ray_session):
     rec = tp / len(true) if true else 1.0
     assert prec >= 0.99, (prec, rec)
     assert rec >= 0.99, (prec, rec)
+
+
+def test_checkpoint_legacy_marker_not_trusted(ray_session, tmp_path):
+    """A pre-param-hash marker (no recorded hash) must trigger recompute,
+    not be vacuously accepted."""
+    import json
+    import os
+    ck = str(tmp_path / "ck4")
+    turns, _ = synth.gen_corpus(n_entities=15, seed=3)
+    out1 = link_transcripts(rd.from_arrow(turns), checkpoint_dir=ck,
+                            sort_output=False)
+    n1 = out1["links"].count()
+    marker = os.path.join(ck, "links", "_SUCCESS.json")
+    with open(marker) as f:
+        rec = json.load(f)
+    del rec["param_hash"]
+    with open(marker, "w") as f:
+        json.dump(rec, f)
+    out2 = link_transcripts(rd.from_arrow(turns), checkpoint_dir=ck,
+                            sort_output=False)
+    assert out2["links"].count() == n1
+    w2 = {r["stage"]: r for r in out2["metrics"]}
+    # the legacy-marker stage was rebuilt and re-stamped with a hash
+    with open(marker) as f:
+        assert "param_hash" in json.load(f)

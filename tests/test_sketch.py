@@ -33,3 +33,9 @@ def test_histogram_quantiles(ray_session):
     width = (vals.max() - vals.min()) / 4096
     for got, ex in zip(out["value"], exact):
         assert abs(got - ex) <= max(2 * width, 1e-9), (got, ex)
+
+
+def test_quantiles_constant_column(ray_session):
+    df = pd.DataFrame({"v": np.full(1000, 5.0)})
+    out = approx_quantiles(rd.from_pandas(df), "v", qs=(0.25, 0.5, 0.75))
+    assert (out["value"] == 5.0).all()
