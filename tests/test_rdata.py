@@ -30,3 +30,9 @@ def test_other_panels():
     opg = read_rda(f"{_DATA}/opg.rda")["opg"]
     out = read_rda(f"{_DATA}/out.rda")["out"]
     assert opg.shape[0] == 3118 and out.shape[0] == 3118
+
+
+def test_rda_dataset_helper(ray_session):
+    from capelinker_ray.sources.rdata import rda_dataset
+    ds = rda_dataset(f"{_DATA}/opg.rda")
+    assert ds.count() == 3118
