@@ -42,6 +42,8 @@ pair/stub union hash-partitions consistently.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -234,6 +236,94 @@ def _dense(rows_dims, vocab: np.ndarray, rows_vals=None, limits=None,
     return M
 
 
+def _grid_plan(nf: int, nt: int, cap: int) -> tuple[int, int]:
+    """(a, b) grid so each cell holds <= cap pairs: a*b >= nf*nt/cap with
+    a/b ~ nf/nt (minimizes total replicated rows b*nf + a*nt)."""
+    a = max(1, int(math.ceil(nf / math.sqrt(cap))))
+    b = max(1, int(math.ceil(nt / math.sqrt(cap))))
+    while math.ceil(nf / a) * math.ceil(nt / b) > cap:
+        if nf / a >= nt / b:
+            a += 1
+        else:
+            b += 1
+    return a, b
+
+
+def _grid_hot_dims(exploded, cap: int) -> dict:
+    """{dim: (a, b)} for dims whose nf*nt pair count exceeds ``cap`` —
+    partial (dim, side) counts per batch, one tiny combine."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("_dim", sort=False)["_side"]
+        out = g.value_counts().unstack(fill_value=0)
+        for c in ("F", "T"):
+            if c not in out:
+                out[c] = 0
+        out = out.reset_index()
+        return pd.DataFrame({"_dim": out["_dim"],
+                             "nf": out["F"].astype(np.int64),
+                             "nt": out["T"].astype(np.int64)})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        tot = (df.groupby("_dim", sort=False)
+               .agg(nf=("nf", "sum"), nt=("nt", "sum")).reset_index())
+        prod = tot["nf"].to_numpy(np.float64) * tot["nt"].to_numpy(
+            np.float64)
+        return tot[prod > cap]
+
+    hot = grouped_map(exploded.map_batches(partial, batch_format="pandas"),
+                      "_dim", combine).to_pandas()
+    if not len(hot) or "_dim" not in hot.columns:
+        return {}
+    return {int(d): _grid_plan(int(nf), int(nt), cap)
+            for d, nf, nt in zip(hot["_dim"], hot["nf"], hot["nt"])
+            if nf > 0 and nt > 0}
+
+
+def _grid_salt_fn(hot: dict):
+    hot_ref = ray.put(hot)
+
+    def salt(df: pd.DataFrame) -> pd.DataFrame:
+        h = ray.get(hot_ref)
+        if not h:
+            df = df.copy()
+            df["_salt"] = np.int32(0)
+            return df
+        df = df.reset_index(drop=True)
+        is_hot = df["_dim"].isin(h).to_numpy()
+        plain = df[~is_hot].copy()
+        plain["_salt"] = np.int32(0)
+        out = [plain]
+        hr = df[is_hot]
+        if len(hr):
+            ab = np.array([h[int(d)] for d in hr["_dim"]], np.int64)
+            a, b = ab[:, 0], ab[:, 1]
+            idh = pd.util.hash_array(hr["_id"].to_numpy(dtype=object))
+            is_f = (hr["_side"] == "F").to_numpy()
+            # F row in row-shard i replicated across the b columns;
+            # T row in column-shard j replicated across the a rows
+            reps = np.where(is_f, b, a)
+            rep_rows = hr.loc[hr.index.repeat(reps)].copy()
+            salts = np.empty(int(reps.sum()), np.int32)
+            pos = 0
+            i_shard = (idh % np.maximum(a, 1).astype(np.uint64)).astype(
+                np.int64)
+            j_shard = (idh % np.maximum(b, 1).astype(np.uint64)).astype(
+                np.int64)
+            for k in range(len(hr)):
+                r = int(reps[k])
+                if is_f[k]:
+                    salts[pos:pos + r] = (i_shard[k] * b[k]
+                                          + np.arange(r))
+                else:
+                    salts[pos:pos + r] = (np.arange(r) * b[k]
+                                          + j_shard[k])
+                pos += r
+            rep_rows["_salt"] = salts
+            out.append(rep_rows)
+        return pd.concat(out, ignore_index=True)
+    return salt
+
+
 def _pairs_fn(maxsim: float, self_link: bool):
     empty = pd.DataFrame({"id_from": pd.Series(dtype=object),
                           "id_to": pd.Series(dtype=object),
@@ -303,7 +393,7 @@ def bigram_candidates(ds_from, ds_to=None, *, blockvariable: str,
     wide rows through the bigram shuffle would multiply its bytes by
     dims-per-record.
     """
-    from .blocking import DEFAULT_MAX_BLOCK_PAIRS, _hot_keys, _salt_fn
+    from .blocking import DEFAULT_MAX_BLOCK_PAIRS
     if maxdist > 1.0:
         raise ValueError("maxdist must be <= 1 for bigram blocking (a "
                          "negative similarity threshold would admit "
@@ -354,9 +444,15 @@ def bigram_candidates(ds_from, ds_to=None, *, blockvariable: str,
         _explode_fn(blockvariable, id_col, lookup_ref, maxsim, idf),
         batch_format="pandas").materialize()
 
-    # pass 3: salted groupby(dim) -> exact cosine pairs
-    hot = _hot_keys(exploded, "_dim", max_block_pairs)
-    salted = exploded.map_batches(_salt_fn("_dim", "_id", hot),
+    # pass 3: GRID-salted groupby(dim) -> exact cosine pairs. Hot dims are
+    # split into an a x b grid (F-rows hashed into a row-shards and
+    # replicated across b columns; T-rows vice versa), so replication is
+    # ~sqrt(nf*nt/cap) per side instead of the one-sided scheme's full
+    # to-side copy per shard (which costs ~nf*nt²/cap rows when a common
+    # bigram covers a large to-side — measured 100x row blowup on the
+    # 8x-rein corpus).
+    hot = _grid_hot_dims(exploded, max_block_pairs)
+    salted = exploded.map_batches(_grid_salt_fn(hot),
                                   batch_format="pandas")
     pairs = grouped_map(salted, ["_dim", "_salt"],
                         _pairs_fn(maxsim, self_link),
