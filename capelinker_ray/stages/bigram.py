@@ -47,7 +47,9 @@ import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
+import ray.data as rd
 
 from .grouped import grouped_map
 
@@ -55,6 +57,8 @@ __all__ = ["bigram_candidates"]
 
 _SEP = "\x00"
 _CODE_BASE = np.int64(0x110000)  # > max unicode codepoint
+# broadcast bound for the matches fast path (engine-wide 5M convention)
+_BROADCAST_FROM_IDS = 5_000_000
 
 
 def _batch_bigrams(strings: np.ndarray):
@@ -379,7 +383,8 @@ def bigram_candidates(ds_from, ds_to=None, *, blockvariable: str,
                       id_col: str, maxdist: float = 0.15, idf: bool = False,
                       keep_unmatched: bool = True,
                       max_block_pairs: int | None = None,
-                      num_partitions: int | None = None):
+                      num_partitions: int | None = None,
+                      broadcast_from_ids: int = _BROADCAST_FROM_IDS):
     """Corpus-wide bigram-cosine candidate pairs (no pre-block).
 
     Semantics of candidates.R:82-96 (``idf=True``: :97-112): keep (from,
@@ -392,6 +397,12 @@ def bigram_candidates(ds_from, ds_to=None, *, blockvariable: str,
     attributes back with stages.join.hash_join / broadcast_join; shipping
     wide rows through the bigram shuffle would multiply its bytes by
     dims-per-record.
+
+    ``matches`` is computed by partial per-batch counts combined into an
+    nf-bounded table and broadcast over the streaming pair set — no
+    second all-to-all of pair rows. Above ``broadcast_from_ids`` distinct
+    from-ids the table no longer fits a broadcast and the stage falls
+    back to co-partitioning pairs by id_from.
     """
     from .blocking import DEFAULT_MAX_BLOCK_PAIRS
     if maxdist > 1.0:
@@ -424,7 +435,17 @@ def bigram_candidates(ds_from, ds_to=None, *, blockvariable: str,
         t_slim = ds_to.select_columns(slim_cols)
         tagged = f_only.union(
             t_slim.map_batches(tag("T"), batch_format="pyarrow"))
+    # pin explode/df-count parallelism to the session, not to however the
+    # caller's input was laid out: a single-block source (from_pandas, one
+    # parquet file) would otherwise run the whole bigram explode as ONE
+    # task (measured: 30-50 s serial on a 330k-row corpus, 0 scaling).
+    # Only widen narrow layouts — an input already wider than the session
+    # target (the normal case on a real cluster) keeps its blocks.
+    from .grouped import default_partitions
     tagged = tagged.materialize()
+    target = default_partitions()
+    if tagged.num_blocks() < target:
+        tagged = tagged.repartition(target).materialize()
 
     # pass 1: df + N -> rarest-first rank order + idf weights, broadcast
     codes, dfs, n_total = _df_and_n(tagged, blockvariable)
@@ -458,16 +479,71 @@ def bigram_candidates(ds_from, ds_to=None, *, blockvariable: str,
                         _pairs_fn(maxsim, self_link),
                         num_partitions=num_partitions)
 
-    # pass 4: matches + outer retention, co-partitioned by id_from.
-    # ids normalized to strings on BOTH branches: a pandas/arrow dtype
-    # mismatch would hash-partition the same id to different groups.
+    # pass 4: matches + outer retention. ids normalized to strings on
+    # BOTH branches: a pandas/arrow dtype mismatch would hash-partition
+    # (or map) the same id to different keys.
     def norm_pairs(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["id_from"] = df["id_from"].astype(str)
         df["id_to"] = df["id_to"].astype(str)
         return df
 
-    both = pairs.map_batches(norm_pairs, batch_format="pandas")
+    norm = pairs.map_batches(norm_pairs, batch_format="pandas")
+
+    # fast path: per-id_from counts are nf-bounded — partial-count each
+    # batch, combine the partials (a shuffle of count rows, not pair
+    # rows), and broadcast the result back over the streaming pair set.
+    # This skips re-shuffling every pair by id_from just to count them.
+    # Eligibility is the distinct-from-id count (5M, the engine-wide
+    # broadcast bound); above it, fall back to co-partitioned resolve.
+    def distinct_fid(t: pa.Table) -> pa.Table:
+        return pa.table({"id_from": pc.unique(t[id_col].cast(pa.string()))})
+
+    fids = grouped_map(
+        f_only.map_batches(distinct_fid, batch_format="pyarrow"),
+        "id_from", lambda df: df.drop_duplicates("id_from"),
+        num_partitions=num_partitions).materialize()
+
+    if fids.count() <= broadcast_from_ids:
+        norm = norm.materialize()
+
+        def pcount(df: pd.DataFrame) -> pd.DataFrame:
+            return (df.groupby("id_from", sort=False).size()
+                    .rename("n").reset_index())
+
+        counts = grouped_map(
+            norm.map_batches(pcount, batch_format="pandas"), "id_from",
+            lambda df: (df.groupby("id_from", sort=False)["n"].sum()
+                        .reset_index()),
+            num_partitions=num_partitions).to_pandas()
+        if len(counts):
+            cseries = pd.Series(counts["n"].to_numpy(np.float64),
+                                index=counts["id_from"])
+        else:
+            cseries = pd.Series(dtype=np.float64)
+        cref = ray.put(cseries)
+
+        def add_matches(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["matches"] = (df["id_from"].map(ray.get(cref))
+                             .astype(np.float64))
+            return df
+
+        out = norm.map_batches(add_matches, batch_format="pandas")
+        if keep_unmatched:
+            fdf = fids.to_pandas()
+            un = fdf[~fdf["id_from"].isin(cseries.index)]
+            if len(un):
+                stubs = pd.DataFrame({
+                    "id_from": un["id_from"].to_numpy(object),
+                    "id_to": pd.array([None] * len(un), dtype=object),
+                    "score": np.full(len(un), np.nan),
+                    "matches": np.zeros(len(un))})
+                out = out.union(rd.from_pandas(stubs))
+        return out
+
+    # fallback: co-partition pairs (+ one stub per from row) by id_from
+    both = norm
     if keep_unmatched:
         def stub(t: pa.Table) -> pa.Table:
             return pa.table({
