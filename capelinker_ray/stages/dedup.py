@@ -28,6 +28,26 @@ __all__ = [
 ]
 
 
+def _widen(ds, input_partitions):
+    """Repartition a narrow input up to session width before a heavy
+    pre-shuffle stage. A single-block source (from_pandas, one small
+    parquet file) otherwise runs the whole signature/shingle computation
+    as ONE serial task — downstream grouped_map repartitions spread the
+    SHUFFLE, not the map that feeds it. ``input_partitions=None`` skips
+    (cluster-scale reads are already wide); ``"auto"`` = 2× session CPUs."""
+    if input_partitions:
+        from .grouped import default_partitions
+        n = (default_partitions() if input_partitions == "auto"
+             else int(input_partitions))
+        try:
+            if ds.num_blocks() >= n:   # already wide (materialized only)
+                return ds
+        except Exception:
+            pass                        # lazy plan: width unknown
+        ds = ds.repartition(n)
+    return ds
+
+
 # ---------------------------------------------------------------------------
 # shared LSH plumbing: slim bucket explosion -> candidate id pairs
 # ---------------------------------------------------------------------------
@@ -189,7 +209,8 @@ def _batch_shingle_hashes(texts: list, k: int):
 
 def minhash_signatures(ds, *, text_col: str = "text", id_col: str = "doc_id",
                        num_perm: int = 64, shingle_k: int = 5,
-                       batch_size: int | None = None):
+                       batch_size: int | None = None,
+                       input_partitions: int | str | None = "auto"):
     """+ ``minhash`` (fixed_size_list<uint64? -> int64>[num_perm]).
 
     Permutations are simulated with splitmix64 streams over shingle hashes
@@ -198,6 +219,7 @@ def minhash_signatures(ds, *, text_col: str = "text", id_col: str = "doc_id",
     one ``np.minimum.reduceat`` over the doc-contiguous hash runs — no
     per-document Python loop (min over the shingle multiset equals min
     over the set, so no dedup pass is needed)."""
+    ds = _widen(ds, input_partitions)
     seeds = _splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64))
     maxv = np.iinfo(np.uint64).max
 
@@ -344,7 +366,8 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 def simhash_signatures(ds, *, text_col: str = "text",
-                       batch_size: int | None = None):
+                       batch_size: int | None = None,
+                       input_partitions: int | str | None = "auto"):
     """+ ``simhash`` int64: 64-bit Charikar simhash over token hashes.
 
     Vectorized across the whole batch: all tokens of all docs are hashed in
@@ -355,6 +378,8 @@ def simhash_signatures(ds, *, text_col: str = "text",
     (which packed the bit vector reversed) — Hamming distances between
     same-version signatures are unchanged, but signatures persisted by the
     old code must not be compared against new ones."""
+    ds = _widen(ds, input_partitions)
+
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
         n = len(df)
@@ -457,7 +482,8 @@ def ngram_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                         block_col: str | None = None, n: int = 3,
                         threshold: float = 0.5, unblocked_cap: int = 20_000,
                         prefilter: str | None = None,
-                        num_perm: int = 128, bands: int = 32):
+                        num_perm: int = 128, bands: int = 32,
+                        input_partitions: int | str | None = "auto"):
     """Exact character-n-gram Jaccard near-dup pairs.
 
     Three modes (r1 verdict weakness #3 — the old default ran one global
@@ -478,6 +504,7 @@ def ngram_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
     global quadratic would be a driver-killer at scale.
     """
     from .grouped import grouped_map
+    ds = _widen(ds, input_partitions)
 
     def _pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
         """Vectorized exact block kernel: intersections from one self-merge
@@ -570,7 +597,8 @@ def embedding_dup_pairs(ds, *, vec_col: str = "embedding",
                         n_tables: int = 8, n_planes: int | str = "auto",
                         target_bucket: int = 256, seed: int = 12345,
                         exact_block: bool = False,
-                        max_block_pairs: int = 200_000):
+                        max_block_pairs: int = 200_000,
+                        input_partitions: int | str | None = "auto"):
     """Embedding-cosine near-dup pairs via banded multi-table hyperplane
     LSH (r1 verdict weakness #4 — the old single 16-bucket table was
     O((N/16)²) with no cap).
@@ -615,7 +643,7 @@ def embedding_dup_pairs(ds, *, vec_col: str = "embedding",
         return keyed.groupby("_bucket").map_groups(
             pairs, batch_format="pandas")
 
-    ds = ds.materialize()
+    ds = _widen(ds, input_partitions).materialize()
     if n_planes == "auto":
         n_rows = ds.count()
         n_planes = int(np.clip(np.ceil(np.log2(max(n_rows, 2)
