@@ -255,7 +255,10 @@ def _grid_plan(nf: int, nt: int, cap: int) -> tuple[int, int]:
 
 def _grid_hot_dims(exploded, cap: int) -> dict:
     """{dim: (a, b)} for dims whose nf*nt pair count exceeds ``cap`` —
-    partial (dim, side) counts per batch, one tiny combine."""
+    partial (dim, side) counts per batch, combined on the driver. The
+    partial table is dim-vocab-bounded per block (bigram vocab, not
+    rows), so the collect is small even on a 100-TB corpus; this avoids
+    a repartition+sort barrier for what is a vocab-sized aggregate."""
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("_dim", sort=False)["_side"]
         out = g.value_counts().unstack(fill_value=0)
@@ -267,17 +270,14 @@ def _grid_hot_dims(exploded, cap: int) -> dict:
                              "nf": out["F"].astype(np.int64),
                              "nt": out["T"].astype(np.int64)})
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        tot = (df.groupby("_dim", sort=False)
-               .agg(nf=("nf", "sum"), nt=("nt", "sum")).reset_index())
-        prod = tot["nf"].to_numpy(np.float64) * tot["nt"].to_numpy(
-            np.float64)
-        return tot[prod > cap]
-
-    hot = grouped_map(exploded.map_batches(partial, batch_format="pandas"),
-                      "_dim", combine).to_pandas()
-    if not len(hot) or "_dim" not in hot.columns:
+    parts = exploded.map_batches(partial,
+                                 batch_format="pandas").to_pandas()
+    if not len(parts):
         return {}
+    tot = (parts.groupby("_dim", sort=False)
+           .agg(nf=("nf", "sum"), nt=("nt", "sum")).reset_index())
+    prod = tot["nf"].to_numpy(np.float64) * tot["nt"].to_numpy(np.float64)
+    hot = tot[prod > cap]
     return {int(d): _grid_plan(int(nf), int(nt), cap)
             for d, nf, nt in zip(hot["_dim"], hot["nf"], hot["nt"])
             if nf > 0 and nt > 0}
@@ -494,17 +494,12 @@ def bigram_candidates(ds_from, ds_to=None, *, blockvariable: str,
     # batch, combine the partials (a shuffle of count rows, not pair
     # rows), and broadcast the result back over the streaming pair set.
     # This skips re-shuffling every pair by id_from just to count them.
-    # Eligibility is the distinct-from-id count (5M, the engine-wide
-    # broadcast bound); above it, fall back to co-partitioned resolve.
-    def distinct_fid(t: pa.Table) -> pa.Table:
-        return pa.table({"id_from": pc.unique(t[id_col].cast(pa.string()))})
-
-    fids = grouped_map(
-        f_only.map_batches(distinct_fid, batch_format="pyarrow"),
-        "id_from", lambda df: df.drop_duplicates("id_from"),
-        num_partitions=num_partitions).materialize()
-
-    if fids.count() <= broadcast_from_ids:
+    # Eligibility is the tagged corpus ROW count (an upper bound on
+    # distinct from-ids; 5M, the engine-wide broadcast bound) — free on
+    # the already-materialized corpus, no distinct shuffle and no
+    # re-execution of the caller's lazy chain. Conservative: a huge
+    # to-side forces the fallback even when nf alone would fit.
+    if tagged.count() <= broadcast_from_ids:
         norm = norm.materialize()
 
         def pcount(df: pd.DataFrame) -> pd.DataFrame:
@@ -531,7 +526,12 @@ def bigram_candidates(ds_from, ds_to=None, *, blockvariable: str,
 
         out = norm.map_batches(add_matches, batch_format="pandas")
         if keep_unmatched:
-            fdf = fids.to_pandas()
+            def distinct_fid(t: pa.Table) -> pa.Table:
+                return pa.table(
+                    {"id_from": pc.unique(t[id_col].cast(pa.string()))})
+
+            fdf = (f_only.map_batches(distinct_fid, batch_format="pyarrow")
+                   .to_pandas().drop_duplicates("id_from"))
             un = fdf[~fdf["id_from"].isin(cseries.index)]
             if len(un):
                 stubs = pd.DataFrame({
