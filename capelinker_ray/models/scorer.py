@@ -29,9 +29,14 @@ def feature_matrix(t: pa.Table, feature_names: list[str]) -> np.ndarray:
     for name in feature_names:
         if name in t.column_names:
             a = t[name]
-            if pa.types.is_boolean(a.type):
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            # cast to float64 in Arrow so nulls become NaN on the numpy
+            # side — to_numpy(zero_copy_only=False) is a single buffer
+            # copy, not a per-value Python conversion
+            if not pa.types.is_float64(a.type):
                 a = a.cast(pa.float64())
-            cols.append(np.array(a.to_pylist(), dtype=np.float64))
+            cols.append(a.to_numpy(zero_copy_only=False))
         elif name == "(Intercept)":
             # R model.matrix intercept column (imported reference boosters
             # were trained with it): constant 1, never split on

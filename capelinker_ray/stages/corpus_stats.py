@@ -118,6 +118,12 @@ def add_group_uniqueness(ds, group_col: str, str_col: str,
     reference would just OOM)."""
     out_col = out_col or f"{str_col}_uniqueness"
 
+    # bound the elementwise volume of one vectorized JW call: a chunk of
+    # rows is paired against the whole reference sample in ONE kernel
+    # invocation (np.repeat × np.tile), cutting the Python-level loop from
+    # O(rows) calls to O(rows·m / CHUNK_ELEMS)
+    CHUNK_ELEMS = 1 << 18
+
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         vals = g[str_col].to_numpy(dtype=object)
         n = len(vals)
@@ -125,14 +131,19 @@ def add_group_uniqueness(ds, group_col: str, str_col: str,
         if n > max_group:
             idx = np.linspace(0, n - 1, max_group).astype(int)
             ref_vals = vals[idx]
+        m = len(ref_vals)
+        full = m == n
+        s_self = (1.0 if (full and n > 1) else 0.0)
+        denom = max((m - (1 if n > 1 else 0)), 1)
         sims = np.empty(n, dtype=np.float64)
-        for i in range(n):
-            s = jaro_winkler_sim(np.full(len(ref_vals), vals[i], dtype=object),
-                                 ref_vals, p=p)
-            s_self = 1.0 if len(ref_vals) == len(vals) else 0.0
-            tot = np.nansum(s) - (s_self if n > 1 else 0.0)
-            denom = max((len(ref_vals) - (1 if n > 1 else 0)), 1)
-            sims[i] = 1.0 - tot / denom
+        rows_per_chunk = max(1, CHUNK_ELEMS // max(m, 1))
+        for s0 in range(0, n, rows_per_chunk):
+            chunk = vals[s0:s0 + rows_per_chunk]
+            c = len(chunk)
+            S = jaro_winkler_sim(np.repeat(chunk, m),
+                                 np.tile(ref_vals, c), p=p).reshape(c, m)
+            tot = np.nansum(S, axis=1) - s_self
+            sims[s0:s0 + c] = 1.0 - tot / denom
         g = g.copy()
         g[out_col] = sims
         return g

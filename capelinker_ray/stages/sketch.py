@@ -79,6 +79,11 @@ def approx_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75), *,
     <= (max - min) / bins."""
     stats = ds.aggregate(Min(col, alias_name="lo"),
                          Max(col, alias_name="hi"))
+    if stats is None or stats.get("lo") is None or stats.get("hi") is None:
+        # empty / all-null column: no quantiles exist — NaN frame, not a
+        # TypeError from float(None)
+        return pd.DataFrame({"q": [float(q) for q in qs],
+                             "value": [float("nan")] * len(qs)})
     lo, hi = float(stats["lo"]), float(stats["hi"])
     if hi <= lo:
         # constant column: every quantile IS the value (interpolating

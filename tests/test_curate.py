@@ -67,3 +67,16 @@ def test_predict_links_with_reference_model(ray_session):
                         linktype="one:one").to_pandas()
     assert set(zip(out["pid_from"], out["pid_to"])) == {("a1", "x")}
     assert (out["pred"] > 0.5).all()
+
+
+def test_curate_distributed_ledger_parity(ray_session):
+    """broadcast_threshold=0 forces the distributed hash anti-join path
+    (removal ids never collected driver-side); output must match the
+    broadcast path exactly (r2 verdict: de-driver the removal ledger)."""
+    out = curate_documents(rd.from_pandas(_corpus()), min_tokens=5,
+                           min_quality=0.5, jaccard_threshold=0.55,
+                           broadcast_threshold=0)
+    removed = out["removed"].to_pandas().sort_values("doc_id")
+    assert list(removed["doc_id"]) == [2, 3, 4, 5, 6]
+    assert sorted(out["kept"].to_pandas()["doc_id"]) == [1, 7]
+    assert out["stats"] == {"input": 7, "kept": 2, "removed": 5}
