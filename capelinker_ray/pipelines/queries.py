@@ -656,6 +656,63 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_dup_pairs(docs, max_hamming=6, bands=8)
 
 
+# SQL CTE: simhash signature parity with stages/dedup.simhash_signatures —
+# FNV-1a over each lowercased whitespace token's CODEPOINTS (recursive CTE,
+# exact 64-bit wraparound via HUGEINT mod 2^64), per-bit ±1 sums over the
+# token MULTISET, sign -> bit, little bit-order packing, signed-int64 view
+_SQL_SIMHASH_SIG = r"""RECURSIVE toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS tok
+  FROM documents
+),
+dt AS (SELECT DISTINCT tok FROM toks),
+fnv(tok, pos, h) AS (
+  SELECT tok, 1, CAST(14695981039346656037 AS HUGEINT) FROM dt
+  UNION ALL
+  SELECT tok, pos + 1,
+    (xor(h, CAST(unicode(substr(tok, pos, 1)) AS HUGEINT)) * 1099511628211)
+      % CAST(18446744073709551616 AS HUGEINT)
+  FROM fnv WHERE pos <= length(tok)
+),
+th AS (SELECT tok, CAST(h AS UBIGINT) AS h FROM fnv
+       WHERE pos = length(tok) + 1),
+bits AS (
+  SELECT t.doc_id, b.j,
+         sum(CASE WHEN (th.h >> b.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM toks t JOIN th USING (tok)
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) b
+  GROUP BY 1, 2
+),
+sigsum AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0
+             THEN (CAST(1 AS UBIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS s
+  FROM bits GROUP BY doc_id
+),
+sig AS (
+  SELECT d.doc_id,
+    CAST(CASE WHEN coalesce(sigsum.s, 0) >= CAST(9223372036854775808 AS HUGEINT)
+         THEN coalesce(sigsum.s, 0) - CAST(18446744073709551616 AS HUGEINT)
+         ELSE coalesce(sigsum.s, 0) END AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN sigsum USING (doc_id)
+)"""
+
+
+def sql_simhash(sf_dir: str) -> str:
+    return f"WITH {_SQL_SIMHASH_SIG}\nSELECT doc_id, simhash FROM sig"
+
+
+def sql_simhash_pairs(sf_dir: str) -> str:
+    # all-pairs is fine at oracle scale; the engine's banded LSH has
+    # pigeonhole-EXACT recall at hamming <= 6 with 8 bands, so the sets
+    # match value-for-value
+    return f"""WITH {_SQL_SIMHASH_SIG}
+SELECT a.doc_id AS id_from, b.doc_id AS id_to,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"""
+
+
 def q_ngram_dedup(sf_dir: str):
     """Exact character-5-gram Jaccard near-dup pairs (exact small-corpus
     path; the unblocked-at-scale path adds a MinHash-LSH prefilter and is
@@ -807,6 +864,8 @@ def build_queries() -> dict:
         "bigram_candidates": q_bigram_candidates,
         "idf_bigram_candidates": q_idf_bigram_candidates,
         "asof_join": q_asof_join,
+        # simhash / simhash_pairs moved to the oracle-checked column in r3
+        # (FNV-over-codepoints recursive-CTE SQL above); the rest below are
         # rows-only (no SQL oracle): model scoring / sketches / stubs
         "flagship_entities": q_flagship_entities,
         "minhash_dedup": q_minhash_dedup,
@@ -843,4 +902,6 @@ def build_oracle_sql() -> dict:
         "idf_bigram_candidates": sql_idf_bigram_candidates(path),
         "ngram_dedup": sql_ngram_dedup(_ORACLE_SF_DIR),
         "asof_join": sql_asof_join(_ORACLE_SF_DIR),
+        "simhash": sql_simhash(_ORACLE_SF_DIR),
+        "simhash_pairs": sql_simhash_pairs(_ORACLE_SF_DIR),
     }

@@ -171,3 +171,18 @@ def test_embedding_lsh_path(ray_session):
     got = set(zip(lsh["id_from"], lsh["id_to"]))
     assert got <= ex                      # exact verification: no FPs
     assert len(got) >= 0.9 * len(ex) > 0  # multi-table recall
+
+
+def test_minhash_payload_modes_identical(ray_session):
+    """inline vs rejoin LSH shuffle layouts must return identical pairs +
+    estimates (r2 verdict: adaptive minhash shuffle for the 100-TB path)."""
+    df = _corpus()
+    outs = {}
+    for mode in ("inline", "rejoin"):
+        out = minhash_lsh_dedup(rd.from_pandas(df), jaccard_threshold=0.5,
+                                payload_mode=mode).to_pandas()
+        outs[mode] = (out.sort_values(["id_from", "id_to"])
+                      .reset_index(drop=True)
+                      [["id_from", "id_to", "est_jaccard"]])
+    assert len(outs["inline"]) > 0
+    pd.testing.assert_frame_equal(outs["inline"], outs["rejoin"])
