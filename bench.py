@@ -58,6 +58,17 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
     counters["entities"] = n_ents
     counters["turns_out"] = n_turns
 
+    # the reference's DEFAULT blocking (corpus-wide bigram cosine, no
+    # pre-block) driven END-TO-END through the flagship: blocker + feature
+    # + scorer + selection + components (r2 verdict next-round #4)
+    t0 = time.monotonic()
+    out_bg = link_transcripts(turns, checkpoint_dir=None,
+                              blocktype="bigram_global", maxdist=0.35,
+                              sort_output=False)
+    counters["bigram_global_pairs"] = out_bg["pairs"].count()
+    counters["bigram_global_entities"] = out_bg["entities"].count()
+    timings["flagship_bigram_global"] = round(time.monotonic() - t0, 3)
+
     t0 = time.monotonic()
     counters["minhash_pairs"] = q_minhash_dedup(sf_dir).count()
     timings["minhash_dedup"] = round(time.monotonic() - t0, 3)

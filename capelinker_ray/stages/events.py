@@ -109,18 +109,28 @@ def tumbling_window_agg(ds, *, user_col: str = "user_id",
 
 def asof_join(left, right, *, by: str, ts_col: str = "ts",
               right_cols: list[str] | None = None, suffix: str = "_r",
-              num_partitions: int | None = None):
+              num_partitions: int | None = None,
+              bucket_minutes: float | None = None):
     """Per-key as-of join: each left row picks the LATEST right row with
     ``right.ts <= left.ts`` for the same ``by`` key (DuckDB/kdb ASOF JOIN
     semantics, "backward" direction). Unmatched left rows keep nulls.
 
     Distributed shape: ONE co-partitioning shuffle of the tagged union by
     ``by`` (stages/grouped.py), then a vectorized ``pandas.merge_asof``
-    per coarse partition — the partitioning assumption is that one key's
-    rows fit a partition (same contract as every grouped op here).
+    per coarse partition — the default partitioning assumption is that one
+    key's rows fit a partition (same contract as every grouped op here).
     Right-side ties on (key, ts) resolve to the row latest in (ts,
     right_cols) sort order; pre-aggregate the right side to unique
     (key, ts) rows for fully deterministic output.
+
+    ``bucket_minutes`` lifts the one-key-per-partition assumption for HOT
+    keys (r2 verdict next-round #7): rows co-partition by ``(key,
+    time-bucket)`` and each bucket additionally receives ONE carry-in row
+    per key — the latest right row from any earlier bucket — computed from
+    per-(key, bucket) summaries (rows ∝ distinct buckets, not events), so
+    a key's rows split across partitions while every bucket still answers
+    its backward lookups locally. Output is identical to the unbucketed
+    mode (pytest-pinned).
     """
     import pyarrow as pa
     from .grouped import grouped_map
@@ -175,6 +185,59 @@ def asof_join(left, right, *, by: str, ts_col: str = "ts",
                      .map_batches(tag_right, batch_format="pyarrow")))
 
     out_cols = lcols + [r_out_ts] + [r_out[c] for c in right_cols]
+    group_key: list | str = by
+
+    if bucket_minutes is not None:
+        bucket_us = np.int64(bucket_minutes * 60e6)
+        r_vals = list(r_out.values())
+
+        def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            ts = df[ts_col].where(df["_aside"] == 0, df[r_out_ts])
+            df = df.copy()
+            # null ts -> iNaT bucket: unmatched left rows / never-matching
+            # right rows, handled by join_partition's null split
+            df["_bucket"] = (_ts_us(ts) // bucket_us).astype(np.int64)
+            return df
+
+        tagged = tagged.map_batches(add_bucket, batch_format="pandas")
+
+        # carry-in rows: per (key, left-bucket), the latest right row from
+        # any EARLIER bucket. Built from per-batch (key, bucket) partials —
+        # rows ∝ distinct buckets per batch, not events — then one
+        # grouped_map per key; merge_asof(backward, exact=False) over the
+        # bucket axis picks the latest nonempty earlier bucket's summary.
+        def partial_rsum(df: pd.DataFrame) -> pd.DataFrame:
+            r = df[df["_aside"] == 1]
+            if not len(r):
+                return r
+            r = r.sort_values([by, "_bucket", r_out_ts] + r_vals,
+                              kind="stable")
+            return r.groupby([by, "_bucket"], sort=False).tail(1)
+
+        def partial_lmark(df: pd.DataFrame) -> pd.DataFrame:
+            l = df[df["_aside"] == 0]
+            if not len(l):
+                return l
+            return l.groupby([by, "_bucket"], sort=False).head(1)
+
+        def carry_fn(part: pd.DataFrame) -> pd.DataFrame:
+            l = part[part["_aside"] == 0][[by, "_bucket"]].drop_duplicates()
+            r = part[part["_aside"] == 1]
+            if not len(l) or not len(r):
+                return part.head(0)
+            l = l.sort_values("_bucket", kind="stable")
+            r = r.sort_values(["_bucket", r_out_ts] + r_vals, kind="stable")
+            m = pd.merge_asof(l, r, on="_bucket", by=by,
+                              direction="backward",
+                              allow_exact_matches=False)
+            m = m[m[r_out_ts].notna()]
+            return m.reindex(columns=list(part.columns))
+
+        summaries = tagged.map_batches(partial_rsum, batch_format="pandas")
+        lmarks = tagged.map_batches(partial_lmark, batch_format="pandas")
+        carries = grouped_map(summaries.union(lmarks), by, carry_fn)
+        tagged = tagged.union(carries)
+        group_key = [by, "_bucket"]
 
     def join_partition(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["_aside"] == 0][lcols]
@@ -193,5 +256,5 @@ def asof_join(left, right, *, by: str, ts_col: str = "ts",
             out = pd.concat([out, l_na], ignore_index=True)
         return out.reindex(columns=out_cols)
 
-    return grouped_map(tagged, by, join_partition,
+    return grouped_map(tagged, group_key, join_partition,
                        num_partitions=num_partitions)

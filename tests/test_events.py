@@ -96,3 +96,35 @@ def test_asof_join_null_ts(ray_session):
     out = asof_join(rd.from_pandas(L), rd.from_pandas(R),
                     by="user_id").to_pandas().sort_values("event_id")
     assert list(out["value"].fillna(-1)) == [7.0, -1]
+
+
+def test_asof_join_bucketed_hot_key_parity(ray_session):
+    """bucket_minutes splits a hot key across (key, time-bucket) partitions
+    with carry-in of the latest earlier right row; output must equal the
+    unbucketed join exactly — including buckets with left rows but no right
+    rows (carry must skip empty buckets, not just look one bucket back)."""
+    import pandas as pd
+    import numpy as np
+    from capelinker_ray.stages.events import asof_join
+    rng = np.random.default_rng(3)
+    base = pd.Timestamp("2024-01-01")
+    # hot user: 400 left events over ~40 hours; right rows only in the
+    # first quarter -> later buckets rely on multi-bucket carry
+    hl = base + pd.to_timedelta(rng.integers(0, 40 * 60, 400), unit="m")
+    hr = base + pd.to_timedelta(rng.integers(0, 10 * 60, 50), unit="m")
+    L = pd.DataFrame({
+        "user_id": ["hot"] * 400 + ["cold"] * 3,
+        "ts": list(hl) + [base, base + pd.Timedelta("1h"), pd.NaT],
+        "event_id": np.arange(403)})
+    R = pd.DataFrame({
+        "user_id": ["hot"] * 50 + ["cold"],
+        "ts": list(hr) + [base + pd.Timedelta("30min")],
+        "value": np.round(rng.normal(size=51), 4)})
+    flat = asof_join(rd.from_pandas(L), rd.from_pandas(R),
+                     by="user_id").to_pandas()
+    bucketed = asof_join(rd.from_pandas(L), rd.from_pandas(R),
+                         by="user_id", bucket_minutes=60.0).to_pandas()
+    f = flat.sort_values("event_id").reset_index(drop=True)
+    b = bucketed.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(f, b[f.columns])
+    assert f["value"].notna().sum() > 300  # carries actually fired

@@ -1,6 +1,7 @@
 """ANN oracles: brute-force top-k vs exact numpy; IVF recall."""
 
 import numpy as np
+import pandas as pd
 import ray.data as rd
 
 from capelinker_ray.stages.simsearch import brute_force_topk, ivf_topk
@@ -9,7 +10,10 @@ from capelinker_ray.stages.simsearch import brute_force_topk, ivf_topk
 def _data(n=200, d=16, seed=0):
     rng = np.random.default_rng(seed)
     V = rng.normal(size=(n, d))
-    rows = [{"vec_id": i, "embedding": V[i].tolist()} for i in range(n)]
+    # a handful of real blocks, not one per row (from_items is one tiny
+    # block per item -> hundreds of scheduler round-trips per test)
+    rows = pd.DataFrame({"vec_id": np.arange(n),
+                         "embedding": [V[i].tolist() for i in range(n)]})
     return V, rows
 
 
@@ -23,7 +27,7 @@ def _exact_topk(V, Q, k):
 def test_brute_force_matches_exact(ray_session):
     V, rows = _data()
     Q = V[:5]
-    out = brute_force_topk(rd.from_items(rows), Q, k=7).to_pandas()
+    out = brute_force_topk(rd.from_pandas(rows), Q, k=7).to_pandas()
     exact = _exact_topk(V, Q, 7)
     for q in range(5):
         got = set(out[out["query_id"] == q]["vec_id"])
@@ -35,7 +39,7 @@ def test_brute_force_matches_exact(ray_session):
 
 def test_brute_force_exact_k_rows_per_query(ray_session):
     V, rows = _data(n=50)
-    out = brute_force_topk(rd.from_items(rows), V[:3], k=5).to_pandas()
+    out = brute_force_topk(rd.from_pandas(rows), V[:3], k=5).to_pandas()
     assert (out.groupby("query_id").size() == 5).all()
 
 
@@ -43,7 +47,7 @@ def test_ivf_recall(ray_session):
     V, rows = _data(n=400, seed=2)
     Q = V[:8]
     exact = _exact_topk(V, Q, 5)
-    out = ivf_topk(rd.from_items(rows), Q, k=5, n_centroids=8,
+    out = ivf_topk(rd.from_pandas(rows), Q, k=5, n_centroids=8,
                    n_probe=4).to_pandas()
     hits = total = 0
     for q in range(8):
@@ -51,3 +55,27 @@ def test_ivf_recall(ray_session):
         hits += len(got & exact[q])
         total += 5
     assert hits / total >= 0.7  # probing half the lists: high recall
+
+
+def test_ivf_auto_scale_skewed_recall(ray_session):
+    """n_centroids='auto' (~sqrt(N)) with a hot cluster hosting 70% of the
+    corpus: recall vs brute force stays high because probing follows the
+    query, and the hot region is split over many lists instead of one."""
+    rng = np.random.default_rng(5)
+    hot = rng.normal(size=16)
+    V = np.concatenate([hot + rng.normal(scale=0.05, size=(700, 16)),
+                        rng.normal(size=(300, 16))])
+    rows = pd.DataFrame({"vec_id": np.arange(len(V)),
+                         "embedding": [v.tolist() for v in V]})
+    Q = np.concatenate([V[:4], V[700:704]])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Qn @ Vn.T
+    exact = {q: set(np.argsort(-S[q])[:5]) for q in range(len(Q))}
+    out = ivf_topk(rd.from_pandas(rows), Q, k=5, n_probe=8).to_pandas()
+    hits = total = 0
+    for q in range(len(Q)):
+        got = set(out[out["query_id"] == q]["vec_id"])
+        hits += len(got & exact[q])
+        total += 5
+    assert hits / total >= 0.8, hits / total
