@@ -157,6 +157,19 @@ class _Reader:
                                   else np.float64)
             if cls_name in ("wrap_integer", "wrap_real", "wrap_string",
                             "wrap_logical"):
+                # R serializes wrapper state as CONS(payload, metadata) —
+                # a pairlist, parsed here as [(tag, car, attr), ...]. The
+                # wrapped vector is the CAR of the first element (itself
+                # possibly a (values, attrs) tuple — strip the attrs);
+                # returning the raw pairlist would hand callers a list of
+                # tuples instead of the vector (R >= 3.6 sorted wrappers).
+                if (isinstance(state, list) and state
+                        and isinstance(state[0], tuple)
+                        and len(state[0]) == 3):
+                    payload = state[0][1]
+                    if isinstance(payload, tuple):
+                        payload = payload[0]
+                    return payload
                 return state
             raise NotImplementedError(f"ALTREP class {cls_name!r}")
         raise NotImplementedError(f"SEXP type {typ} at offset {self.p - 4}")

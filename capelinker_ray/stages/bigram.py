@@ -86,13 +86,15 @@ def _batch_bigrams(strings: np.ndarray):
                 np.empty(0, np.int64))
     win = np.lib.stride_tricks.sliding_window_view(cps, 2).astype(np.int64)
     codes = win[:, 0] * _CODE_BASE + win[:, 1]
-    # windows that touch a separator belong to no document
-    valid = (win[:, 0] != 0) & (win[:, 1] != 0)
-    # window at absolute position p belongs to the doc whose span covers p
+    # window at absolute position p belongs to the doc whose span covers p;
+    # validity is POSITIONAL (both chars inside the owner's span), not
+    # value-based — a document legitimately containing the separator
+    # codepoint keeps its bigrams (dense-kernel / SQL-oracle parity)
     lens = np.array([len(p) for p in parts], dtype=np.int64)
     starts = np.cumsum(lens + 1) - (lens + 1)  # +1 for each separator
     pos = np.arange(len(win), dtype=np.int64)
     owner = np.searchsorted(starts, pos, side="right") - 1
+    valid = pos + 1 < starts[owner] + lens[owner]
     doc = idxs[owner[valid]]
     codes = codes[valid]
     packed = np.stack([doc, codes], axis=1)
@@ -391,6 +393,12 @@ def bigram_candidates(ds_from, ds_to=None, *, blockvariable: str,
     to) pairs with bigram cosine similarity > 1 - maxdist; from-records
     with no candidate are retained as null rows (:118-132); ``matches``
     counts candidates per from-record (vignettes/example.rmd:106).
+
+    DELIBERATE divergence: outer-retention stub rows carry ``matches=0``
+    (no candidates), where the reference's ``cnd[, matches := .N, by=
+    persid_from]`` over the ``all=TRUE`` merge reports 1 — the NA row
+    counting itself, a data.table artifact rather than a semantic. The
+    engine and its SQL oracle agree on 0.
 
     ``ds_to=None`` runs the self-link variant (id_from < id_to).
     Returns Dataset[(id_from:str, id_to:str, score, matches)] — join

@@ -190,17 +190,21 @@ def _batch_shingle_hashes(texts: list, k: int):
     if len(cps) < k:
         return np.zeros(n, np.int64), np.empty(0, np.uint64)
     win = np.lib.stride_tricks.sliding_window_view(cps, k).astype(np.uint64)
-    valid = (win != 0).all(axis=1)
     h = np.full(len(win), np.uint64(14695981039346656037))
     with np.errstate(over="ignore"):
         for j in range(k):
             h = (h ^ win[:, j]) * np.uint64(1099511628211)
-    h = h[valid]
-    # doc ownership: window at position p belongs to the doc covering p
+    # doc ownership: window at position p belongs to the doc covering p;
+    # validity is POSITIONAL (all k chars inside the owner's span) so a
+    # doc containing the separator codepoint keeps its shingles (parity
+    # with the per-doc _shingle_hashes kernel)
     lens = np.array([len(s) for s in clean], dtype=np.int64)
     starts = np.cumsum(lens + 1) - (lens + 1)
-    pos = np.nonzero(valid)[0]
+    pos = np.arange(len(win), dtype=np.int64)
     owner = np.searchsorted(starts, pos, side="right") - 1
+    valid = pos + k - 1 < starts[owner] + lens[owner]
+    h = h[valid]
+    owner = owner[valid]
     # windows are position-ordered => doc-contiguous; per-doc window count
     counts = np.bincount(owner, minlength=n)
     doc_starts = np.cumsum(counts) - counts

@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["grouped_map", "key_hash"]
+__all__ = ["grouped_map", "key_hash", "typed_or_empty"]
 
 _PART = "__gpart"
 
@@ -40,6 +40,38 @@ def default_partitions() -> int:
     except Exception:
         cpus = 8
     return max(8, min(2 * cpus, 512))
+
+
+def _typed_empty(df: pd.DataFrame):
+    """Empty pandas frame -> typed empty Arrow table. Ray's pandas block
+    size estimator np.vectorize-s object columns and logs an error line for
+    every 0-row block; an Arrow empty with concrete types is silent. Object
+    columns (strings-or-None throughout the engine's grouped frames) map to
+    ``string`` — with zero rows the claim is vacuous for values and only
+    anchors schema unification."""
+    import pyarrow as pa
+    fields = []
+    for c, dt in df.dtypes.items():
+        if dt == object:
+            t = pa.string()
+        elif getattr(dt, "kind", "") == "M":
+            t = pa.timestamp(np.datetime_data(dt)[0])
+        else:
+            try:
+                t = pa.from_numpy_dtype(dt)
+            except (pa.ArrowNotImplementedError, TypeError):
+                t = pa.string()
+        fields.append(pa.field(str(c), t))
+    return pa.schema(fields).empty_table()
+
+
+def typed_or_empty(df: pd.DataFrame):
+    """Pass nonempty frames through; convert empty ones to a typed Arrow
+    table (see ``_typed_empty``). Wrap the return of filtering map_batches
+    fns that can legitimately emit 0 rows."""
+    if isinstance(df, pd.DataFrame) and not len(df):
+        return _typed_empty(df)
+    return df
 
 
 def grouped_map(ds, keys: str | list[str], fn, *,
@@ -64,7 +96,10 @@ def grouped_map(ds, keys: str | list[str], fn, *,
         return df
 
     def run(g: pd.DataFrame) -> object:
-        return fn(g.drop(columns=[_PART]))
+        out = fn(g.drop(columns=[_PART]))
+        if isinstance(out, pd.DataFrame) and not len(out):
+            return _typed_empty(out)
+        return out
 
     parted = ds.map_batches(add_part, batch_format="pandas")
     # reduce-task parallelism for the sort shuffle tracks the INPUT block

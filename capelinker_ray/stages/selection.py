@@ -80,8 +80,10 @@ def select_links(ds_scored, *, id_from: str = "conv_id_from",
     # could turn rank-2 into rank-1). Threshold therefore applies AFTER
     # ranking, exactly as pred.R:50-54; only NA rows (never selectable,
     # never rank<=1 vs any real score) are pre-filtered.
-    def drop_na(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df[pred_col].notna()]
+    from .grouped import typed_or_empty
+
+    def drop_na(df: pd.DataFrame):
+        return typed_or_empty(df[df[pred_col].notna()])
 
     ds = ds.map_batches(drop_na, batch_format="pandas")
 
@@ -90,8 +92,8 @@ def select_links(ds_scored, *, id_from: str = "conv_id_from",
         # breaks transitive families ({a,b,c}: one:one keeps only (a,b) and
         # orphans c) — keep every pair above confidence and let connected
         # components do the transitive closure. Shuffle-free.
-        def thr(df: pd.DataFrame) -> pd.DataFrame:
-            return df[df[pred_col] > minimum_confidence]
+        def thr(df: pd.DataFrame):
+            return typed_or_empty(df[df[pred_col] > minimum_confidence])
         return ds.map_batches(thr, batch_format="pandas")
 
     from .grouped import grouped_map
@@ -103,10 +105,10 @@ def select_links(ds_scored, *, id_from: str = "conv_id_from",
                          _rank_fn(id_to, pred_col, "rank_to", tie_break,
                                   id_from))
 
-    def final_filter(df: pd.DataFrame) -> pd.DataFrame:
+    def final_filter(df: pd.DataFrame):
         m = (df["rank_from"] == 1.0) & (df[pred_col] > minimum_confidence)
         if "rank_to" in df.columns:
             m &= df["rank_to"] == 1.0
-        return df[m]
+        return typed_or_empty(df[m])
 
     return ds.map_batches(final_filter, batch_format="pandas")

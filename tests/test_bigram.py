@@ -116,3 +116,20 @@ def test_candidates_corpus_wide_delegation(ray_session):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_batch_bigrams_nul_in_text_matches_dense_kernel():
+    """Strings containing the batch separator codepoint (U+0000) must keep
+    their bigrams: validity is positional, not value-based."""
+    import numpy as np
+    from capelinker_ray.stages.bigram import _batch_bigrams, _CODE_BASE
+
+    s = "a\x00b"
+    doc, codes, counts = _batch_bigrams(np.array([s, "ab"], dtype=object))
+    # '#a\x00b#' windows: (#,a) (a,\x00) (\x00,b) (b,#) -> 4 distinct
+    got0 = {int(c) for c, d in zip(codes, doc) if d == 0}
+    h = ord("#")
+    exp0 = {h * _CODE_BASE + ord("a"), ord("a") * _CODE_BASE,
+            ord("b"), ord("b") * _CODE_BASE + h}
+    assert got0 == exp0
+    assert counts[np.asarray(doc) == 0].sum() == 4

@@ -186,3 +186,16 @@ def test_minhash_payload_modes_identical(ray_session):
                       [["id_from", "id_to", "est_jaccard"]])
     assert len(outs["inline"]) > 0
     pd.testing.assert_frame_equal(outs["inline"], outs["rejoin"])
+
+
+def test_batch_shingles_nul_in_text_matches_per_doc_kernel():
+    import numpy as np
+    from capelinker_ray.stages.dedup import (_batch_shingle_hashes,
+                                             _shingle_hashes)
+    texts = ["hello\x00world", "abc", "", "x\x00\x00y zzz"]
+    starts, h = _batch_shingle_hashes(texts, 3)
+    bounds = list(starts) + [len(h)]
+    for i, t in enumerate(texts):
+        got = np.unique(h[bounds[i]:bounds[i + 1]])
+        exp = _shingle_hashes(t, 3)
+        assert np.array_equal(got, exp), (i, t)

@@ -39,3 +39,17 @@ def test_quantiles_constant_column(ray_session):
     df = pd.DataFrame({"v": np.full(1000, 5.0)})
     out = approx_quantiles(rd.from_pandas(df), "v", qs=(0.25, 0.5, 0.75))
     assert (out["value"] == 5.0).all()
+
+
+def test_quantiles_empty_and_all_null(ray_session):
+    """Empty / all-null columns return a NaN frame, not TypeError."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from capelinker_ray.stages.sketch import approx_quantiles
+
+    allnull = rd.from_pandas(pd.DataFrame(
+        {"v": pd.Series([None, None], dtype="float64")}))
+    out = approx_quantiles(allnull, "v")
+    assert list(out["q"]) == [0.25, 0.5, 0.75]
+    assert out["value"].isna().all()
