@@ -47,6 +47,7 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
                      linktype: str = "threshold",
                      minimum_confidence: float = 0.5,
                      blocktype: str = "equality", maxdist: float = 0.15,
+                     block_prefix_len: int | None = None,
                      max_block_pairs: int = DEFAULT_MAX_BLOCK_PAIRS,
                      scorer_concurrency=None,
                      sort_output: bool = True,
@@ -60,6 +61,14 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
     inverted-index blocker — higher recall on key-corrupted duplicates at
     the cost of the fuzzy-join shuffle; pair a looser ``maxdist`` ~0.3-0.5
     with it).
+
+    ``block_prefix_len`` (default conv_records.BLOCK_PREFIX_LEN = 16) is
+    the flagship's main recall knob under equality blocking: the block key
+    is the normalized first-turn prefix of this many chars + the role
+    signature. Shorter prefixes merge blocks (higher recall on early-text
+    corruption, bigger blocks -> more candidate pairs); longer ones split
+    them. Sensitivity measurements on the synthetic corpus live in
+    BASELINE.md §"Blocking-prefix sensitivity".
 
     Returns dict of Datasets: records, pairs, scored, links, entities,
     turns_out (turn-level, entity_id attached, (conv_id, turn_idx)-sorted),
@@ -76,10 +85,15 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
             input_partitions = default_partitions()
         ds_turns = ds_turns.repartition(input_partitions)
 
+    from ..stages.conv_records import BLOCK_PREFIX_LEN
+    if block_prefix_len is None:
+        block_prefix_len = BLOCK_PREFIX_LEN
     records = ck.stage(
         "conv_records",
-        lambda: build_conv_records(normalize_turns(ds_turns)),
-        inputs=("turns",))
+        lambda: build_conv_records(normalize_turns(ds_turns),
+                                   prefix_len=block_prefix_len),
+        inputs=("turns",),
+        params={"prefix_len": block_prefix_len})
 
     pair_params = {"blocktype": blocktype, "maxdist": maxdist,
                    "max_block_pairs": max_block_pairs,
