@@ -713,6 +713,93 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"""
 
 
+def _sql_splitmix64(z: str) -> str:
+    """Exact splitmix64 of UBIGINT expression ``z`` (stages/dedup.py:137)
+    as a single SQL expression. The two 64-bit odd constants are too large
+    for a direct INT128 multiply (2^64 x 2^64 overflows HUGEINT), so each
+    multiply runs in 32-bit limbs: a*C mod 2^64 = a_lo*C_lo +
+    ((a_lo*C_hi + a_hi*C_lo) mod 2^32) << 32, every term < 2^65."""
+    def mul64(expr: str, c: int) -> str:
+        chi, clo = c >> 32, c & 0xFFFFFFFF
+        return (f"CAST(((CAST(({expr}) & 4294967295 AS HUGEINT) * {clo}) + "
+                f"(((CAST(({expr}) & 4294967295 AS HUGEINT) * {chi} + "
+                f"CAST(({expr}) >> 32 AS HUGEINT) * {clo}) % 4294967296) "
+                f"* 4294967296)) % 18446744073709551616 AS UBIGINT)")
+    s1 = (f"CAST((CAST({z} AS HUGEINT) + 11400714819323198485) "
+          f"% 18446744073709551616 AS UBIGINT)")
+    s2 = mul64(f"xor({s1}, {s1} >> 30)", 0xBF58476D1CE4E5B9)
+    s3 = mul64(f"xor({s2}, {s2} >> 27)", 0x94D049BB133111EB)
+    return f"xor({s3}, {s3} >> 31)"
+
+
+def _sql_minhash_ctes(src: str) -> str:
+    """CTE chain replicating minhash_lsh_dedup defaults (num_perm=64,
+    bands=16, shingle_k=5) over relation ``src`` (doc_id, text): FNV-1a
+    over each 5-char shingle's codepoints, 64 splitmix64 permutation
+    streams (min per stream). Yields ``mh_eqv(id_from, id_to, e)`` with
+    ``e`` the 64-slot equality bitlist for every id_from < id_to pair.
+    The engine hashes each band into a 64-bit key; the SQL uses true
+    band-slot equality — identical output modulo 2^-64 key collisions."""
+    fnv = "14695981039346656037"
+    mod = "18446744073709551616"
+    prime = "1099511628211"   # < 2^40: direct HUGEINT multiply fits
+
+    def fnv_step(h: str, c: str) -> str:
+        return (f"CAST((CAST(xor({h}, {c}) AS HUGEINT) * {prime}) "
+                f"% {mod} AS UBIGINT)")
+
+    h = f"CAST({fnv} AS UBIGINT)"
+    for j in range(5):
+        h = fnv_step(h, f"c{j}")
+    sm_seed = _sql_splitmix64("i")
+    sm_hash = _sql_splitmix64("xor(h, seed)")
+    return f"""mh_pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS p
+  FROM {src} WHERE length(text) >= 5
+),
+mh_ch AS (
+  SELECT doc_id,
+         {", ".join(f"CAST(unicode(substr(text, CAST(p AS INTEGER) + {j}, 1))"
+                    f" AS UBIGINT) AS c{j}" for j in range(5))}
+  FROM mh_pos
+),
+mh_dsh AS (SELECT DISTINCT doc_id, {h} AS h FROM mh_ch),
+mh_str AS (SELECT CAST(unnest(range(1, 65)) AS UBIGINT) AS i),
+mh_seeds AS (SELECT i, {sm_seed} AS seed FROM mh_str),
+mh_msig AS (
+  SELECT d.doc_id, s.i, min({sm_hash}) AS slot
+  FROM mh_dsh d CROSS JOIN mh_seeds s GROUP BY 1, 2
+),
+mh_allslots AS (
+  SELECT d.doc_id, s.i,
+         coalesce(m.slot, CAST(18446744073709551615 AS UBIGINT)) AS slot
+  FROM {src} d CROSS JOIN mh_str s
+  LEFT JOIN mh_msig m ON m.doc_id = d.doc_id AND m.i = s.i
+),
+mh_sigv AS (SELECT doc_id, list(slot ORDER BY i) AS v
+            FROM mh_allslots GROUP BY doc_id),
+mh_eqv AS (
+  SELECT a.doc_id AS id_from, b.doc_id AS id_to,
+         list_transform(range(1, 65),
+                        j -> CASE WHEN a.v[j] = b.v[j] THEN 1 ELSE 0 END)
+           AS e
+  FROM mh_sigv a JOIN mh_sigv b ON a.doc_id < b.doc_id
+)"""
+
+
+_SQL_MINHASH_BAND_MATCH = ("list_max(list_transform(range(0, 16), "
+                           "b -> e[4*b+1] * e[4*b+2] * e[4*b+3] * e[4*b+4]"
+                           ")) = 1")
+
+
+def sql_minhash_dedup(sf_dir: str) -> str:
+    return f"""WITH {_sql_minhash_ctes("documents")}
+SELECT id_from, id_to, CAST(list_sum(e) AS DOUBLE) / 64.0 AS est_jaccard
+FROM mh_eqv
+WHERE CAST(list_sum(e) AS DOUBLE) / 64.0 >= 0.5
+  AND {_SQL_MINHASH_BAND_MATCH}"""
+
+
 def q_ngram_dedup(sf_dir: str):
     """Exact character-5-gram Jaccard near-dup pairs (exact small-corpus
     path; the unblocked-at-scale path adds a MinHash-LSH prefilter and is
@@ -752,7 +839,73 @@ def q_lang_quality(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "lang"])
     out = add_quality_score(add_lang_id(docs))
-    return out.select_columns(["doc_id", "lang", "lang_pred", "quality"])
+    out = out.select_columns(["doc_id", "lang", "lang_pred", "quality"])
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["quality"] = df["quality"].round(6)
+        return df
+    return out.map_batches(rnd, batch_format="pandas")
+
+
+def sql_lang_quality(sf_dir: str) -> str:
+    """DuckDB replica of add_lang_id + add_quality_score
+    (stages/textstats.py:63,105): per-language trigram hit counts via
+    literal replace() length deltas (same non-overlapping semantics as
+    pandas str.count on escaped patterns; the 1/len normalization cancels
+    in the argmax), first-max tie-break in profile order en/nl/af, and the
+    five quality components over regexp char-class counts + token lists."""
+    from ..stages.textstats import _LANG_PROFILES, _STOPWORDS
+    t = "lower(coalesce(text, ''))"
+
+    def tri_count(lang: str) -> str:
+        terms = [f"(length({t}) - length(replace({t}, '{tri}', ''))) / 3"
+                 for tri in _LANG_PROFILES[lang]]
+        return "(" + " + ".join(terms) + ")"
+
+    c_en, c_nl, c_af = (tri_count(l) for l in ("en", "nl", "af"))
+    stop_list = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS))
+    return f"""WITH base AS (
+  SELECT doc_id, lang,
+         coalesce(text, '') AS s,
+         regexp_extract_all(coalesce(text, ''), '\\S+') AS toks,
+         {c_en} AS c_en, {c_nl} AS c_nl, {c_af} AS c_af
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, lang, c_en, c_nl, c_af,
+         CAST(length(toks) AS DOUBLE) AS n_tok,
+         CAST(length(s) AS DOUBLE) AS n_chars,
+         CAST(length(s) - length(regexp_replace(s, '[A-Za-z]', '', 'g'))
+              AS DOUBLE) AS alpha,
+         CAST(length(s) - length(regexp_replace(s, '[A-Z]', '', 'g'))
+              AS DOUBLE) AS upper_n,
+         CAST(length(list_distinct(toks)) AS DOUBLE) AS uniq,
+         CAST(length(list_filter(toks,
+              x -> list_contains([{stop_list}], lower(x)))) AS DOUBLE)
+              AS stop_n
+  FROM base
+),
+r AS (
+  SELECT doc_id, lang, c_en, c_nl, c_af,
+         CASE WHEN n_tok > 0 THEN alpha / n_tok ELSE 0.0 END AS mean_wl,
+         CASE WHEN n_tok > 0 THEN stop_n / n_tok ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END
+           AS alpha_ratio,
+         CASE WHEN n_chars > 0 THEN upper_n / n_chars ELSE 0.0 END
+           AS upper_ratio,
+         CASE WHEN n_tok > 0 THEN uniq / n_tok ELSE 0.0 END AS uniq_ratio
+  FROM feat
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(c_en, c_nl, c_af) = 0 THEN 'und'
+            WHEN c_en >= c_nl AND c_en >= c_af THEN 'en'
+            WHEN c_nl >= c_af THEN 'nl' ELSE 'af' END AS lang_pred,
+       round(0.25 * least(greatest(1.0 - abs(mean_wl - 5.0) / 5.0, 0.0), 1.0)
+             + 0.2 * least(greatest(stop_ratio * 4, 0.0), 1.0)
+             + 0.25 * alpha_ratio + 0.15 * (1.0 - upper_ratio)
+             + 0.15 * uniq_ratio, 6) AS quality
+FROM r"""
 
 
 def q_asof_join(sf_dir: str):
@@ -812,6 +965,110 @@ def q_doc_curation(sf_dir: str):
     out = curate_documents(docs, min_tokens=5, min_quality=0.2,
                            jaccard_threshold=0.6)
     return out["removed"]
+
+
+def sql_doc_curation(sf_dir: str) -> str:
+    """DuckDB replica of pipelines/curate.curate_documents with
+    q_doc_curation's params (min_tokens=5, max_tokens=100000,
+    min_quality=0.2, langs=None, jaccard_threshold=0.6): gate ledger with
+    the engine's reason priority, exact-dup losers by FNV-1a text hash
+    (grouped by HASH, exactly like the engine's (id, hash) shuffle), then
+    minhash near-dup pairs over the survivors closed transitively
+    (recursive walk; component representative = LEXICOGRAPHIC-min id
+    string, matching connected_components' string-label semantics)."""
+    stop_list = ", ".join(
+        f"'{w}'" for w in sorted(__import__(
+            "capelinker_ray.stages.textstats", fromlist=["x"])._STOPWORDS))
+    return f"""WITH RECURSIVE ann AS (
+  SELECT doc_id, text, coalesce(text, '') AS s,
+         CAST(length(regexp_extract_all(coalesce(text, ''), '\\S+'))
+              AS BIGINT) AS nt,
+         regexp_extract_all(coalesce(text, ''), '\\S+') AS toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, text, nt,
+         CAST(nt AS DOUBLE) AS n_tok,
+         CAST(length(s) AS DOUBLE) AS n_chars,
+         CAST(length(s) - length(regexp_replace(s, '[A-Za-z]', '', 'g'))
+              AS DOUBLE) AS alpha,
+         CAST(length(s) - length(regexp_replace(s, '[A-Z]', '', 'g'))
+              AS DOUBLE) AS upper_n,
+         CAST(length(list_distinct(toks)) AS DOUBLE) AS uniq,
+         CAST(length(list_filter(toks,
+              x -> list_contains([{stop_list}], lower(x)))) AS DOUBLE)
+              AS stop_n
+  FROM ann
+),
+gated AS (
+  SELECT doc_id, text, nt,
+         0.25 * least(greatest(1.0 - abs(
+             (CASE WHEN n_tok > 0 THEN alpha / n_tok ELSE 0.0 END)
+             - 5.0) / 5.0, 0.0), 1.0)
+         + 0.2 * least(greatest(
+             (CASE WHEN n_tok > 0 THEN stop_n / n_tok ELSE 0.0 END) * 4,
+             0.0), 1.0)
+         + 0.25 * (CASE WHEN n_chars > 0 THEN alpha / n_chars
+                        ELSE 0.0 END)
+         + 0.15 * (1.0 - (CASE WHEN n_chars > 0 THEN upper_n / n_chars
+                               ELSE 0.0 END))
+         + 0.15 * (CASE WHEN n_tok > 0 THEN uniq / n_tok ELSE 0.0 END)
+           AS q
+  FROM feat
+),
+gate_reason AS (
+  SELECT doc_id, text,
+         CASE WHEN nt < 5 THEN 'too_short'
+              WHEN nt > 100000 THEN 'too_long'
+              WHEN q < 0.2 THEN 'low_quality' END AS reason
+  FROM gated
+),
+p1 AS (SELECT doc_id, text FROM gate_reason WHERE reason IS NULL),
+dt AS (SELECT DISTINCT coalesce(text, '') AS tx FROM p1),
+fnvw(tx, pos, hh) AS (
+  SELECT tx, 1, CAST(14695981039346656037 AS HUGEINT) FROM dt
+  UNION ALL
+  SELECT tx, pos + 1,
+    (xor(hh, CAST(unicode(substr(tx, pos, 1)) AS HUGEINT)) * 1099511628211)
+      % CAST(18446744073709551616 AS HUGEINT)
+  FROM fnvw WHERE pos <= length(tx)
+),
+texth AS (SELECT tx, hh FROM fnvw WHERE pos = length(tx) + 1),
+p1h AS (
+  SELECT p.doc_id, t.hh FROM p1 p
+  JOIN texth t ON coalesce(p.text, '') = t.tx
+),
+exact_removed AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY hh) AS rep FROM p1h)
+  WHERE doc_id != rep
+),
+p2 AS (SELECT doc_id, text FROM p1
+       WHERE doc_id NOT IN (SELECT doc_id FROM exact_removed)),
+{_sql_minhash_ctes("p2")},
+mh_pairs AS (
+  SELECT id_from, id_to FROM mh_eqv
+  WHERE CAST(list_sum(e) AS DOUBLE) / 64.0 >= 0.6
+    AND {_SQL_MINHASH_BAND_MATCH}
+),
+edges AS (
+  SELECT CAST(id_from AS VARCHAR) AS u, CAST(id_to AS VARCHAR) AS v
+  FROM mh_pairs
+  UNION ALL
+  SELECT CAST(id_to AS VARCHAR), CAST(id_from AS VARCHAR) FROM mh_pairs
+),
+walk(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+),
+comp AS (SELECT node, min(label) AS entity FROM walk GROUP BY node)
+SELECT doc_id, reason FROM gate_reason WHERE reason IS NOT NULL
+UNION ALL
+SELECT doc_id, 'exact_dup' AS reason FROM exact_removed
+UNION ALL
+SELECT CAST(node AS BIGINT) AS doc_id, 'near_dup' AS reason FROM comp
+WHERE CAST(node AS BIGINT) != CAST(entity AS BIGINT)"""
 
 
 def q_sketch_stats(sf_dir: str):
@@ -904,4 +1161,7 @@ def build_oracle_sql() -> dict:
         "asof_join": sql_asof_join(_ORACLE_SF_DIR),
         "simhash": sql_simhash(_ORACLE_SF_DIR),
         "simhash_pairs": sql_simhash_pairs(_ORACLE_SF_DIR),
+        "minhash_dedup": sql_minhash_dedup(_ORACLE_SF_DIR),
+        "lang_quality": sql_lang_quality(_ORACLE_SF_DIR),
+        "doc_curation": sql_doc_curation(_ORACLE_SF_DIR),
     }

@@ -45,6 +45,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False)
     import __ray_entry__ as e
@@ -58,6 +59,8 @@ def main() -> int:
 
     failures = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         try:
             mine = canon(to_df(fn(sf_dir)))
         except Exception as ex:
