@@ -835,6 +835,45 @@ FROM x JOIN s sa ON sa.doc_id = x.id_from JOIN s sb ON sb.doc_id = x.id_to
 WHERE x.inter / (sa.c + sb.c - x.inter) >= 0.5"""
 
 
+def q_segment_dedup(sf_dir: str):
+    """CCNet-style duplicated-segment removal: drop every 20-word window
+    whose global occurrence count exceeds 2, rebuild docs in order
+    (stages/dedup.py:segment_dedup)."""
+    from ..stages.dedup import segment_dedup
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return segment_dedup(docs, words_per_seg=20, max_count=2)
+
+
+def sql_segment_dedup(sf_dir: str) -> str:
+    return """WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+wn AS (
+  SELECT doc_id, words,
+         greatest(1, CAST(ceil(len(words) / 20.0) AS BIGINT)) AS n_seg
+  FROM w
+),
+segs AS (
+  SELECT doc_id,
+         unnest(generate_series(1, n_seg)) AS seg_idx,
+         unnest([array_to_string(words[((i-1)*20+1):(i*20)], ' ')
+                 FOR i IN generate_series(1, n_seg)]) AS seg
+  FROM wn
+),
+hot AS (SELECT seg FROM segs GROUP BY seg HAVING count(*) > 2),
+sel AS (
+  SELECT s.doc_id, s.seg_idx, s.seg, h.seg IS NOT NULL AS is_hot
+  FROM segs s LEFT JOIN hot h USING (seg)
+)
+SELECT doc_id,
+       coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                FILTER (WHERE NOT is_hot), '') AS text_clean,
+       CAST(count(*) AS BIGINT) AS n_seg,
+       CAST(count(*) FILTER (WHERE is_hot) AS BIGINT) AS n_removed
+FROM sel GROUP BY doc_id"""
+
+
 def q_lang_quality(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "lang"])
@@ -1129,6 +1168,7 @@ def build_queries() -> dict:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ngram_dedup": q_ngram_dedup,
+        "segment_dedup": q_segment_dedup,
         "doc_curation": q_doc_curation,
         "sketch_stats": q_sketch_stats,
         "lang_quality": q_lang_quality,
@@ -1158,6 +1198,7 @@ def build_oracle_sql() -> dict:
         "bigram_candidates": sql_bigram_candidates(path),
         "idf_bigram_candidates": sql_idf_bigram_candidates(path),
         "ngram_dedup": sql_ngram_dedup(_ORACLE_SF_DIR),
+        "segment_dedup": sql_segment_dedup(_ORACLE_SF_DIR),
         "asof_join": sql_asof_join(_ORACLE_SF_DIR),
         "simhash": sql_simhash(_ORACLE_SF_DIR),
         "simhash_pairs": sql_simhash_pairs(_ORACLE_SF_DIR),

@@ -24,7 +24,7 @@ from .textstats import fnv1a_64
 __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_dedup",
     "simhash_signatures", "simhash_dup_pairs", "ngram_jaccard_pairs",
-    "embedding_dup_pairs",
+    "embedding_dup_pairs", "segment_dedup",
 ]
 
 
@@ -779,3 +779,141 @@ def embedding_dup_pairs(ds, *, vec_col: str = "embedding",
         return out[out["cosine"] >= threshold]
 
     return joined.map_batches(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# duplicated-segment removal (CCNet-style paragraph dedup, word windows)
+# ---------------------------------------------------------------------------
+
+def _batch_segments(texts, words_per_seg: int):
+    """Fixed word-window segmentation of a batch of docs, vectorized.
+
+    Splits on SINGLE spaces (``string_split(text, ' ')`` parity — runs of
+    spaces yield empty words, '' yields one empty word) and groups
+    consecutive words into non-overlapping ``words_per_seg``-word windows
+    (last window may be short). Returns ``(doc_idx, seg_idx, segments)``
+    with one entry per segment, doc-contiguous and seg-ordered; the only
+    Python-level loop is one ``' '.join`` per SEGMENT."""
+    s = pd.Series(texts, dtype=object)
+    words = s.where(s.notna(), "").str.split(" ")
+    lens = words.str.len().to_numpy(np.int64)          # '' -> [''] -> 1
+    n = len(s)
+    if not n:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, object))
+    flat = np.concatenate([np.asarray(w, dtype=object) for w in words])
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    starts = np.cumsum(lens) - lens
+    pos = np.arange(len(flat), dtype=np.int64) - starts[doc_of]
+    seg_of = pos // words_per_seg
+    key = doc_of << np.int64(32) | seg_of               # < 2^32 segs/doc
+    cut = np.flatnonzero(np.diff(key)) + 1
+    seg_starts = np.concatenate(([0], cut))
+    seg_ends = np.concatenate((cut, [len(flat)]))
+    segs = np.fromiter((" ".join(flat[a:b])
+                        for a, b in zip(seg_starts, seg_ends)),
+                       dtype=object, count=len(seg_starts))
+    return doc_of[seg_starts], seg_of[seg_starts], segs
+
+
+def segment_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                  words_per_seg: int = 20, max_count: int = 2,
+                  broadcast_threshold: int = 5_000_000,
+                  input_partitions="auto"):
+    """Remove globally-duplicated SEGMENTS (fixed word windows) from every
+    document — the paragraph-dedup step of web-corpus curation pipelines
+    (CCNet / Gopher boilerplate removal), segment-level where
+    ``exact_dedup`` is document-level.
+
+    A segment whose global occurrence count exceeds ``max_count`` is
+    dropped from every document that contains it; documents are rebuilt
+    from their surviving segments in original order (never dropped — a
+    fully-boilerplate doc comes back with ``text_clean=''``).
+
+    Scale shape: pass 1 computes per-batch PARTIAL segment counts
+    (value_counts inside ``map_batches``) so the single
+    ``groupby(seg)`` shuffle moves one row per distinct segment per
+    batch, not one per occurrence. Hot segments are by construction few;
+    below ``broadcast_threshold`` of them the hot set is ``ray.put``
+    ONCE and pass 2 re-segments and rebuilds each doc in a stateless
+    map — doc rows never explode through a shuffle. Above it, the
+    fallback explodes slim ``(id, seg_idx, seg)`` rows, left-joins the
+    hot set distributed, and reassembles per doc via ``grouped_map``.
+    Counts group on the segment TEXT (exact; no hash-collision risk) —
+    partial aggregation keeps the shuffle proportional to the distinct-
+    segment count, which boilerplate-heavy corpora compress heavily.
+
+    Returns Dataset[(id_col, text_clean, n_seg, n_removed)].
+    """
+    import ray
+
+    ds = _widen(ds, input_partitions)
+    from ray.data.aggregate import Sum
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        _, _, segs = _batch_segments(df[text_col].tolist(), words_per_seg)
+        vc = pd.Series(segs).value_counts()
+        return pd.DataFrame({"seg": vc.index.to_numpy(object),
+                             "n": vc.to_numpy(np.int64)})
+
+    counts = (ds.map_batches(partial_counts, batch_format="pandas")
+              .groupby("seg").aggregate(Sum("n", alias_name="n")))
+    hot_ds = counts.map_batches(
+        lambda df: df[df["n"] > max_count][["seg"]],
+        batch_format="pandas")
+
+    def rebuild_arrays(doc_of, seg_of, segs, hot_mask, n_docs):
+        keep = ~hot_mask
+        n_seg = np.bincount(doc_of, minlength=n_docs)
+        n_removed = np.bincount(doc_of[hot_mask], minlength=n_docs)
+        kd, ks = doc_of[keep], segs[keep]
+        bounds = np.searchsorted(kd, np.arange(n_docs + 1))
+        clean = np.fromiter(
+            (" ".join(ks[bounds[i]:bounds[i + 1]]) for i in range(n_docs)),
+            dtype=object, count=n_docs)
+        return clean, n_seg.astype(np.int64), n_removed.astype(np.int64)
+
+    if hot_ds.count() <= broadcast_threshold:
+        hot_pd = hot_ds.to_pandas()
+        ref = ray.put(set(hot_pd["seg"]))
+
+        def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+            doc_of, seg_of, segs = _batch_segments(
+                df[text_col].tolist(), words_per_seg)
+            hot = ray.get(ref)
+            hot_mask = pd.Series(segs).isin(hot).to_numpy()
+            clean, n_seg, n_rm = rebuild_arrays(
+                doc_of, seg_of, segs, hot_mask, len(df))
+            return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                                 "text_clean": clean, "n_seg": n_seg,
+                                 "n_removed": n_rm})
+        return ds.map_batches(rewrite, batch_format="pandas")
+
+    # distributed fallback: slim explode + hash left-join + per-doc
+    # ordered reassembly (one co-partitioning shuffle by doc id)
+    from .grouped import grouped_map
+    from .join import hash_join
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        doc_of, seg_of, segs = _batch_segments(
+            df[text_col].tolist(), words_per_seg)
+        ids = df[id_col].to_numpy()[doc_of]
+        return pd.DataFrame({id_col: ids, "seg_idx": seg_of, "seg": segs})
+
+    ex = ds.map_batches(explode, batch_format="pandas")
+    marked = hot_ds.map_batches(
+        lambda df: df.assign(_hot=np.ones(len(df), np.int8)),
+        batch_format="pandas")
+    flagged = hash_join(ex, marked, on="seg", how="left")
+
+    def reassemble(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([id_col, "seg_idx"], kind="stable")
+        hot_mask = part["_hot"].notna().to_numpy()
+        codes, uniq = pd.factorize(part[id_col], sort=False)
+        clean, n_seg, n_rm = rebuild_arrays(
+            codes, part["seg_idx"].to_numpy(), part["seg"].to_numpy(object),
+            hot_mask, len(uniq))
+        return pd.DataFrame({id_col: uniq, "text_clean": clean,
+                             "n_seg": n_seg, "n_removed": n_rm})
+
+    return grouped_map(flagged, id_col, reassemble)

@@ -199,3 +199,56 @@ def test_batch_shingles_nul_in_text_matches_per_doc_kernel():
         got = np.unique(h[bounds[i]:bounds[i + 1]])
         exp = _shingle_hashes(t, 3)
         assert np.array_equal(got, exp), (i, t)
+
+
+def test_segment_dedup_removes_hot_windows(ray_session):
+    from capelinker_ray.stages.dedup import segment_dedup
+    boiler = " ".join(f"b{i}" for i in range(4))      # one 4-word window
+    uniq = [" ".join(f"u{d}_{i}" for i in range(6)) for d in range(4)]
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        # docs 0-2 start with the same 4-word window (count 3 > 2)
+        "text": [f"{boiler} {uniq[0]}", f"{boiler} {uniq[1]}",
+                 f"{boiler} {uniq[2]}", uniq[3], ""],
+    })
+    out = (segment_dedup(rd.from_pandas(df), words_per_seg=4, max_count=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # window layout at 4 words: [boiler][u_{0..3}][u_{4..5}] for docs 0-2
+    assert out.loc[0, "n_removed"] == 1
+    assert out.loc[0, "text_clean"] == uniq[0]
+    assert out.loc[1, "text_clean"] == uniq[1]
+    assert out.loc[3, "n_removed"] == 0
+    assert out.loc[3, "text_clean"] == uniq[3]
+    # empty doc: one empty segment, never hot here, survives as ''
+    assert out.loc[4, "n_seg"] == 1 and out.loc[4, "text_clean"] == ""
+    # no doc rows lost
+    assert list(out["doc_id"]) == [0, 1, 2, 3, 4]
+
+
+def test_segment_dedup_fallback_path_identical(ray_session):
+    """The distributed explode+join+reassemble fallback (forced via
+    broadcast_threshold=0) must reproduce the broadcast path exactly."""
+    from capelinker_ray.stages.dedup import segment_dedup
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(5, 40)))
+             for _ in range(60)]
+    texts += [texts[0], texts[1], texts[0]]           # force hot windows
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    kw = dict(words_per_seg=8, max_count=2)
+    a = (segment_dedup(rd.from_pandas(df), **kw)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (segment_dedup(rd.from_pandas(df), broadcast_threshold=0, **kw)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (a["n_removed"] > 0).any()
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
+def test_segment_dedup_fully_hot_doc_becomes_empty(ray_session):
+    from capelinker_ray.stages.dedup import segment_dedup
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": ["spam spam", "spam spam", "spam spam"]})
+    out = (segment_dedup(rd.from_pandas(df), words_per_seg=2, max_count=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (out["text_clean"] == "").all()
+    assert (out["n_removed"] == 1).all()
