@@ -874,6 +874,48 @@ SELECT doc_id,
 FROM sel GROUP BY doc_id"""
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style word-repetition signals
+    (stages/textstats.py:add_repetition_stats)."""
+    from ..stages.textstats import add_repetition_stats
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return add_repetition_stats(docs).select_columns(
+        ["doc_id", "dup_word_frac", "top_word_frac", "top_bigram_frac"])
+
+
+def sql_repetition_stats(sf_dir: str) -> str:
+    return """WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+wc AS (
+  SELECT doc_id, word, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(words) AS word FROM w)
+  GROUP BY doc_id, word
+),
+agg AS (
+  SELECT doc_id, sum(cnt) AS n_words, count(*) AS n_distinct,
+         max(cnt) AS top_cnt
+  FROM wc GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, max(c) AS top_big FROM (
+    SELECT doc_id, big, count(*) AS c
+    FROM (SELECT doc_id,
+                 unnest([words[i] || chr(1) || words[i+1]
+                         FOR i IN generate_series(1, len(words)-1)]) AS big
+          FROM w WHERE len(words) >= 2)
+    GROUP BY doc_id, big)
+  GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CAST(a.n_words - a.n_distinct AS DOUBLE) / a.n_words AS dup_word_frac,
+       CAST(a.top_cnt AS DOUBLE) / a.n_words AS top_word_frac,
+       coalesce(CAST(b.top_big AS DOUBLE) / (a.n_words - 1), 0.0)
+         AS top_bigram_frac
+FROM agg a LEFT JOIN bg b USING (doc_id)"""
+
+
 def q_lang_quality(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "lang"])
@@ -1169,6 +1211,7 @@ def build_queries() -> dict:
         "simhash_pairs": q_simhash_pairs,
         "ngram_dedup": q_ngram_dedup,
         "segment_dedup": q_segment_dedup,
+        "repetition_stats": q_repetition_stats,
         "doc_curation": q_doc_curation,
         "sketch_stats": q_sketch_stats,
         "lang_quality": q_lang_quality,
@@ -1199,6 +1242,7 @@ def build_oracle_sql() -> dict:
         "idf_bigram_candidates": sql_idf_bigram_candidates(path),
         "ngram_dedup": sql_ngram_dedup(_ORACLE_SF_DIR),
         "segment_dedup": sql_segment_dedup(_ORACLE_SF_DIR),
+        "repetition_stats": sql_repetition_stats(_ORACLE_SF_DIR),
         "asof_join": sql_asof_join(_ORACLE_SF_DIR),
         "simhash": sql_simhash(_ORACLE_SF_DIR),
         "simhash_pairs": sql_simhash_pairs(_ORACLE_SF_DIR),

@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["add_token_counts", "add_quality_score", "add_lang_id",
-           "add_fingerprint"]
+           "add_fingerprint", "add_repetition_stats"]
 
 # a GPT-2-style pre-tokenizer regex (public BPE convention): word pieces,
 # numbers, punctuation runs, whitespace collapsed
@@ -151,5 +151,60 @@ def add_fingerprint(ds, text_col: str = "text", batch_size: int | None = None):
         norm = (df[text_col].fillna("").str.strip().str.split().str.join(" "))
         out = df.copy()
         out["fingerprint"] = fnv1a_64(norm.tolist()).astype(np.int64)
+        return out
+    return ds.map_batches(fn, batch_format="pandas", batch_size=batch_size)
+
+
+def add_repetition_stats(ds, text_col: str = "text",
+                         batch_size: int | None = None):
+    """+ Gopher-style repetition signals per document (Rae et al. 2021
+    §A1.1-style duplicate-fraction filters, word-level):
+
+      dup_word_frac    (n_words - n_distinct_words) / n_words
+      top_word_frac    occurrences of the most frequent word / n_words
+      top_bigram_frac  occurrences of the most frequent adjacent word
+                       pair / (n_words - 1), 0.0 for single-word docs
+
+    Words split on single spaces (``string_split(text, ' ')`` oracle
+    parity; '' counts as one empty word). Fully vectorized: one factorize
+    over the batch's flattened words, integer-coded bigram keys (no
+    string concatenation), C-level groupby counts — no per-doc loop."""
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        n = len(df)
+        if not n:
+            for c in ("dup_word_frac", "top_word_frac", "top_bigram_frac"):
+                out[c] = pd.Series(dtype=np.float64)
+            return out
+        s = df[text_col]
+        words = s.where(s.notna(), "").str.split(" ")
+        lens = words.str.len().to_numpy(np.int64)          # >= 1 each
+        flat = np.concatenate([np.asarray(w, dtype=object) for w in words])
+        doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+        codes, uniques = pd.factorize(flat, sort=False)
+        V = np.int64(max(len(uniques), 1))
+        wc = (pd.DataFrame({"d": doc, "c": codes})
+              .groupby(["d", "c"], sort=False).size())
+        per_doc = wc.groupby(level=0, sort=False).agg(["max", "size"])
+        top_cnt = np.zeros(n, np.int64)
+        n_uniq = np.ones(n, np.int64)
+        idx = per_doc.index.to_numpy()
+        top_cnt[idx] = per_doc["max"].to_numpy()
+        n_uniq[idx] = per_doc["size"].to_numpy()
+        adj = doc[:-1] == doc[1:]
+        top_big = np.zeros(n, np.int64)
+        if adj.any():
+            bd = doc[:-1][adj]
+            bkey = codes[:-1][adj].astype(np.int64) * V + codes[1:][adj]
+            bc = (pd.DataFrame({"d": bd, "k": bkey})
+                  .groupby(["d", "k"], sort=False).size()
+                  .groupby(level=0, sort=False).max())
+            top_big[bc.index.to_numpy()] = bc.to_numpy()
+        n_big = np.maximum(lens - 1, 0)
+        out["dup_word_frac"] = (lens - n_uniq) / lens
+        out["top_word_frac"] = top_cnt / lens
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out["top_bigram_frac"] = np.where(n_big > 0, top_big
+                                              / np.maximum(n_big, 1), 0.0)
         return out
     return ds.map_batches(fn, batch_format="pandas", batch_size=batch_size)

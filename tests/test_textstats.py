@@ -55,3 +55,27 @@ def test_fingerprint_deterministic_and_ws_invariant(ray_session):
     assert out.loc[1, "fingerprint"] != out.loc[3, "fingerprint"]
     # cross-process determinism: pinned value of FNV-1a("a b c")
     assert int(np.uint64(out.loc[1, "fingerprint"])) == int(fnv1a_64(["a b c"])[0])
+
+
+def test_repetition_stats_hand_example(ray_session):
+    import ray.data as rd
+    from capelinker_ray.stages.textstats import add_repetition_stats
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b a b a",         # 5 words, 2 distinct; 'a'x3; 'a b'x2 of 4 bigrams
+                 "x y z",             # all distinct; each bigram once
+                 "solo",              # 1 word: no bigrams
+                 ""],                 # one empty word
+    })
+    out = (add_repetition_stats(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert np.isclose(out.loc[0, "dup_word_frac"], 3 / 5)
+    assert np.isclose(out.loc[0, "top_word_frac"], 3 / 5)
+    assert np.isclose(out.loc[0, "top_bigram_frac"], 2 / 4)
+    assert np.isclose(out.loc[1, "dup_word_frac"], 0.0)
+    assert np.isclose(out.loc[1, "top_bigram_frac"], 1 / 2)
+    assert out.loc[2, "top_bigram_frac"] == 0.0
+    assert np.isclose(out.loc[2, "top_word_frac"], 1.0)
+    # '' -> one empty word: fully "repeated" by the n=1 degenerate case
+    assert np.isclose(out.loc[3, "top_word_frac"], 1.0)
+    assert np.isclose(out.loc[3, "dup_word_frac"], 0.0)
