@@ -77,7 +77,10 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
                      langs: list[str] | None = None,
                      near_dup: bool = True,
                      jaccard_threshold: float = 0.8,
-                     broadcast_threshold: int = 5_000_000) -> dict:
+                     broadcast_threshold: int = 5_000_000,
+                     segment_scrub: bool = False,
+                     words_per_seg: int = 20,
+                     seg_max_count: int = 2) -> dict:
     annotated = add_lang_id(add_quality_score(add_token_counts(
         ds, text_col=text_col), text_col=text_col), text_col=text_col)
     annotated = annotated.materialize()
@@ -165,6 +168,21 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
                                   id_col, broadcast_threshold)
     removed_frames.append(near_removed)
 
+    n_segments_removed = None
+    if segment_scrub:
+        # final scrub: strip globally duplicated word windows from the
+        # SURVIVING docs' text in place (CCNet-style boilerplate removal
+        # — rewrites text, never drops doc rows)
+        from ..stages.dedup import segment_dedup
+        from ray.data.aggregate import Sum
+        survivors = segment_dedup(
+            survivors, text_col=text_col, id_col=id_col,
+            words_per_seg=words_per_seg, max_count=seg_max_count,
+            broadcast_threshold=broadcast_threshold,
+            input_partitions=None, replace_text=True).materialize()
+        agg = survivors.aggregate(Sum("n_removed", alias_name="s"))
+        n_segments_removed = int(agg["s"] or 0)
+
     removed = removed_frames[0]
     for f in removed_frames[1:]:
         removed = removed.union(f)
@@ -173,4 +191,6 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
     n_in = ds.count()
     stats = {"input": n_in, "kept": kept.count(),
              "removed": removed.count()}
+    if n_segments_removed is not None:
+        stats["segments_removed"] = n_segments_removed
     return {"kept": kept, "removed": removed, "stats": stats}

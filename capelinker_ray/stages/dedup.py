@@ -819,7 +819,7 @@ def _batch_segments(texts, words_per_seg: int):
 def segment_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
                   words_per_seg: int = 20, max_count: int = 2,
                   broadcast_threshold: int = 5_000_000,
-                  input_partitions="auto"):
+                  input_partitions="auto", replace_text: bool = False):
     """Remove globally-duplicated SEGMENTS (fixed word windows) from every
     document — the paragraph-dedup step of web-corpus curation pipelines
     (CCNet / Gopher boilerplate removal), segment-level where
@@ -843,7 +843,12 @@ def segment_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     partial aggregation keeps the shuffle proportional to the distinct-
     segment count, which boilerplate-heavy corpora compress heavily.
 
-    Returns Dataset[(id_col, text_clean, n_seg, n_removed)].
+    Returns Dataset[(id_col, text_clean, n_seg, n_removed)]; with
+    ``replace_text=True`` it instead returns the INPUT rows with
+    ``text_col`` rewritten in place (+ ``n_seg``/``n_removed``) so the
+    scrub composes inside wider pipelines (pipelines/curate.py) without
+    a re-join — the broadcast path rewrites in the same map; the
+    distributed fallback hash-joins ``text_clean`` back by id.
     """
     import ray
 
@@ -884,6 +889,12 @@ def segment_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
             hot_mask = pd.Series(segs).isin(hot).to_numpy()
             clean, n_seg, n_rm = rebuild_arrays(
                 doc_of, seg_of, segs, hot_mask, len(df))
+            if replace_text:
+                out = df.copy()
+                out[text_col] = clean
+                out["n_seg"] = n_seg
+                out["n_removed"] = n_rm
+                return out
             return pd.DataFrame({id_col: df[id_col].to_numpy(),
                                  "text_clean": clean, "n_seg": n_seg,
                                  "n_removed": n_rm})
@@ -916,4 +927,10 @@ def segment_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return pd.DataFrame({id_col: uniq, "text_clean": clean,
                              "n_seg": n_seg, "n_removed": n_rm})
 
-    return grouped_map(flagged, id_col, reassemble)
+    slim = grouped_map(flagged, id_col, reassemble)
+    if not replace_text:
+        return slim
+    joined = hash_join(ds.drop_columns([text_col]), slim, on=id_col)
+    return joined.map_batches(
+        lambda df: df.rename(columns={"text_clean": text_col}),
+        batch_format="pandas")

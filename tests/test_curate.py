@@ -80,3 +80,24 @@ def test_curate_distributed_ledger_parity(ray_session):
     assert list(removed["doc_id"]) == [2, 3, 4, 5, 6]
     assert sorted(out["kept"].to_pandas()["doc_id"]) == [1, 7]
     assert out["stats"] == {"input": 7, "kept": 2, "removed": 5}
+
+
+def test_curate_segment_scrub(ray_session):
+    import ray.data as rd
+    from capelinker_ray.pipelines.curate import curate_documents
+    boiler = " ".join(f"b{i}" for i in range(4))
+    bodies = [" ".join(f"doc{d}w{i}" for i in range(12)) for d in range(6)]
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [f"{boiler} {b}" for b in bodies[:4]] + bodies[4:],
+    })
+    out = curate_documents(rd.from_pandas(df), min_tokens=1, min_quality=0.0,
+                           near_dup=False, segment_scrub=True,
+                           words_per_seg=4, seg_max_count=2)
+    kept = out["kept"].to_pandas().sort_values("doc_id")
+    assert out["stats"]["segments_removed"] == 4
+    # boilerplate window stripped, bodies intact and in order
+    for d in range(4):
+        assert kept.loc[kept.doc_id == d, "text"].iloc[0] == bodies[d]
+    assert kept.loc[kept.doc_id == 4, "text"].iloc[0] == bodies[4]
+    assert out["stats"]["kept"] == 6
