@@ -180,20 +180,37 @@ def _rows_equal(A, la, B, lb) -> np.ndarray:
     return eq
 
 
-def _core_with_eq_fastpath(core, A, la, B, lb, equal_value, *args):
+# rows per core() invocation: the DP cores sweep ~10 n-length working
+# arrays per (i,j) cell, so one monolithic call on an 80k-row Ray block
+# spills the working set out of L2 every sweep — chunking keeps it
+# cache-resident (measured ~3x on 32-char pairs). Sweet spots differ by
+# core working-set width: the jaro matcher peaks near 8k rows, the
+# (L2+1)-wide edit DP near 4k (swept in-repo; see BASELINE.md).
+_JARO_CHUNK = 8_192
+_EDIT_CHUNK = 4_096
+
+
+def _core_with_eq_fastpath(core, A, la, B, lb, equal_value, *args,
+                           chunk: int = _JARO_CHUNK):
     eq = _rows_equal(A, la, B, lb)
     n = len(la)
     out = np.full(n, float(equal_value))
-    ne = ~eq
-    if ne.any():
-        An = np.ascontiguousarray(A[ne])
-        Bn = np.ascontiguousarray(B[ne])
+    ne = np.flatnonzero(~eq)
+    if len(ne):
+        An = A[ne]
+        Bn = B[ne]
         # ASCII fast path: the DP inner loops are memory-bound; uint8
         # codepoints quarter the traffic (uint32 kept for general unicode)
         if ((An.max(initial=0) < 256) and (Bn.max(initial=0) < 256)):
             An = An.astype(np.uint8)
             Bn = Bn.astype(np.uint8)
-        out[ne] = core(An, la[ne], Bn, lb[ne], *args)
+        lan, lbn = la[ne], lb[ne]
+        res = np.empty(len(ne), dtype=np.float64)
+        for s in range(0, len(ne), chunk):
+            e = s + chunk
+            res[s:e] = core(np.ascontiguousarray(An[s:e]), lan[s:e],
+                            np.ascontiguousarray(Bn[s:e]), lbn[s:e], *args)
+        out[ne] = res
     return out
 
 
@@ -246,14 +263,16 @@ def _edit_core(A, la, B, lb, transpositions: bool):
     if L1 == 0:
         return np.where(la == 0, lb, la).astype(np.int64)
     INF = np.int64(1 << 30)
-    prev = np.broadcast_to(np.arange(L2 + 1, dtype=np.int64), (n, L2 + 1)).copy()
+    # int32 DP rows: distances are bounded by max_len (<= a few hundred);
+    # halving the row width halves the cache-critical traffic per cell
+    prev = np.broadcast_to(np.arange(L2 + 1, dtype=np.int32), (n, L2 + 1)).copy()
     prev2 = None
     for i in range(1, L1 + 1):
-        cur = np.empty((n, L2 + 1), dtype=np.int64)
+        cur = np.empty((n, L2 + 1), dtype=np.int32)
         cur[:, 0] = i
         ai = A[:, i - 1]
         for j in range(1, L2 + 1):
-            cost = (ai != B[:, j - 1]).astype(np.int64)
+            cost = (ai != B[:, j - 1]).astype(np.int32)
             best = np.minimum(
                 np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
                 prev[:, j - 1] + cost,
@@ -282,7 +301,8 @@ def osa_dist(s1, s2, max_len: int | None = None) -> np.ndarray:
     """
     A, la, v1 = encode(s1, max_len)
     B, lb, v2 = encode(s2, max_len)
-    d = _core_with_eq_fastpath(_edit_core_f, A, la, B, lb, 0.0, True)
+    d = _core_with_eq_fastpath(_edit_core_f, A, la, B, lb, 0.0, True,
+                               chunk=_EDIT_CHUNK)
     d[~(v1 & v2)] = np.nan
     return d
 
@@ -290,7 +310,8 @@ def osa_dist(s1, s2, max_len: int | None = None) -> np.ndarray:
 def levenshtein_dist(s1, s2, max_len: int | None = None) -> np.ndarray:
     A, la, v1 = encode(s1, max_len)
     B, lb, v2 = encode(s2, max_len)
-    d = _core_with_eq_fastpath(_edit_core_f, A, la, B, lb, 0.0, False)
+    d = _core_with_eq_fastpath(_edit_core_f, A, la, B, lb, 0.0, False,
+                               chunk=_EDIT_CHUNK)
     d[~(v1 & v2)] = np.nan
     return d
 
@@ -299,7 +320,8 @@ def osa_sim(s1, s2, max_len: int | None = None) -> np.ndarray:
     """stringsim(method='osa') parity: 1 - d / max(len1, len2); 1.0 when both empty."""
     A, la, v1 = encode(s1, max_len)
     B, lb, v2 = encode(s2, max_len)
-    d = _core_with_eq_fastpath(_edit_core_f, A, la, B, lb, 0.0, True)
+    d = _core_with_eq_fastpath(_edit_core_f, A, la, B, lb, 0.0, True,
+                               chunk=_EDIT_CHUNK)
     mx = np.maximum(la, lb).astype(np.float64)
     sim = np.where(mx > 0, 1.0 - d / np.where(mx > 0, mx, 1.0), 1.0)
     sim[~(v1 & v2)] = np.nan
@@ -321,13 +343,21 @@ for _c in "HW":
 # AEIOUY stay 0
 
 
-def soundex(strings) -> np.ndarray:
-    """American Soundex codes (classic rules: h/w transparent, vowels reset).
-
-    Non-letters are stripped; empty / null input -> None. Vectorized over
-    rows: the loop below runs over character positions only.
-    """
-    codes, lengths, valid = encode(strings)
+def _soundex_code_matrix(strings):
+    """(n, 4) uint32 soundex code matrix + (valid, nlet) — the numeric form
+    shared by ``soundex`` (string assembly) and ``soundex_dist`` (pure
+    matrix equality, no per-row string building). Chunked like the DP
+    kernels: the compaction scatter + position loop sweep (n, L) arrays
+    that must stay cache-resident."""
+    arr = _as_object_array(strings)
+    n = len(arr)
+    if n > _JARO_CHUNK:
+        outs = [_soundex_code_matrix(arr[s:s + _JARO_CHUNK])
+                for s in range(0, n, _JARO_CHUNK)]
+        return (np.concatenate([o[0] for o in outs]),
+                np.concatenate([o[1] for o in outs]),
+                np.concatenate([o[2] for o in outs]))
+    codes, lengths, valid = encode(arr)
     n, L = codes.shape
     # uppercase ASCII letters only
     up = np.where((codes >= 97) & (codes <= 122), codes - 32, codes)
@@ -364,7 +394,16 @@ def soundex(strings) -> np.ndarray:
                 slot[r] += 1
             # update prev: digits set it, vowels (0) reset it, h/w (-1) keep it
             prev = np.where(live & (code >= 0), code, prev)
-    # assemble strings
+    return out_chars, valid, nlet
+
+
+def soundex(strings) -> np.ndarray:
+    """American Soundex codes (classic rules: h/w transparent, vowels reset).
+
+    Non-letters are stripped; empty / null input -> None. Vectorized over
+    rows: the loops run over character positions only."""
+    out_chars, valid, nlet = _soundex_code_matrix(strings)
+    n = len(valid)
     view = out_chars.view(dtype="U4").reshape(n)
     result = np.empty(n, dtype=object)
     for i in range(n):
@@ -374,13 +413,15 @@ def soundex(strings) -> np.ndarray:
 
 def soundex_dist(s1, s2) -> np.ndarray:
     """stringdist(method='soundex') parity: 0.0 if codes equal else 1.0; null -> NaN."""
-    c1 = soundex(s1)
-    c2 = soundex(s2)
-    n = len(c1)
-    out = np.empty(n, dtype=np.float64)
-    for i in range(n):
-        a, b = c1[i], c2[i]
-        out[i] = np.nan if (a is None or b is None) else float(a != b)
+    m1, v1, n1 = _soundex_code_matrix(s1)
+    m2, v2, n2 = _soundex_code_matrix(s2)
+    # '' (no letters) encodes as the all-zero-slot row, distinct from any
+    # lettered code — matrix equality reproduces string-code equality,
+    # but nlet must agree so '' != a one-vowel letter code... both encode
+    # first letter, so (matrix, nlet>0) together are injective
+    eq = (m1 == m2).all(axis=1) & ((n1 > 0) == (n2 > 0))
+    out = (~eq).astype(np.float64)
+    out[~(v1 & v2)] = np.nan
     return out
 
 
