@@ -56,6 +56,57 @@ def _as_object_array(strings) -> np.ndarray:
     return arr
 
 
+def _encode_arrow_ascii(arr, max_len: int | None):
+    """Zero-object fast path: pyarrow string array -> (codes, lengths,
+    valid) straight from the UTF-8 data buffer (bytes ARE codepoints when
+    the referenced range is pure ASCII). Returns None when the input
+    isn't an arrow string array or contains non-ASCII — caller falls back
+    to the object-array path. Skips ~8 Python-string materializations per
+    value per feature pass at 21M pairs."""
+    try:
+        import pyarrow as _pa
+    except Exception:                                  # pragma: no cover
+        return None
+    if isinstance(arr, _pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not isinstance(arr, _pa.Array):
+        return None
+    if _pa.types.is_string(arr.type):
+        off_dtype = np.int32
+    elif _pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    else:
+        return None
+    n = len(arr)
+    bufs = arr.buffers()                               # [validity, offsets, data]
+    if bufs[1] is None:
+        return None
+    off_all = np.frombuffer(bufs[1], dtype=off_dtype)
+    off = off_all[arr.offset:arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, np.uint8)
+    valid = np.ones(n, dtype=bool)
+    if arr.null_count:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False).astype(bool)
+    lens = off[1:] - off[:-1]
+    lens = np.where(valid, lens, 0)
+    lo = int(off.min()) if n else 0
+    hi = int(off.max()) if n else 0
+    if hi > lo and int(data[lo:hi].max()) >= 128:
+        return None                                     # non-ASCII: fall back
+    L = int(lens.max()) if n else 0
+    if max_len is not None:
+        L = min(L, max_len)
+    take = np.minimum(lens, L)
+    codes = np.zeros((n, L), dtype=np.uint32)
+    if L and take.sum():
+        rows = np.repeat(np.arange(n, dtype=np.int64), take)
+        starts = np.cumsum(take) - take
+        within = np.arange(int(take.sum()), dtype=np.int64) - starts[rows]
+        codes[rows, within] = data[off[:-1][rows] + within]
+    return codes, take.astype(np.int64), valid
+
+
 def encode(strings, max_len: int | None = None):
     """Decode strings to a codepoint matrix.
 
@@ -63,7 +114,14 @@ def encode(strings, max_len: int | None = None):
       codes:   (n, L) uint32, 0-padded codepoints
       lengths: (n,) int64 string lengths (after optional truncation)
       valid:   (n,) bool, False where the input was None/NaN
+
+    pyarrow string arrays take a buffer-level fast path when pure ASCII
+    (no per-value Python strings); anything else decodes via the object
+    path below.
     """
+    fast = _encode_arrow_ascii(strings, max_len)
+    if fast is not None:
+        return fast
     arr = _as_object_array(strings)
     n = len(arr)
     valid = np.empty(n, dtype=bool)
@@ -214,9 +272,33 @@ def _core_with_eq_fastpath(core, A, la, B, lb, equal_value, *args,
     return out
 
 
+
+
+def _needs_chunk(s1, chunk):
+    return (not isinstance(s1, str) and hasattr(s1, "__len__")
+            and len(s1) > chunk)
+
+
+def _chunk_pairs(fn, s1, s2, chunk):
+    """Apply ``fn(s1_chunk, s2_chunk) -> float64[n]`` over row chunks,
+    slicing BEFORE decode. Two reasons: (a) the decoded (n, L) working
+    set stays cache-resident through the DP sweeps, and (b) each chunk's
+    scratch arrays reuse the same malloc arenas — this kernel's
+    page-fault cost on fresh multi-MB anonymous memory is ~100x a cached
+    page, so one whole-batch decode of an 80k-row block costs more in
+    faults than the entire distance computation (measured: np.repeat of
+    a fresh 2.8M-int64 array = ~1 s on this box)."""
+    n = len(s1)
+    return np.concatenate([fn(s1[s:s + chunk], s2[s:s + chunk])
+                           for s in range(0, n, chunk)])
+
 def jaro_sim(s1, s2, max_len: int | None = None,
              int_transpositions: bool = False) -> np.ndarray:
     """Pairwise Jaro similarity. Null in -> NaN out."""
+    if _needs_chunk(s1, _JARO_CHUNK):
+        return _chunk_pairs(
+            lambda a, b: jaro_sim(a, b, max_len, int_transpositions),
+            s1, s2, _JARO_CHUNK)
     A, la, v1 = encode(s1, max_len)
     B, lb, v2 = encode(s2, max_len)
     sim = _core_with_eq_fastpath(_jaro_core, A, la, B, lb, 1.0,
@@ -234,6 +316,11 @@ def jaro_winkler_sim(s1, s2, p: float = 0.1, bt: float = 0.0,
     reference's distcalc); ``bt`` the boost threshold (stringdist default 0:
     boost always applied; set 0.7 for the classic Winkler / DuckDB variant).
     """
+    if _needs_chunk(s1, _JARO_CHUNK):
+        return _chunk_pairs(
+            lambda a, b: jaro_winkler_sim(a, b, p=p, bt=bt, max_len=max_len,
+                                          int_transpositions=int_transpositions),
+            s1, s2, _JARO_CHUNK)
     A, la, v1 = encode(s1, max_len)
     B, lb, v2 = encode(s2, max_len)
     sim = _core_with_eq_fastpath(_jaro_core, A, la, B, lb, 1.0,
@@ -299,6 +386,9 @@ def osa_dist(s1, s2, max_len: int | None = None) -> np.ndarray:
 
     Parity target: stringdist(method='osa'). Null -> NaN.
     """
+    if _needs_chunk(s1, _EDIT_CHUNK):
+        return _chunk_pairs(lambda a, b: osa_dist(a, b, max_len),
+                            s1, s2, _EDIT_CHUNK)
     A, la, v1 = encode(s1, max_len)
     B, lb, v2 = encode(s2, max_len)
     d = _core_with_eq_fastpath(_edit_core_f, A, la, B, lb, 0.0, True,
@@ -308,6 +398,9 @@ def osa_dist(s1, s2, max_len: int | None = None) -> np.ndarray:
 
 
 def levenshtein_dist(s1, s2, max_len: int | None = None) -> np.ndarray:
+    if _needs_chunk(s1, _EDIT_CHUNK):
+        return _chunk_pairs(lambda a, b: levenshtein_dist(a, b, max_len),
+                            s1, s2, _EDIT_CHUNK)
     A, la, v1 = encode(s1, max_len)
     B, lb, v2 = encode(s2, max_len)
     d = _core_with_eq_fastpath(_edit_core_f, A, la, B, lb, 0.0, False,
@@ -318,6 +411,9 @@ def levenshtein_dist(s1, s2, max_len: int | None = None) -> np.ndarray:
 
 def osa_sim(s1, s2, max_len: int | None = None) -> np.ndarray:
     """stringsim(method='osa') parity: 1 - d / max(len1, len2); 1.0 when both empty."""
+    if _needs_chunk(s1, _EDIT_CHUNK):
+        return _chunk_pairs(lambda a, b: osa_sim(a, b, max_len),
+                            s1, s2, _EDIT_CHUNK)
     A, la, v1 = encode(s1, max_len)
     B, lb, v2 = encode(s2, max_len)
     d = _core_with_eq_fastpath(_edit_core_f, A, la, B, lb, 0.0, True,
@@ -348,16 +444,16 @@ def _soundex_code_matrix(strings):
     shared by ``soundex`` (string assembly) and ``soundex_dist`` (pure
     matrix equality, no per-row string building). Chunked like the DP
     kernels: the compaction scatter + position loop sweep (n, L) arrays
-    that must stay cache-resident."""
-    arr = _as_object_array(strings)
-    n = len(arr)
+    that must stay cache-resident. Slicing happens BEFORE decode so
+    pyarrow inputs keep the buffer-level encode fast path."""
+    n = len(strings)
     if n > _JARO_CHUNK:
-        outs = [_soundex_code_matrix(arr[s:s + _JARO_CHUNK])
+        outs = [_soundex_code_matrix(strings[s:s + _JARO_CHUNK])
                 for s in range(0, n, _JARO_CHUNK)]
         return (np.concatenate([o[0] for o in outs]),
                 np.concatenate([o[1] for o in outs]),
                 np.concatenate([o[2] for o in outs]))
-    codes, lengths, valid = encode(arr)
+    codes, lengths, valid = encode(strings)
     n, L = codes.shape
     # uppercase ASCII letters only
     up = np.where((codes >= 97) & (codes <= 122), codes - 32, codes)

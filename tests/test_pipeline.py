@@ -135,3 +135,26 @@ def test_checkpoint_legacy_marker_not_trusted(ray_session, tmp_path):
     # the legacy-marker stage was rebuilt and re-stamped with a hash
     with open(marker) as f:
         assert "param_hash" in json.load(f)
+
+
+def test_slim_broadcast_pair_path_matches_wide(ray_session):
+    """The slim-pairs + BroadcastFeaturizer flagship path must produce the
+    same scored feature rows as the wide attr-carrying path."""
+    from capelinker_ray import synth
+    from capelinker_ray.pipelines.linkage import link_transcripts
+    turns, _ = synth.gen_corpus(n_entities=60, seed=5)
+    common = dict(checkpoint_dir=None, sort_output=False)
+    slim = link_transcripts(rd.from_arrow(turns),
+                            broadcast_records_threshold=10**9, **common)
+    wide = link_transcripts(rd.from_arrow(turns),
+                            broadcast_records_threshold=0, **common)
+    from capelinker_ray.stages.features import TRANSCRIPT_FEATURES
+    cols = ["conv_id_from", "conv_id_to", "score"] + TRANSCRIPT_FEATURES
+    a = (slim["pairs"].to_pandas()[cols]
+         .sort_values(["conv_id_from", "conv_id_to"]).reset_index(drop=True))
+    b = (wide["pairs"].to_pandas()[cols]
+         .sort_values(["conv_id_from", "conv_id_to"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    ea = slim["entities"].to_pandas().sort_values("conv_id").reset_index(drop=True)
+    eb = wide["entities"].to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert (ea["entity_id"].values == eb["entity_id"].values).all()
