@@ -84,15 +84,17 @@ def _batch_bigrams(strings: np.ndarray):
     if len(cps) < 2:
         return (np.empty(0, np.int64), np.empty(0, np.int64),
                 np.empty(0, np.int64))
-    win = np.lib.stride_tricks.sliding_window_view(cps, 2).astype(np.int64)
-    codes = win[:, 0] * _CODE_BASE + win[:, 1]
+    # k=2 windows need no window matrix at all: adjacent-codepoint
+    # arithmetic avoids the 2x-width fresh allocation (page-fault tax,
+    # see kernels/strdist._chunk_pairs)
+    codes = cps[:-1].astype(np.int64) * _CODE_BASE + cps[1:]
     # window at absolute position p belongs to the doc whose span covers p;
     # validity is POSITIONAL (both chars inside the owner's span), not
     # value-based — a document legitimately containing the separator
     # codepoint keeps its bigrams (dense-kernel / SQL-oracle parity)
     lens = np.array([len(p) for p in parts], dtype=np.int64)
     starts = np.cumsum(lens + 1) - (lens + 1)  # +1 for each separator
-    pos = np.arange(len(win), dtype=np.int64)
+    pos = np.arange(len(codes), dtype=np.int64)
     owner = np.searchsorted(starts, pos, side="right") - 1
     valid = pos + 1 < starts[owner] + lens[owner]
     doc = idxs[owner[valid]]

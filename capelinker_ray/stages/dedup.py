@@ -149,11 +149,15 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     if not isinstance(text, str) or len(text) < k:
         return np.empty(0, dtype=np.uint64)
     cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
-    win = np.lib.stride_tricks.sliding_window_view(cps, k).astype(np.uint64)
-    h = np.full(len(win), np.uint64(14695981039346656037))
+    # strided view, cast per COLUMN inside the loop: one k-wide astype of
+    # the whole window matrix is a single large fresh allocation (k x the
+    # column size), and fresh multi-MB pages fault ~100x slower than
+    # arena-reused ones on this kernel (see kernels/strdist._chunk_pairs)
+    win = np.lib.stride_tricks.sliding_window_view(cps, k)
+    h = np.full(win.shape[0], np.uint64(14695981039346656037))
     with np.errstate(over="ignore"):
         for j in range(k):
-            h = (h ^ win[:, j]) * np.uint64(1099511628211)
+            h = (h ^ win[:, j].astype(np.uint64)) * np.uint64(1099511628211)
     return np.unique(h)
 
 
@@ -189,11 +193,15 @@ def _batch_shingle_hashes(texts: list, k: int):
     cps = np.frombuffer(full.encode("utf-32-le"), dtype=np.uint32)
     if len(cps) < k:
         return np.zeros(n, np.int64), np.empty(0, np.uint64)
-    win = np.lib.stride_tricks.sliding_window_view(cps, k).astype(np.uint64)
-    h = np.full(len(win), np.uint64(14695981039346656037))
+    # strided view, cast per COLUMN inside the loop: one k-wide astype of
+    # the whole window matrix is a single large fresh allocation (k x the
+    # column size), and fresh multi-MB pages fault ~100x slower than
+    # arena-reused ones on this kernel (see kernels/strdist._chunk_pairs)
+    win = np.lib.stride_tricks.sliding_window_view(cps, k)
+    h = np.full(win.shape[0], np.uint64(14695981039346656037))
     with np.errstate(over="ignore"):
         for j in range(k):
-            h = (h ^ win[:, j]) * np.uint64(1099511628211)
+            h = (h ^ win[:, j].astype(np.uint64)) * np.uint64(1099511628211)
     # doc ownership: window at position p belongs to the doc covering p;
     # validity is POSITIONAL (all k chars inside the owner's span) so a
     # doc containing the separator codepoint keeps its shingles (parity
