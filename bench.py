@@ -113,8 +113,16 @@ def ensure_scaling_corpus() -> str:
     if not os.path.exists(marker):
         from capelinker_ray import synth
         os.makedirs(SCALING_DIR, exist_ok=True)
+        # shards scale WITH entities (constant ~12.5k entities/shard):
+        # each shard draws its own vocab, so blocking collisions — and
+        # with them candidate pairs — stay proportional to corpus size,
+        # the way a web corpus grows by adding domains rather than by
+        # densifying existing ones. A fixed shard count makes pair work
+        # grow ~quadratically (measured: 3x entities -> ~9x pairs) and
+        # the benchmark stops measuring the engine.
+        shards = max(32, SCALING_ENTITIES // 12_500)
         synth.write_corpus(SCALING_DIR, n_entities=SCALING_ENTITIES,
-                           seed=42, shards=32)
+                           seed=42, shards=shards)
         with open(marker, "w") as f:
             f.write("ok")
     return tdir
