@@ -119,11 +119,23 @@ def _corrupt_text(rng: np.random.Generator, s: str, protect_prefix: int = 0,
 
 
 def gen_corpus(n_entities: int = 300, seed: int = 42,
-               hot_frac: float = 0.02, id_offset: int = 0):
+               hot_frac: float = 0.02, id_offset: int = 0,
+               scope: str = ""):
     """Generate (turns: pa.Table, truth: pa.Table).
 
     ``id_offset`` lets shards of a large corpus be generated independently
     (entity ids and conv ids are globally unique per offset range).
+
+    ``scope`` (optional) prefixes every hot opener, making hot blocking
+    keys scoped to this shard. A sharded corpus models growth the way the
+    web grows — more domains, each with its OWN boilerplate openers — so
+    hot-block sizes stay bounded by shard size and total candidate-pair
+    work stays proportional to corpus size. Without scoping, the 5 global
+    openers form blocks that grow linearly with the corpus and pair work
+    grows quadratically (measured: 93% of all pairs from 5 blocks at 1.2M
+    entities), so a scaling benchmark stops measuring the engine.
+    Globally-hot-key handling is exercised separately by the salting tests
+    (tests/test_blocking.py) and the default unscoped single-shard corpus.
     """
     rng = np.random.default_rng(seed)
     vocab = _make_vocab(rng)
@@ -140,6 +152,8 @@ def gen_corpus(n_entities: int = 300, seed: int = 42,
         # base conversation
         if rng.random() < hot_frac:
             opener = _HOT_OPENERS[int(rng.integers(0, len(_HOT_OPENERS)))]
+            if scope:
+                opener = scope + " " + opener
             first = opener + " " + _sentence(rng, vocab, zipf_p, 2, 4)
         else:
             first = _sentence(rng, vocab, zipf_p, 4, 8)
@@ -210,27 +224,54 @@ def gen_corpus(n_entities: int = 300, seed: int = 42,
 
 
 def write_corpus(out_dir: str, n_entities: int = 300, seed: int = 42,
-                 shards: int = 1) -> tuple[str, str]:
+                 shards: int = 1, hot_frac: float = 0.02) -> tuple[str, str]:
     """Write a sharded corpus: ``<out_dir>/transcripts/shard=K/part.parquet``
     plus ``<out_dir>/truth.parquet``. Shards are generated independently
-    (disjoint id ranges) — the layout a resumable 100-TB ingest would use."""
+    (disjoint id ranges) — the layout a resumable 100-TB ingest would use.
+    With ``shards > 1`` hot openers are shard-scoped (see ``gen_corpus``)
+    so candidate-pair work grows linearly with corpus size."""
     import os
     import pyarrow.parquet as pq
 
     tdir = os.path.join(out_dir, "transcripts")
     os.makedirs(tdir, exist_ok=True)
-    truths = []
     per = n_entities // shards
+    jobs = []
     for k in range(shards):
         n_k = per + (n_entities % shards if k == shards - 1 else 0)
-        turns, truth = gen_corpus(n_k, seed=seed + k, id_offset=k * per * 8)
-        sdir = os.path.join(tdir, f"shard={k}")
-        os.makedirs(sdir, exist_ok=True)
-        pq.write_table(turns, os.path.join(sdir, "part.parquet"))
-        truths.append(truth)
+        jobs.append((tdir, k, n_k, seed + k, k * per * 8, hot_frac,
+                     f"s{k}" if shards > 1 else ""))
+    if shards > 4:
+        # shards are independent by construction — generate them in
+        # parallel processes (pure numpy gen, no Ray needed here)
+        import multiprocessing as mp
+        with mp.get_context("spawn").Pool(min(16, shards)) as pool:
+            truth_paths = pool.map(_write_shard, jobs)
+    else:
+        truth_paths = [_write_shard(j) for j in jobs]
+    truths = [pq.read_table(p) for p in truth_paths]
     truth_path = os.path.join(out_dir, "truth.parquet")
     pq.write_table(pa.concat_tables(truths), truth_path)
+    for p in truth_paths:
+        os.remove(p)
     return tdir, truth_path
+
+
+def _write_shard(job: tuple) -> str:
+    """Generate + write one shard (module-level for Pool picklability);
+    returns the path of the shard's truth fragment."""
+    import os
+    import pyarrow.parquet as pq
+
+    tdir, k, n_k, seed, id_offset, hot_frac, scope = job
+    turns, truth = gen_corpus(n_k, seed=seed, id_offset=id_offset,
+                              hot_frac=hot_frac, scope=scope)
+    sdir = os.path.join(tdir, f"shard={k}")
+    os.makedirs(sdir, exist_ok=True)
+    pq.write_table(turns, os.path.join(sdir, "part.parquet"))
+    tp = os.path.join(sdir, "_truth_frag.parquet")
+    pq.write_table(truth, tp)
+    return tp
 
 
 def transcripts_from_documents(sf_dir: str, seed: int = 7):
