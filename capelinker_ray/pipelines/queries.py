@@ -916,6 +916,114 @@ SELECT a.doc_id,
 FROM agg a LEFT JOIN bg b USING (doc_id)"""
 
 
+def q_pii_redact(sf_dir: str):
+    """PII detection + redaction (stages/pii.py): the corpus text is first
+    augmented with deterministic synthetic PII (email/IP/phone derived from
+    doc_id — the synthetic documents don't naturally contain any), then
+    counted and masked. The SQL oracle applies the SAME augmentation and
+    the same RE2-subset patterns."""
+    from ..stages.pii import add_pii_stats, redact_pii
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def aug(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        did = df["doc_id"].astype(np.int64)
+        df["text"] = (df["text"].fillna("") + " contact user"
+                      + did.astype(str) + "@mail.example.com ip 10.0."
+                      + (did % 256).astype(str) + ".7 tel +3120555"
+                      + (1000 + did % 9000).astype(str))
+        return df
+
+    out = redact_pii(add_pii_stats(docs.map_batches(
+        aug, batch_format="pandas")))
+    return out.select_columns(
+        ["doc_id", "n_emails", "n_ips", "n_phones", "text_redacted"])
+
+
+def sql_pii_redact(sf_dir: str) -> str:
+    from ..stages.pii import PII_PATTERNS
+    pats = {k: p for k, (p, _r) in PII_PATTERNS.items()}
+    repl = {k: r for k, (_p, r) in PII_PATTERNS.items()}
+    red = "s"
+    for cat in PII_PATTERNS:  # declaration order = engine order
+        red = f"regexp_replace({red}, '{pats[cat]}', '{repl[cat]}', 'g')"
+    counts = ",\n       ".join(
+        f"CAST(length(regexp_extract_all(s, '{pats[cat]}')) AS BIGINT) "
+        f"AS n_{cat}s" for cat in PII_PATTERNS)
+    return f"""WITH aug AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@mail.example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         || '.7 tel +3120555' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS s
+  FROM documents
+)
+SELECT doc_id,
+       {counts},
+       {red} AS text_redacted
+FROM aug"""
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (stages/decontam.py): docs sharing any
+    word 8-gram with the 'benchmark' slice (doc_id % 7 == 0) are flagged;
+    the benchmark n-gram hash set is broadcast, the corpus side streams."""
+    from ..stages.decontam import decontaminate
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def keep_bench(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["doc_id"] % 7 == 0]
+
+    def keep_corpus(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["doc_id"] % 7 != 0]
+
+    bench = docs.map_batches(keep_bench, batch_format="pandas")
+    corpus = docs.map_batches(keep_corpus, batch_format="pandas")
+    return decontaminate(corpus, bench, n=8)
+
+
+def sql_decontaminate(sf_dir: str) -> str:
+    return """WITH w AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest([array_to_string(words[i:i+7], ' ')
+                 FOR i IN generate_series(1, len(words) - 7)]) AS gm
+  FROM w WHERE len(words) >= 8
+),
+bg AS (SELECT DISTINCT gm FROM g WHERE doc_id % 7 = 0),
+hits AS (
+  SELECT g.doc_id, count(DISTINCT g.gm) AS n
+  FROM g JOIN bg USING (gm) WHERE g.doc_id % 7 <> 0
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit_ngrams,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 7 <> 0"""
+
+
+def q_vocab_counts(sf_dir: str):
+    """Corpus vocabulary with partial per-batch aggregation
+    (stages/corpus_stats.py:vocab_counts)."""
+    from ..stages.corpus_stats import vocab_counts
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return vocab_counts(docs, min_count=5)
+
+
+def sql_vocab_counts(sf_dir: str) -> str:
+    return """SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token
+      FROM documents)
+WHERE token <> ''
+GROUP BY token HAVING count(*) >= 5"""
+
+
 def q_lang_quality(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "lang"])
@@ -1212,6 +1320,9 @@ def build_queries() -> dict:
         "ngram_dedup": q_ngram_dedup,
         "segment_dedup": q_segment_dedup,
         "repetition_stats": q_repetition_stats,
+        "pii_redact": q_pii_redact,
+        "decontaminate": q_decontaminate,
+        "vocab_counts": q_vocab_counts,
         "doc_curation": q_doc_curation,
         "sketch_stats": q_sketch_stats,
         "lang_quality": q_lang_quality,
@@ -1243,6 +1354,9 @@ def build_oracle_sql() -> dict:
         "ngram_dedup": sql_ngram_dedup(_ORACLE_SF_DIR),
         "segment_dedup": sql_segment_dedup(_ORACLE_SF_DIR),
         "repetition_stats": sql_repetition_stats(_ORACLE_SF_DIR),
+        "pii_redact": sql_pii_redact(_ORACLE_SF_DIR),
+        "decontaminate": sql_decontaminate(_ORACLE_SF_DIR),
+        "vocab_counts": sql_vocab_counts(_ORACLE_SF_DIR),
         "asof_join": sql_asof_join(_ORACLE_SF_DIR),
         "simhash": sql_simhash(_ORACLE_SF_DIR),
         "simhash_pairs": sql_simhash_pairs(_ORACLE_SF_DIR),

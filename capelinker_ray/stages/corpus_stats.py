@@ -33,7 +33,7 @@ from ray.data.aggregate import Max, Min
 from ..kernels.strdist import jaro_winkler_sim
 
 __all__ = ["add_group_count", "normalise_column", "uniformise_column",
-           "add_group_uniqueness"]
+           "add_group_uniqueness", "vocab_counts"]
 
 
 def add_group_count(ds, key_col: str, out_col: str = "group_count"):
@@ -58,6 +58,39 @@ def add_group_count(ds, key_col: str, out_col: str = "group_count"):
         return df.merge(t, on=key_col, how="left")
 
     return ds.map_batches(join_back, batch_format="pandas")
+
+
+def vocab_counts(ds, text_col: str = "text", min_count: int = 5):
+    """Corpus-level vocabulary: Dataset[(token, n)] of every token whose
+    global count reaches ``min_count`` (the BPE-corpus / filter-list
+    building block). Empty tokens (from repeated spaces) are dropped.
+
+    Scale shape: each batch pre-aggregates its own token counts (one
+    flattened ``value_counts`` — batch rows collapse to its distinct
+    tokens), so the only shuffle moves (token, partial_n) rows — Zipf makes
+    the partials tiny relative to the corpus. Split convention matches the
+    other text oracles: single-space split."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df[text_col].where(df[text_col].notna(), "").str.split(" ")
+        lens = words.str.len().to_numpy(np.int64)
+        if not lens.sum():
+            return pd.DataFrame({"token": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        flat = np.concatenate([np.asarray(w, dtype=object) for w in words])
+        codes, uniq = pd.factorize(flat, sort=False)
+        cnt = np.bincount(codes, minlength=len(uniq))
+        keep = np.asarray(uniq, dtype=object) != ""
+        return pd.DataFrame({"token": np.asarray(uniq, dtype=object)[keep],
+                             "n": cnt[keep].astype(np.int64)})
+
+    from .grouped import grouped_map
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        tot = (df.groupby("token", sort=False)["n"].sum().reset_index())
+        return tot[tot["n"] >= min_count]
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return grouped_map(partials, "token", combine)
 
 
 def normalise_column(ds, col: str, out_col: str | None = None):
