@@ -18,9 +18,10 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = ["MEDIA_SCHEMA", "MediaFeaturizer", "featurize_media",
-           "fake_media_table"]
+           "resize_media", "sample_frames", "fake_media_table"]
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -88,12 +89,150 @@ def featurize_media(ds, *, media_type: str = "image", decode_fn=None,
         batch_format="pyarrow")
 
 
-def fake_media_table(n: int = 64, seed: int = 3) -> pa.Table:
-    """Deterministic synthetic media table (tests/bench fixtures)."""
+class MediaResizer:
+    """Actor-pool stage: resize image payloads to (target_w, target_h).
+
+    Real deployments pass ``resize_fn(payloads, w, h) -> list[bytes]``
+    (loads its codec once per actor); ``fake=True`` installs the
+    deterministic stand-in (even-stride byte subsample / zero-pad to
+    w*h bytes) so the plumbing — metadata rewrite, payload replacement,
+    small-batch actor pool — is exercised end-to-end without PIL."""
+
+    def __init__(self, target_width: int, target_height: int,
+                 resize_fn=None, fake: bool = False):
+        self.w, self.h = int(target_width), int(target_height)
+        if resize_fn is not None:
+            self.resize = resize_fn
+        elif fake:
+            self.resize = self._fake_resize
+        else:
+            raise NotImplementedError(
+                "no image codecs in this environment: pass resize_fn "
+                "or fake=True (deterministic byte-resample stand-in)")
+
+    def _fake_resize(self, payloads, w: int, h: int):
+        tgt = w * h
+        out = []
+        for p in payloads:
+            b = np.frombuffer(p or b"", np.uint8)
+            if len(b) >= tgt:
+                idx = np.linspace(0, len(b) - 1, tgt).astype(np.int64)
+                out.append(b[idx].tobytes())
+            else:
+                out.append(b.tobytes() + b"\x00" * (tgt - len(b)))
+        return out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        new_payloads = self.resize(t["payload"].to_pylist(), self.w, self.h)
+        n = len(t)
+        t = t.set_column(t.schema.get_field_index("payload"), "payload",
+                         pa.array(new_payloads, pa.binary()))
+        t = t.set_column(t.schema.get_field_index("meta_width"),
+                         "meta_width", pa.array([self.w] * n, pa.int32()))
+        t = t.set_column(t.schema.get_field_index("meta_height"),
+                         "meta_height", pa.array([self.h] * n, pa.int32()))
+        return t.set_column(
+            t.schema.get_field_index("n_bytes"), "n_bytes",
+            pa.array([len(p) for p in new_payloads], pa.int64()))
+
+
+def resize_media(ds, *, target_width: int = 64, target_height: int = 64,
+                 resize_fn=None, fake: bool = False, concurrency=(1, 4),
+                 batch_size: int = 64, num_cpus: float = 1.0):
+    """Dataset[MEDIA_SCHEMA] -> same schema, payload resized + metadata
+    rewritten. Small batches: both old and new payload live in the batch."""
+    return ds.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"target_width": target_width,
+                               "target_height": target_height,
+                               "resize_fn": resize_fn, "fake": fake},
+        concurrency=concurrency, batch_size=batch_size, num_cpus=num_cpus,
+        batch_format="pyarrow")
+
+
+FRAME_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("frame_idx", pa.int32()),
+    ("media_type", pa.string()),       # frames come out as "image"
+    ("payload", pa.binary()),
+    ("meta_width", pa.int32()),
+    ("meta_height", pa.int32()),
+    ("n_bytes", pa.int64()),
+])
+
+
+class FrameSampler:
+    """Actor-pool flat-map stage: video row -> ``n_frames`` image rows.
+
+    Real deployments pass ``frames_fn(payload, n) -> list[bytes]`` (ffmpeg
+    handle opened once per actor); ``fake=True`` slices the payload into
+    ``n`` even byte chunks. Non-video rows are dropped (sampling frames
+    from an image makes no sense; filter upstream to keep them)."""
+
+    def __init__(self, n_frames: int = 4, frames_fn=None,
+                 fake: bool = False):
+        self.n_frames = int(n_frames)
+        if frames_fn is not None:
+            self.frames = frames_fn
+        elif fake:
+            self.frames = self._fake_frames
+        else:
+            raise NotImplementedError(
+                "no video codecs in this environment: pass frames_fn "
+                "or fake=True (even byte-chunk stand-in)")
+
+    def _fake_frames(self, payload: bytes, n: int):
+        b = payload or b""
+        bounds = np.linspace(0, len(b), n + 1).astype(np.int64)
+        return [b[bounds[i]:bounds[i + 1]] for i in range(n)]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(t["media_type"], "video"))
+        ids, fidx, payloads, ws, hs = [], [], [], [], []
+        for mid, p, w, h in zip(keep["media_id"].to_pylist(),
+                                keep["payload"].to_pylist(),
+                                keep["meta_width"].to_pylist(),
+                                keep["meta_height"].to_pylist()):
+            for j, fb in enumerate(self.frames(p, self.n_frames)):
+                ids.append(mid); fidx.append(j); payloads.append(fb)
+                ws.append(w); hs.append(h)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int32()),
+            "media_type": pa.array(["image"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta_width": pa.array(ws, pa.int32()),
+            "meta_height": pa.array(hs, pa.int32()),
+            "n_bytes": pa.array([len(p or b"") for p in payloads],
+                                pa.int64()),
+        }, schema=FRAME_SCHEMA)
+
+
+def sample_frames(ds, *, n_frames: int = 4, frames_fn=None,
+                  fake: bool = False, concurrency=(1, 4),
+                  batch_size: int = 16, num_cpus: float = 1.0):
+    """Dataset[MEDIA_SCHEMA] (video rows) -> Dataset[FRAME_SCHEMA], one row
+    per sampled frame. batch_size defaults SMALLER than featurize: output
+    payload volume is ~input volume × n_frames fan-out in rows."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"n_frames": n_frames,
+                               "frames_fn": frames_fn, "fake": fake},
+        concurrency=concurrency, batch_size=batch_size, num_cpus=num_cpus,
+        batch_format="pyarrow")
+
+
+def fake_media_table(n: int = 64, seed: int = 3,
+                     with_video: bool = False) -> pa.Table:
+    """Deterministic synthetic media table (tests/bench fixtures).
+    ``with_video=True`` makes every 5th row a "video" (for frame-sampling
+    tests) without disturbing the default fixture's layout."""
     rng = np.random.default_rng(seed)
     payloads = [rng.integers(0, 256, size=int(rng.integers(64, 2048)),
                              dtype=np.uint8).tobytes() for _ in range(n)]
     types = ["image" if i % 3 else "audio" for i in range(n)]
+    if with_video:
+        types = ["video" if i % 5 == 0 else t for i, t in enumerate(types)]
     return pa.table({
         "media_id": pa.array(np.arange(n, dtype=np.int64)),
         "media_type": pa.array(types, pa.string()),

@@ -44,6 +44,53 @@ def test_media_featurize_stub_raises():
         MediaFeaturizer(fake=False)
 
 
+def test_media_resize_fake(ray_session):
+    from capelinker_ray.stages.multimodal import resize_media
+    ds = rd.from_arrow(fake_media_table(n=12, seed=3))
+    out = resize_media(ds, target_width=8, target_height=4, fake=True,
+                       concurrency=(1, 2)).to_pandas()
+    assert len(out) == 12
+    assert (out["meta_width"] == 8).all() and (out["meta_height"] == 4).all()
+    assert (out["n_bytes"] == 32).all()
+    assert out["payload"].map(len).eq(32).all()
+    # deterministic: same input -> same resized bytes
+    out2 = resize_media(rd.from_arrow(fake_media_table(n=12, seed=3)),
+                        target_width=8, target_height=4, fake=True,
+                        concurrency=(1, 2)).to_pandas()
+    a = out.sort_values("media_id")["payload"].tolist()
+    b = out2.sort_values("media_id")["payload"].tolist()
+    assert a == b
+
+
+def test_media_sample_frames_fake(ray_session):
+    from capelinker_ray.stages.multimodal import sample_frames
+    tbl = fake_media_table(n=15, seed=3, with_video=True)
+    n_video = sum(1 for t in tbl["media_type"].to_pylist() if t == "video")
+    assert n_video == 3
+    out = sample_frames(rd.from_arrow(tbl), n_frames=4, fake=True,
+                        concurrency=(1, 2)).to_pandas()
+    # one image row per (video, frame); non-video rows dropped
+    assert len(out) == n_video * 4
+    assert (out["media_type"] == "image").all()
+    assert set(out["frame_idx"]) == {0, 1, 2, 3}
+    # frames of one video reassemble to the original payload (fake slicer)
+    orig = {m: p for m, p, t in zip(tbl["media_id"].to_pylist(),
+                                    tbl["payload"].to_pylist(),
+                                    tbl["media_type"].to_pylist())
+            if t == "video"}
+    for mid, g in out.groupby("media_id"):
+        joined = b"".join(g.sort_values("frame_idx")["payload"])
+        assert joined == orig[mid]
+
+
+def test_media_frame_sampler_stub_raises():
+    from capelinker_ray.stages.multimodal import FrameSampler, MediaResizer
+    with pytest.raises(NotImplementedError):
+        FrameSampler(fake=False)
+    with pytest.raises(NotImplementedError):
+        MediaResizer(8, 8, fake=False)
+
+
 def test_distcalc_reference_semantics(ray_session):
     # distances.R:15-20 fixture shape: char var -> dist + sdx; numeric -> diff
     df = pd.DataFrame({
