@@ -4,10 +4,14 @@ Composes the engine's text-analysis and dedup operators into the standard
 LLM-corpus curation flow (build brief: "the operations a large-scale
 training-data pipeline would need"), all streaming:
 
+  pii scrub  (optional) in-place email/IP/phone masking before anything
+             hashes or gates the text (stages/pii.py)
   annotate   token counts + quality score + language id (one stateless
              map_batches chain, stages/textstats.py)
   filter     length / quality / language gates, each rejection tagged
              with a reason
+  decontam   (optional) drop docs sharing a word n-gram with a benchmark
+             set (stages/decontam.py, reason "contaminated")
   exact dup  hash-partitioned min-id-per-text (stages/dedup.exact_dedup
              shape) — non-representatives removed as "exact_dup"
   near dup   MinHash+LSH pairs -> connected components -> every member
@@ -80,7 +84,18 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
                      broadcast_threshold: int = 5_000_000,
                      segment_scrub: bool = False,
                      words_per_seg: int = 20,
-                     seg_max_count: int = 2) -> dict:
+                     seg_max_count: int = 2,
+                     pii_scrub: bool = False,
+                     decontam_against=None,
+                     decontam_ngram: int = 8) -> dict:
+    """Optional extra stages: ``pii_scrub=True`` rewrites ``text_col`` in
+    place (stages/pii.py masks) BEFORE annotation, so gates and dedup see
+    redacted text; ``decontam_against=<benchmark Dataset>`` removes docs
+    sharing any ``decontam_ngram``-word n-gram with the benchmark (reason
+    "contaminated") after the quality gates, before dedup."""
+    if pii_scrub:
+        from ..stages.pii import redact_pii
+        ds = redact_pii(ds, text_col=text_col, out_col=text_col)
     annotated = add_lang_id(add_quality_score(add_token_counts(
         ds, text_col=text_col), text_col=text_col), text_col=text_col)
     annotated = annotated.materialize()
@@ -115,6 +130,25 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
     survivors = gated.map_batches(pass_rows, batch_format="pandas")\
         .materialize()
     removed_frames = [gated.map_batches(fail_rows, batch_format="pandas")]
+
+    n_contaminated = None
+    if decontam_against is not None:
+        from ..stages.decontam import decontaminate
+        flags = decontaminate(survivors, decontam_against,
+                              text_col=text_col, id_col=id_col,
+                              n=decontam_ngram)
+
+        def contaminated_ledger(t: pa.Table) -> pa.Table:
+            bad = t.filter(t["contaminated"])
+            return pa.table({id_col: bad[id_col].cast(pa.int64()),
+                             "reason": pa.array(["contaminated"] * len(bad),
+                                                pa.string())})
+        contam_removed = flags.map_batches(
+            contaminated_ledger, batch_format="pyarrow").materialize()
+        n_contaminated = contam_removed.count()
+        removed_frames.append(contam_removed)
+        survivors = _anti_join_ds(survivors, contam_removed, n_contaminated,
+                                  id_col, broadcast_threshold)
 
     # exact dup: min id per text hash; emit ONLY the non-representatives
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
@@ -193,4 +227,6 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
              "removed": removed.count()}
     if n_segments_removed is not None:
         stats["segments_removed"] = n_segments_removed
+    if n_contaminated is not None:
+        stats["contaminated"] = n_contaminated
     return {"kept": kept, "removed": removed, "stats": stats}

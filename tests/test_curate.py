@@ -101,3 +101,35 @@ def test_curate_segment_scrub(ray_session):
         assert kept.loc[kept.doc_id == d, "text"].iloc[0] == bodies[d]
     assert kept.loc[kept.doc_id == 4, "text"].iloc[0] == bodies[4]
     assert out["stats"]["kept"] == 6
+
+
+def test_curate_pii_and_decontam(ray_session):
+    eight = "alpha beta gamma delta epsilon zeta eta theta"
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            "write to me at someone@example.com about the quiet green "
+            "valley with rivers flowing toward the open sea shore",
+            f"leaked benchmark span {eight} hidden inside training text "
+            "with plenty of additional filler words to pass the gates",
+            "a completely different document about distributed query "
+            "engines processing large corpora with streaming shuffles",
+            "tiny",
+        ],
+    })
+    bench = pd.DataFrame({"doc_id": [100],
+                          "text": [f"question {eight} answer"]})
+    out = curate_documents(
+        rd.from_pandas(df), min_tokens=5, min_quality=0.0, near_dup=False,
+        pii_scrub=True, decontam_against=rd.from_pandas(bench),
+        decontam_ngram=8)
+    kept = out["kept"].to_pandas().set_index("doc_id")
+    removed = out["removed"].to_pandas().set_index("doc_id")
+    # PII masked in the surviving text
+    assert "<EMAIL>" in kept.loc[0, "text"]
+    assert "someone@example.com" not in kept.loc[0, "text"]
+    # benchmark-overlapping doc removed with its own reason
+    assert removed.loc[1, "reason"] == "contaminated"
+    assert removed.loc[3, "reason"] == "too_short"
+    assert out["stats"]["contaminated"] == 1
+    assert set(kept.index) == {0, 2}
