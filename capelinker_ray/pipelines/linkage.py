@@ -221,8 +221,19 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
         if entities.count() <= 5_000_000:
             # conv->entity map is small relative to the turn table:
             # broadcast once instead of shuffling every turn row twice
+            # (collected as ARROW blocks — zero-copy concat, no driver-side
+            # per-value pandas materialization)
+            import pyarrow as _pa
+            import ray as _ray
             from ..stages.join import broadcast_join
-            out = broadcast_join(ds_turns, ent_map.to_pandas(),
+            blocks = [b for b in _ray.get(ent_map.to_arrow_refs())
+                      if len(b)]
+            ent_tbl = (_pa.concat_tables(blocks,
+                                         promote_options="permissive")
+                       if blocks else
+                       _pa.table({"conv_id": _pa.array([], _pa.string()),
+                                  "entity_id": _pa.array([], _pa.string())}))
+            out = broadcast_join(ds_turns, ent_tbl,
                                  on="conv_id", how="left")
         else:
             out = hash_join(ds_turns, ent_map, on="conv_id", how="left")

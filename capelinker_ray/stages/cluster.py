@@ -43,19 +43,10 @@ def _sym_edges(ds_links, id_from: str, id_to: str):
     return ds_links.map_batches(sym, batch_format="pyarrow")
 
 
-def _union_find_local(a_ids: np.ndarray, b_ids: np.ndarray):
-    """Vectorized driver-side connected components over (src,dst) id pairs.
-
-    np.unique gives SORTED uniques, so the min int code per component IS the
-    lexicographic-min id. Min-label propagation with pointer doubling —
-    O((E+V)·log D) fully-vectorized numpy, no Python per-edge loop.
-    Returns (nodes, entity_ids) string arrays."""
-    both = np.concatenate([np.asarray(a_ids, dtype=object),
-                           np.asarray(b_ids, dtype=object)])
-    uniques, codes = np.unique(both.astype(str), return_inverse=True)
-    n_edges = len(a_ids)
-    a, b = codes[:n_edges], codes[n_edges:]
-    label = np.arange(len(uniques), dtype=np.int64)
+def _propagate_min(a: np.ndarray, b: np.ndarray, n: int) -> np.ndarray:
+    """Min-label propagation with pointer doubling over int-coded edges —
+    O((E+V)·log D) fully-vectorized numpy, no Python per-edge loop."""
+    label = np.arange(n, dtype=np.int64)
     for _ in range(200):
         old = label.copy()
         m = np.minimum(label[a], label[b])
@@ -64,7 +55,34 @@ def _union_find_local(a_ids: np.ndarray, b_ids: np.ndarray):
         label = label[label]          # pointer doubling
         if np.array_equal(label, old):
             break
-    return uniques, uniques[label]
+    return label
+
+
+def _union_find_local(a_ids, b_ids):
+    """Vectorized driver-side connected components over (src,dst) id pairs.
+
+    Ids are dictionary-encoded in Arrow C++ (no Python-string np.unique) and
+    re-ranked lexicographically so the min int code per component IS the
+    lexicographic-min id (UTF-8 bytewise order == codepoint order). Returns
+    (nodes, entity_ids) as Arrow string arrays, nodes sorted ascending."""
+    import pyarrow.compute as pc
+    a_ids = pa.array(a_ids, pa.string()) if not isinstance(
+        a_ids, (pa.Array, pa.ChunkedArray)) else a_ids
+    b_ids = pa.array(b_ids, pa.string()) if not isinstance(
+        b_ids, (pa.Array, pa.ChunkedArray)) else b_ids
+    both = pa.chunked_array([a_ids, b_ids]).combine_chunks()
+    enc = pc.dictionary_encode(both)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dictionary = enc.dictionary
+    order = pc.sort_indices(dictionary).to_numpy(zero_copy_only=False)
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order))
+    rcodes = rank[codes]
+    n_edges = len(a_ids)
+    label = _propagate_min(rcodes[:n_edges], rcodes[n_edges:], len(order))
+    nodes_sorted = dictionary.take(pa.array(order))
+    ents = nodes_sorted.take(pa.array(label))
+    return nodes_sorted, ents
 
 
 def connected_components(ds_links, *, id_from: str = "conv_id_from",
@@ -91,23 +109,25 @@ def connected_components(ds_links, *, id_from: str = "conv_id_from",
                     else "distributed")
 
     if strategy == "driver":
+        import ray
         import ray.data as rd
-        pairs = ds_links.select_columns([id_from, id_to]).to_pandas()
-        if len(pairs) == 0:
+        # collect as ARROW blocks: zero-copy through plasma + C++ concat,
+        # vs to_pandas()'s per-value object materialization of every id
+        blocks = ray.get(
+            ds_links.select_columns([id_from, id_to]).to_arrow_refs())
+        blocks = [b for b in blocks if len(b)]
+        if not blocks:
             # a 0-row dataset can surface with no columns at all (Ray emits
             # zero blocks) — the component table is simply empty
             return rd.from_arrow(pa.table({
                 "node": pa.array([], pa.string()),
                 "entity_id": pa.array([], pa.string())}))
-        nodes, ents = _union_find_local(pairs[id_from].to_numpy(),
-                                        pairs[id_to].to_numpy())
+        pairs = pa.concat_tables(blocks, promote_options="permissive")
+        nodes, ents = _union_find_local(pairs[id_from].cast(pa.string()),
+                                        pairs[id_to].cast(pa.string()))
         # arrow blocks (Ray 2.49 rename_columns/select_columns choke on
         # pandas blocks), one block — downstream joins repartition anyway
-        tbl = pa.table({
-            "node": pa.array(nodes.tolist(), pa.string()),
-            "entity_id": pa.array(ents.tolist(), pa.string()),
-        })
-        return rd.from_arrow(tbl)
+        return rd.from_arrow(pa.table({"node": nodes, "entity_id": ents}))
 
     edges = _sym_edges(ds_links, id_from, id_to).materialize()
     n_parts = (num_partitions if num_partitions
@@ -201,18 +221,22 @@ def attach_entity_ids(ds_records, ds_components, *, id_col: str = "conv_id",
     merge per batch, NO shuffle) below ``broadcast_threshold`` rows; the
     shuffle hash_join is the fallback for genuinely huge link graphs."""
     if ds_components.count() <= broadcast_threshold:
-        comp = ds_components.to_pandas().rename(columns={"node": id_col})
-        if len(comp) == 0:
-            comp = pd.DataFrame({id_col: pd.Series(dtype=object),
-                                 "entity_id": pd.Series(dtype=object)})
+        import ray
+        blocks = [b for b in ray.get(ds_components.to_arrow_refs())
+                  if len(b)]
+        if blocks:
+            comp = pa.concat_tables(blocks, promote_options="permissive")
+        else:
+            comp = pa.table({"node": pa.array([], pa.string()),
+                             "entity_id": pa.array([], pa.string())})
         from .join import broadcast_join
-        joined = broadcast_join(ds_records, comp, on=id_col, how="left")
+        joined = broadcast_join(ds_records, comp, on=id_col,
+                                right_on="node", how="left")
 
         def fill_pd(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["entity_id"] = df["entity_id"].where(
-                df["entity_id"].notna(), df[id_col].astype(str))
-            return df
+            # assign = shallow copy of untouched columns (no deep copy)
+            return df.assign(entity_id=df["entity_id"].where(
+                df["entity_id"].notna(), df[id_col].astype(str)))
         return joined.map_batches(fill_pd, batch_format="pandas")
 
     joined = hash_join(ds_records, ds_components, on=id_col, right_on="node",

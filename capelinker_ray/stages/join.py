@@ -149,20 +149,104 @@ def hash_join(left, right, *, on: str | list[str], right_on=None,
     return joined
 
 
-def broadcast_join(left, right_df: pd.DataFrame, *, on: str | list[str],
+# per-WORKER-PROCESS cache of deserialized + key-indexed broadcast sides.
+# ray.get() of a pandas/arrow object re-materializes it on EVERY call (string
+# columns are pickled, not plasma-zero-copy), and pandas merge rebuilds the
+# right side's hash table per batch — at a 1M-row entity map × thousands of
+# turn batches that was ~70 s of pure rework in the flagship tail. Worker
+# processes are reused across tasks of a stage, so the first batch a worker
+# sees pays the build and every later batch does an O(batch) probe.
+_BCAST_CACHE: dict[str, tuple] = {}
+_BCAST_CACHE_MAX = 4
+
+
+def _bcast_lookup(right_ref, on: list[str]):
+    key = right_ref.hex()
+    hit = _BCAST_CACHE.get(key)
+    if hit is None:
+        obj = ray.get(right_ref)
+        rdf = obj.to_pandas() if isinstance(obj, pa.Table) else obj
+        if len(on) == 1:
+            idx = pd.Index(rdf[on[0]])
+        else:
+            idx = pd.MultiIndex.from_frame(rdf[on])
+        unique = idx.is_unique
+        if unique and len(idx):
+            idx.get_indexer(idx[:1])  # prime the hash engine once
+        hit = (rdf, idx, unique, {})  # {} = lazily-filled numpy column cache
+        if len(_BCAST_CACHE) >= _BCAST_CACHE_MAX:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
+        _BCAST_CACHE[key] = hit
+    return hit
+
+
+def broadcast_join(left, right_df, *, on: str | list[str],
                    right_on=None, how: str = "left", suffixes=("", "_r")):
     """Shuffle-free join against a small in-memory right side: the frame is
-    put in the object store ONCE (``ray.put``) and every map task reads the
-    shared copy — the reference's model-registry/broadcast-dict pattern
-    (SURVEY §2.5 uniformise_string) applied to joins."""
+    put in the object store ONCE (``ray.put``, as an Arrow table — string
+    buffers ride plasma instead of being re-pickled) and every worker
+    process indexes the shared copy ONCE (module cache above) — the
+    reference's model-registry/broadcast-dict pattern (SURVEY §2.5
+    uniformise_string) applied to joins.
+
+    ``right_df``: pandas DataFrame or pyarrow Table. When the right keys are
+    unique (the entity-map / dimension-table case) each batch is joined with
+    one vectorized ``Index.get_indexer`` probe + positional take; duplicate
+    right keys fall back to a per-batch pandas merge against the cached
+    frame (merge semantics preserved, deserialization still amortized)."""
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
     on = [on] if isinstance(on, str) else list(on)
     right_on = on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on))
     rmap = dict(zip(right_on, on))
-    right_ref = ray.put(right_df.rename(columns=rmap))
+    if isinstance(right_df, pa.Table):
+        right_df = right_df.rename_columns(
+            [rmap.get(c, c) for c in right_df.column_names])
+    else:
+        right_df = pa.Table.from_pandas(right_df.rename(columns=rmap),
+                                        preserve_index=False)
+    # resolve collision names ONCE (left schema is known up front)
+    lcols = [n for n in left.schema().names]
+    rval_out = {c: (c + suffixes[1] if c in lcols else c)
+                for c in right_df.column_names if c not in on}
+    right_ref = ray.put(right_df)
 
     def join_batch(df: pd.DataFrame) -> pd.DataFrame:
-        r = ray.get(right_ref)
-        return df.merge(r, on=on, how=how, suffixes=suffixes)
+        rdf, idx, unique, cols = _bcast_lookup(right_ref, on)
+        if not unique:
+            return df.merge(rdf, on=on, how=how, suffixes=suffixes)
+        if len(on) == 1:
+            probe = df[on[0]].to_numpy()
+        else:
+            probe = pd.MultiIndex.from_frame(df[on])
+        pos = idx.get_indexer(probe)
+        found = pos >= 0
+        if how == "inner":
+            df = df[found]
+            pos = pos[found]
+            found = None
+        out = df.reset_index(drop=True)
+        if len(rdf) == 0:
+            for c, out_name in rval_out.items():
+                out[out_name] = np.full(len(out), np.nan)
+            return out
+        safe = pos if found is None else np.where(found, pos, 0)
+        for c, out_name in rval_out.items():
+            src = cols.get(c)
+            if src is None:
+                src = cols[c] = rdf[c].to_numpy()
+            col = src[safe]
+            if found is not None and not found.all():
+                if col.dtype.kind in "iub":      # int/uint/bool can't hold NA
+                    col = col.astype(
+                        np.float64 if col.dtype.kind != "b" else object)
+                else:
+                    col = col.copy()
+                # pandas-merge missing markers: NaT for datetimes/timedeltas
+                col[~found] = (np.datetime64("NaT")
+                               if col.dtype.kind in "Mm" else np.nan)
+            out[out_name] = col
+        return out
 
     return left.map_batches(join_batch, batch_format="pandas")

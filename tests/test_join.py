@@ -52,3 +52,34 @@ def test_broadcast_join(ray_session):
     exp = _l().merge(_r(), on="k", how="left")
     pd.testing.assert_frame_equal(_sorted(out), _sorted(exp),
                                   check_dtype=False)
+
+
+def test_broadcast_join_inner_and_arrow_right(ray_session):
+    import pyarrow as pa
+    out = broadcast_join(rd.from_pandas(_l()),
+                         pa.Table.from_pandas(_r()), on="k",
+                         how="inner").to_pandas()
+    exp = _l().merge(_r(), on="k", how="inner")
+    pd.testing.assert_frame_equal(_sorted(out), _sorted(exp),
+                                  check_dtype=False)
+
+
+def test_broadcast_join_duplicate_right_keys_fallback(ray_session):
+    r = pd.DataFrame({"k": ["b", "b", "c"], "rv": [10, 11, 20]})
+    out = broadcast_join(rd.from_pandas(_l()), r, on="k",
+                         how="left").to_pandas()
+    exp = _l().merge(r, on="k", how="left")
+    pd.testing.assert_frame_equal(_sorted(out), _sorted(exp),
+                                  check_dtype=False)
+
+
+def test_broadcast_join_right_on_and_collision(ray_session):
+    r = _r().rename(columns={"k": "kk"})
+    r["lv"] = [100, 200, 300]
+    out = broadcast_join(rd.from_pandas(_l()), r, on="k",
+                         right_on="kk", how="left").to_pandas()
+    assert "lv" in out.columns and "lv_r" in out.columns
+    exp = _l().merge(r.rename(columns={"kk": "k"}), on="k", how="left",
+                     suffixes=("", "_r"))
+    pd.testing.assert_frame_equal(_sorted(out), _sorted(exp),
+                                  check_dtype=False)
