@@ -151,26 +151,31 @@ def scaling_child(tdir: str, num_cpus: int) -> None:
                       "pairs_per_sec": round(n_pairs / wall, 2)}))
 
 
-def run_scaling(_sf_dir: str) -> dict:
+def run_scaling(_sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Same job at ``lo`` and ``hi`` cpus in fresh processes (the N vs 4N
+    stand-in). Pick levels BELOW the box's memory-bandwidth wall to isolate
+    engine overhead (see BASELINE.md §scaling: the string-distance kernels
+    alone, no Ray, top out at ~2.3x aggregate going 8->32 procs on this
+    VM — per-node bandwidth is not shared on a real multi-node cluster)."""
     tdir = ensure_scaling_corpus()
     results = {}
-    for cpus in (8, 32):
+    for cpus in (lo, hi):
         env = dict(os.environ, PYTHONPATH=REPO)
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-child",
              tdir, str(cpus)],
-            capture_output=True, text=True, env=env, timeout=3600)
+            capture_output=True, text=True, env=env, timeout=7200)
         line = [ln for ln in p.stdout.splitlines()
                 if ln.startswith("{")][-1]
         results[cpus] = json.loads(line)
-    r8, r32 = results[8], results[32]
-    speedup = r8["wall"] / r32["wall"]
-    efficiency = speedup / (32 / 8)
+    r_lo, r_hi = results[lo], results[hi]
+    speedup = r_lo["wall"] / r_hi["wall"]
+    efficiency = speedup / (hi / lo)
     return {
-        "throughput_8cpu_pairs_per_sec": r8["pairs_per_sec"],
-        "throughput_32cpu_pairs_per_sec": r32["pairs_per_sec"],
-        "wall_8cpu": r8["wall"], "wall_32cpu": r32["wall"],
-        "speedup_8_to_32": round(speedup, 3),
+        f"throughput_{lo}cpu_pairs_per_sec": r_lo["pairs_per_sec"],
+        f"throughput_{hi}cpu_pairs_per_sec": r_hi["pairs_per_sec"],
+        f"wall_{lo}cpu": r_lo["wall"], f"wall_{hi}cpu": r_hi["wall"],
+        f"speedup_{lo}_to_{hi}": round(speedup, 3),
         "scaling_efficiency": round(efficiency, 3),
     }
 
@@ -181,10 +186,12 @@ def main() -> int:
         return 0
 
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
-        s = run_scaling(SF_DIR)
-        print(json.dumps({"metric": "scaling_efficiency_8_to_32_cpus",
+        lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+        hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+        s = run_scaling(SF_DIR, lo, hi)
+        print(json.dumps({"metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
                           "value": s["scaling_efficiency"], "unit": "ratio",
-                          "queries": s, "sf": SF_DIR, "num_cpus": [8, 32]}))
+                          "queries": s, "sf": SF_DIR, "num_cpus": [lo, hi]}))
         return 0
 
     res = run_queries(SF_DIR, NUM_CPUS)

@@ -59,7 +59,8 @@ def _anti_join_ds(ds, bad_ds, n_bad: int, id_col: str,
         ref = ray.put(set(int(x) for x in ids))
 
         def drop(df: pd.DataFrame) -> pd.DataFrame:
-            bad = ray.get(ref)
+            from ..stages.bcast import cached_get
+            bad = cached_get(ref)
             return df[~df[id_col].isin(bad)]
         return ds.map_batches(drop, batch_format="pandas")
     from ..stages.join import hash_join

@@ -51,13 +51,11 @@ def add_group_count(ds, key_col: str, out_col: str = "group_count"):
     partials = ds.map_batches(partial, batch_format="pandas")
     totals = grouped_map(partials, key_col, combine).to_pandas()
 
-    ref = ray.put(totals)
-
-    def join_back(df: pd.DataFrame) -> pd.DataFrame:
-        t = ray.get(ref)
-        return df.merge(t, on=key_col, how="left")
-
-    return ds.map_batches(join_back, batch_format="pandas")
+    # shuffle-free join-back with the per-worker indexed broadcast path
+    # (counts keys are unique by construction -> one get_indexer probe per
+    # batch instead of a per-batch merge hash build)
+    from .join import broadcast_join
+    return broadcast_join(ds, totals, on=key_col, how="left")
 
 
 def vocab_counts(ds, text_col: str = "text", min_count: int = 5):
@@ -134,7 +132,8 @@ def uniformise_column(ds, col: str, out_col: str | None = None,
     ref = ray.put(mapping)
 
     def apply_map(df: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(ref)
+        from .bcast import cached_get
+        m = cached_get(ref)
         df = df.copy()
         df[out_col] = df[col].map(lambda s: m.get(s, s)
                                   if isinstance(s, str) else None)

@@ -891,9 +891,10 @@ def segment_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
         ref = ray.put(set(hot_pd["seg"]))
 
         def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+            from .bcast import cached_get
             doc_of, seg_of, segs = _batch_segments(
                 df[text_col].tolist(), words_per_seg)
-            hot = ray.get(ref)
+            hot = cached_get(ref)
             hot_mask = pd.Series(segs).isin(hot).to_numpy()
             clean, n_seg, n_rm = rebuild_arrays(
                 doc_of, seg_of, segs, hot_mask, len(df))
