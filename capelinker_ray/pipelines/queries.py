@@ -1024,6 +1024,48 @@ WHERE token <> ''
 GROUP BY token HAVING count(*) >= 5"""
 
 
+def q_stratified_sample(sf_dir: str):
+    """Cap every source at 20 docs, deterministic smallest-(hash,id) keep
+    (stages/sampling.py — the 'no domain may dominate' curation op)."""
+    from ..stages.sampling import stratified_sample
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "lang"])
+    return stratified_sample(docs, "source", "doc_id", 20, seed=7)
+
+
+def q_bernoulli_sample(sf_dir: str):
+    """Deterministic ~25% global sample keyed on doc_id
+    (stages/sampling.py — shuffle-free)."""
+    from ..stages.sampling import bernoulli_sample
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    return bernoulli_sample(docs, "doc_id", 0.25, seed=11)
+
+
+def _sql_sample_hash(seed: int) -> str:
+    """splitmix64(doc_id XOR seed_mix(seed)) as a SQL expression — the
+    exact twin of stages/sampling.sample_hash."""
+    from ..stages.sampling import seed_mix
+    z = (f"xor(CAST(doc_id AS UBIGINT), "
+         f"CAST('{seed_mix(seed)}' AS UBIGINT))")
+    return _sql_splitmix64(z)
+
+
+def sql_stratified_sample(sf_dir: str) -> str:
+    return f"""SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {_sql_sample_hash(7)}, doc_id) AS rn
+  FROM documents) WHERE rn <= 20"""
+
+
+def sql_bernoulli_sample(sf_dir: str) -> str:
+    from ..stages.sampling import bernoulli_threshold
+    thr = bernoulli_threshold(0.25)
+    return (f"SELECT doc_id, n_chars FROM documents "
+            f"WHERE {_sql_sample_hash(11)} < CAST('{thr}' AS UBIGINT)")
+
+
 def q_lang_quality(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "lang"])
@@ -1323,6 +1365,8 @@ def build_queries() -> dict:
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
         "vocab_counts": q_vocab_counts,
+        "stratified_sample": q_stratified_sample,
+        "bernoulli_sample": q_bernoulli_sample,
         "doc_curation": q_doc_curation,
         "sketch_stats": q_sketch_stats,
         "lang_quality": q_lang_quality,
@@ -1357,6 +1401,8 @@ def build_oracle_sql() -> dict:
         "pii_redact": sql_pii_redact(_ORACLE_SF_DIR),
         "decontaminate": sql_decontaminate(_ORACLE_SF_DIR),
         "vocab_counts": sql_vocab_counts(_ORACLE_SF_DIR),
+        "stratified_sample": sql_stratified_sample(_ORACLE_SF_DIR),
+        "bernoulli_sample": sql_bernoulli_sample(_ORACLE_SF_DIR),
         "asof_join": sql_asof_join(_ORACLE_SF_DIR),
         "simhash": sql_simhash(_ORACLE_SF_DIR),
         "simhash_pairs": sql_simhash_pairs(_ORACLE_SF_DIR),

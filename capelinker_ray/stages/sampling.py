@@ -1,0 +1,90 @@
+"""Deterministic sampling operators for training-data curation.
+
+A web-scale corpus is rarely trained on whole: pipelines subsample per
+domain/language ("no source may exceed n documents") and/or take a global
+Bernoulli fraction. Both operators here are DETERMINISTIC — the keep set is
+a pure function of (id, seed), so re-runs, resumed runs and the DuckDB
+oracle agree row-for-row; no RNG state is shipped between workers
+(coordination-free at 100 TB, same philosophy as the min-id exact dedup in
+stages/dedup.py).
+
+  * ``bernoulli_sample`` — keep rows with splitmix64(id ^ seed_mix) <
+    p·2^64. Stateless map_batches, zero shuffle, scales embarrassingly.
+  * ``stratified_sample`` — per-key top-``n`` by the same hash (smallest
+    hash wins, id tiebreak): ONE grouped_map shuffle co-partitions each key,
+    then a vectorized sort + cumcount keeps n rows per key. Assumes a
+    single key's rows fit one coarse partition (documented contract shared
+    with stages/events.py as-of join); keys hotter than that should be
+    pre-capped with bernoulli_sample.
+
+The hash is the engine-wide splitmix64 (stages/dedup.py:_splitmix64) whose
+exact SQL twin lives in pipelines/queries._sql_splitmix64 — the sampling
+oracles are therefore value-exact, not statistical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .dedup import _splitmix64
+
+__all__ = ["bernoulli_sample", "stratified_sample", "sample_hash",
+           "seed_mix", "bernoulli_threshold"]
+
+_U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def seed_mix(seed: int) -> int:
+    """One splitmix64 round over the seed — decorrelates nearby seeds."""
+    return int(_splitmix64(np.array([seed], dtype=np.uint64))[0])
+
+
+def sample_hash(ids: np.ndarray, seed: int) -> np.ndarray:
+    """splitmix64(id XOR seed_mix(seed)) as uint64."""
+    x = ids.astype(np.uint64) ^ np.uint64(seed_mix(seed))
+    return _splitmix64(x)
+
+
+def bernoulli_threshold(p: float) -> int:
+    """Exact integer keep-threshold for fraction ``p`` (inlined into both
+    the engine filter and the SQL oracle so float rounding can't diverge)."""
+    if not 0.0 <= p <= 1.0:
+        raise ValueError("p must be in [0, 1]")
+    return min(int(p * 2.0 ** 64), 1 << 64)
+
+
+def bernoulli_sample(ds, id_col: str, p: float, seed: int = 0):
+    """Keep a deterministic ~``p`` fraction of rows keyed on ``id_col``
+    (int64 ids). Pure per-batch filter — no shuffle, no driver state."""
+    thr = bernoulli_threshold(p)
+    if thr >= 1 << 64:
+        return ds
+    t64 = np.uint64(thr)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        from .grouped import typed_or_empty
+        h = sample_hash(df[id_col].to_numpy(np.int64), seed)
+        return typed_or_empty(df[h < t64])
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def stratified_sample(ds, key_col: str, id_col: str, n_per_key: int,
+                      seed: int = 0, num_partitions: int | None = None):
+    """Keep the ``n_per_key`` rows with the smallest (hash, id) per key —
+    the 'cap every domain at n documents' curation op. Deterministic: the
+    same (corpus, seed) always keeps the same rows."""
+    if n_per_key < 1:
+        raise ValueError("n_per_key must be >= 1")
+    from .grouped import grouped_map
+
+    def cap(df: pd.DataFrame) -> pd.DataFrame:
+        h = sample_hash(df[id_col].to_numpy(np.int64), seed)
+        order = np.lexsort((df[id_col].to_numpy(np.int64), h))
+        df = df.iloc[order]
+        keep = df.groupby(key_col, sort=False, dropna=False).cumcount() \
+            < n_per_key
+        return df[keep.to_numpy()]
+
+    return grouped_map(ds, key_col, cap, num_partitions=num_partitions)

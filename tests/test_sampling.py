@@ -1,0 +1,72 @@
+"""Deterministic sampling: per-key caps, reproducibility, hash parity."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from capelinker_ray.stages.sampling import (
+    bernoulli_sample, bernoulli_threshold, sample_hash, stratified_sample,
+)
+
+
+def _docs(n=500, keys=5, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": rng.integers(0, keys, n).astype(str),
+    })
+
+
+def test_stratified_caps_every_key(ray_session):
+    df = _docs()
+    out = stratified_sample(rd.from_pandas(df), "source", "doc_id",
+                            10, seed=7).to_pandas()
+    sizes = out.groupby("source").size()
+    assert (sizes <= 10).all()
+    # every key with >= 10 rows is fully capped, smaller keys kept whole
+    orig = df.groupby("source").size()
+    for k, n in orig.items():
+        assert sizes.get(k, 0) == min(n, 10)
+
+
+def test_stratified_deterministic_and_seed_sensitive(ray_session):
+    df = _docs()
+    a = stratified_sample(rd.from_pandas(df), "source", "doc_id",
+                          5, seed=7).to_pandas()
+    b = stratified_sample(rd.from_pandas(df), "source", "doc_id",
+                          5, seed=7).to_pandas()
+    c = stratified_sample(rd.from_pandas(df), "source", "doc_id",
+                          5, seed=8).to_pandas()
+    assert set(a["doc_id"]) == set(b["doc_id"])
+    assert set(a["doc_id"]) != set(c["doc_id"])
+
+
+def test_stratified_matches_pandas_reference(ray_session):
+    df = _docs(200, keys=4)
+    out = stratified_sample(rd.from_pandas(df), "source", "doc_id",
+                            7, seed=1).to_pandas()
+    h = sample_hash(df["doc_id"].to_numpy(np.int64), 1)
+    ref = (df.assign(_h=h).sort_values(["_h", "doc_id"])
+           .groupby("source").head(7))
+    assert set(out["doc_id"]) == set(ref["doc_id"])
+
+
+def test_bernoulli_fraction_and_determinism(ray_session):
+    df = _docs(4000)
+    out = bernoulli_sample(rd.from_pandas(df), "doc_id", 0.25,
+                           seed=11).to_pandas()
+    frac = len(out) / len(df)
+    assert 0.20 < frac < 0.30
+    again = bernoulli_sample(rd.from_pandas(df), "doc_id", 0.25,
+                             seed=11).to_pandas()
+    assert set(out["doc_id"]) == set(again["doc_id"])
+    # p=1 keeps everything, p=0 keeps nothing
+    assert bernoulli_sample(rd.from_pandas(df), "doc_id", 1.0).count() \
+        == len(df)
+    assert bernoulli_sample(rd.from_pandas(df), "doc_id", 0.0).count() == 0
+
+
+def test_threshold_exactness():
+    assert bernoulli_threshold(0.25) == 1 << 62
+    assert bernoulli_threshold(1.0) == 1 << 64
+    assert bernoulli_threshold(0.0) == 0
