@@ -88,12 +88,21 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
                      seg_max_count: int = 2,
                      pii_scrub: bool = False,
                      decontam_against=None,
-                     decontam_ngram: int = 8) -> dict:
+                     decontam_ngram: int = 8,
+                     max_per_source: int | None = None,
+                     source_col: str = "source",
+                     sample_fraction: float | None = None,
+                     sample_seed: int = 13) -> dict:
     """Optional extra stages: ``pii_scrub=True`` rewrites ``text_col`` in
     place (stages/pii.py masks) BEFORE annotation, so gates and dedup see
     redacted text; ``decontam_against=<benchmark Dataset>`` removes docs
     sharing any ``decontam_ngram``-word n-gram with the benchmark (reason
-    "contaminated") after the quality gates, before dedup."""
+    "contaminated") after the quality gates, before dedup;
+    ``max_per_source=<n>`` caps every ``source_col`` domain at n surviving
+    docs (deterministic smallest-(splitmix64,id) keep, stages/sampling.py,
+    reason "source_cap"); ``sample_fraction=<p>`` keeps a deterministic ~p
+    global fraction (reason "sampled_out"). Both run AFTER dedup — caps
+    should count unique content, not dup clusters."""
     if pii_scrub:
         from ..stages.pii import redact_pii
         ds = redact_pii(ds, text_col=text_col, out_col=text_col)
@@ -203,6 +212,55 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
                                   id_col, broadcast_threshold)
     removed_frames.append(near_removed)
 
+    n_capped = None
+    if max_per_source is not None:
+        # losers-first: only the slim (id, source) projection crosses the
+        # cap shuffle, the ledger holds the DROPPED ids, survivors are
+        # anti-joined — texts never move
+        from ..stages.sampling import sample_hash
+
+        def cap_losers(df: pd.DataFrame) -> pd.DataFrame:
+            h = sample_hash(df[id_col].to_numpy(np.int64), sample_seed)
+            order = np.lexsort((df[id_col].to_numpy(np.int64), h))
+            df = df.iloc[order]
+            drop = df.groupby(source_col, sort=False,
+                              dropna=False).cumcount() >= max_per_source
+            out = df[drop.to_numpy()][[id_col]].copy()
+            out["reason"] = "source_cap"
+            return out
+
+        slim = survivors.select_columns([id_col, source_col])
+        cap_removed = grouped_map(slim, source_col, cap_losers)\
+            .materialize()
+        n_capped = cap_removed.count()
+        removed_frames.append(cap_removed)
+        survivors = _anti_join_ds(survivors, cap_removed, n_capped,
+                                  id_col, broadcast_threshold)
+
+    n_sampled_out = None
+    if sample_fraction is not None:
+        from ..stages.sampling import bernoulli_threshold, sample_hash
+        thr = np.uint64(min(bernoulli_threshold(sample_fraction),
+                            (1 << 64) - 1))
+        keep_all = bernoulli_threshold(sample_fraction) >= 1 << 64
+
+        def bern_split(df: pd.DataFrame):
+            from ..stages.grouped import typed_or_empty
+            if keep_all:
+                out = df.iloc[:0][[id_col]].copy()
+            else:
+                h = sample_hash(df[id_col].to_numpy(np.int64), sample_seed)
+                out = df[h >= thr][[id_col]].copy()
+            out["reason"] = "sampled_out"
+            return typed_or_empty(out)
+
+        samp_removed = survivors.map_batches(
+            bern_split, batch_format="pandas").materialize()
+        n_sampled_out = samp_removed.count()
+        removed_frames.append(samp_removed)
+        survivors = _anti_join_ds(survivors, samp_removed, n_sampled_out,
+                                  id_col, broadcast_threshold)
+
     n_segments_removed = None
     if segment_scrub:
         # final scrub: strip globally duplicated word windows from the
@@ -230,4 +288,8 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
         stats["segments_removed"] = n_segments_removed
     if n_contaminated is not None:
         stats["contaminated"] = n_contaminated
+    if n_capped is not None:
+        stats["source_capped"] = n_capped
+    if n_sampled_out is not None:
+        stats["sampled_out"] = n_sampled_out
     return {"kept": kept, "removed": removed, "stats": stats}

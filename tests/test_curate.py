@@ -42,6 +42,40 @@ def test_curate_reasons_and_transitive_family(ray_session):
     assert {"n_ws_tokens", "quality", "lang_pred"} <= set(kept.columns)
 
 
+def test_curate_source_cap_and_sample(ray_session):
+    rng = np.random.default_rng(5)
+    words = np.array(["alpha", "bravo", "charlie", "delta", "echo",
+                      "foxtrot", "golf", "hotel", "india", "juliet"])
+    n = 120
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": [" ".join(rng.choice(words, 30)) for _ in range(n)],
+        "source": (["web"] * 80 + ["books"] * 40),
+    })
+    out = curate_documents(rd.from_pandas(df), min_tokens=1,
+                           min_quality=0.0, near_dup=False,
+                           max_per_source=25)
+    kept = out["kept"].to_pandas()
+    sizes = kept.groupby("source").size()
+    assert sizes["web"] == 25 and sizes["books"] == 25
+    removed = out["removed"].to_pandas()
+    assert (removed["reason"] == "source_cap").sum() == (80 - 25) + (40 - 25)
+    assert out["stats"]["source_capped"] == 70
+    # deterministic: same seed keeps the same ids
+    out2 = curate_documents(rd.from_pandas(df), min_tokens=1,
+                            min_quality=0.0, near_dup=False,
+                            max_per_source=25)
+    assert set(kept["doc_id"]) == set(out2["kept"].to_pandas()["doc_id"])
+
+    out3 = curate_documents(rd.from_pandas(df), min_tokens=1,
+                            min_quality=0.0, near_dup=False,
+                            sample_fraction=0.5)
+    stats = out3["stats"]
+    assert stats["kept"] + stats["removed"] == n
+    assert 0.3 * n < stats["kept"] < 0.7 * n
+    assert stats["sampled_out"] == stats["removed"]
+
+
 def test_predict_links_with_reference_model(ray_session):
     """One-call reference API: score with the bundled randomForest model
     and rank-select — exercises the imported R model inside a distributed
