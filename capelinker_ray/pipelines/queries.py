@@ -1079,13 +1079,15 @@ def q_lang_quality(sf_dir: str):
     return out.map_batches(rnd, batch_format="pandas")
 
 
-def sql_lang_quality(sf_dir: str) -> str:
-    """DuckDB replica of add_lang_id + add_quality_score
+def _sql_quality_ctes() -> str:
+    """Shared CTE chain replicating add_lang_id + add_quality_score
     (stages/textstats.py:63,105): per-language trigram hit counts via
     literal replace() length deltas (same non-overlapping semantics as
     pandas str.count on escaped patterns; the 1/len normalization cancels
     in the argmax), first-max tie-break in profile order en/nl/af, and the
-    five quality components over regexp char-class counts + token lists."""
+    five quality components over regexp char-class counts + token lists.
+    Terminal CTE ``lq`` exposes (doc_id, lang, n_ws, lang_pred, quality
+    [RAW double — round at the consumer])."""
     from ..stages.textstats import _LANG_PROFILES, _STOPWORDS
     t = "lower(coalesce(text, ''))"
 
@@ -1096,7 +1098,7 @@ def sql_lang_quality(sf_dir: str) -> str:
 
     c_en, c_nl, c_af = (tri_count(l) for l in ("en", "nl", "af"))
     stop_list = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS))
-    return f"""WITH base AS (
+    return f"""base AS (
   SELECT doc_id, lang,
          coalesce(text, '') AS s,
          regexp_extract_all(coalesce(text, ''), '\\S+') AS toks,
@@ -1118,7 +1120,7 @@ feat AS (
   FROM base
 ),
 r AS (
-  SELECT doc_id, lang, c_en, c_nl, c_af,
+  SELECT doc_id, lang, c_en, c_nl, c_af, n_tok,
          CASE WHEN n_tok > 0 THEN alpha / n_tok ELSE 0.0 END AS mean_wl,
          CASE WHEN n_tok > 0 THEN stop_n / n_tok ELSE 0.0 END AS stop_ratio,
          CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END
@@ -1127,16 +1129,24 @@ r AS (
            AS upper_ratio,
          CASE WHEN n_tok > 0 THEN uniq / n_tok ELSE 0.0 END AS uniq_ratio
   FROM feat
-)
-SELECT doc_id, lang,
+),
+lq AS (
+  SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_ws,
        CASE WHEN greatest(c_en, c_nl, c_af) = 0 THEN 'und'
             WHEN c_en >= c_nl AND c_en >= c_af THEN 'en'
             WHEN c_nl >= c_af THEN 'nl' ELSE 'af' END AS lang_pred,
-       round(0.25 * least(greatest(1.0 - abs(mean_wl - 5.0) / 5.0, 0.0), 1.0)
+       0.25 * least(greatest(1.0 - abs(mean_wl - 5.0) / 5.0, 0.0), 1.0)
              + 0.2 * least(greatest(stop_ratio * 4, 0.0), 1.0)
              + 0.25 * alpha_ratio + 0.15 * (1.0 - upper_ratio)
-             + 0.15 * uniq_ratio, 6) AS quality
-FROM r"""
+             + 0.15 * uniq_ratio AS quality
+  FROM r
+)"""
+
+
+def sql_lang_quality(sf_dir: str) -> str:
+    return (f"WITH {_sql_quality_ctes()}\n"
+            "SELECT doc_id, lang, lang_pred, round(quality, 6) AS quality "
+            "FROM lq")
 
 
 def q_asof_join(sf_dir: str):
@@ -1184,6 +1194,48 @@ SELECT le.event_id, le.user_id, le.ts, re.ts AS ts_r,
        round(re.r_value, 6) AS r_value
 FROM le ASOF LEFT JOIN re
   ON le.user_id = re.user_id AND re.ts <= le.ts"""
+
+
+def q_curation_capped(sf_dir: str):
+    """Curation variant whose WHOLE removal ledger is SQL-expressible:
+    annotate -> token/quality/lang gates -> exact dedup -> per-source cap
+    (stages/sampling.py, near_dup off). Returns (doc_id, reason)."""
+    from ..pipelines.curate import curate_documents
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang", "source"])
+    out = curate_documents(docs, min_tokens=15, max_tokens=85,
+                           min_quality=0.315, langs=["en", "nl"],
+                           near_dup=False, max_per_source=15)
+    return out["removed"]
+
+
+def sql_curation_capped(sf_dir: str) -> str:
+    """Exact replica of q_curation_capped's ledger: the engine's gate
+    reason priority, exact-dup losers (engine groups by FNV-1a text hash —
+    identical partition barring a 64-bit collision), then the survivors'
+    per-source cap by smallest (splitmix64(doc_id^seed_mix(13)), doc_id)."""
+    h = _sql_sample_hash(13)
+    return f"""WITH {_sql_quality_ctes()},
+g AS (
+  SELECT d.doc_id, d.source, coalesce(d.text, '') AS s,
+         CASE WHEN lq.n_ws < 15 THEN 'too_short'
+              WHEN lq.n_ws > 85 THEN 'too_long'
+              WHEN lq.quality < 0.315 THEN 'low_quality'
+              WHEN lq.lang_pred NOT IN ('en', 'nl') THEN 'bad_lang'
+              ELSE '' END AS reason
+  FROM documents d JOIN lq USING (doc_id)
+),
+s1 AS (SELECT * FROM g WHERE reason = ''),
+d2 AS (SELECT doc_id, source,
+              min(doc_id) OVER (PARTITION BY s) AS keep_id FROM s1),
+s2 AS (SELECT doc_id, source FROM d2 WHERE doc_id = keep_id),
+c AS (SELECT doc_id, row_number() OVER (
+        PARTITION BY source ORDER BY {h}, doc_id) AS rn FROM s2)
+SELECT doc_id, reason FROM g WHERE reason <> ''
+UNION ALL
+SELECT doc_id, 'exact_dup' AS reason FROM d2 WHERE doc_id <> keep_id
+UNION ALL
+SELECT doc_id, 'source_cap' AS reason FROM c WHERE rn > 15"""
 
 
 def q_doc_curation(sf_dir: str):
@@ -1367,6 +1419,7 @@ def build_queries() -> dict:
         "vocab_counts": q_vocab_counts,
         "stratified_sample": q_stratified_sample,
         "bernoulli_sample": q_bernoulli_sample,
+        "curation_capped": q_curation_capped,
         "doc_curation": q_doc_curation,
         "sketch_stats": q_sketch_stats,
         "lang_quality": q_lang_quality,
@@ -1403,6 +1456,7 @@ def build_oracle_sql() -> dict:
         "vocab_counts": sql_vocab_counts(_ORACLE_SF_DIR),
         "stratified_sample": sql_stratified_sample(_ORACLE_SF_DIR),
         "bernoulli_sample": sql_bernoulli_sample(_ORACLE_SF_DIR),
+        "curation_capped": sql_curation_capped(_ORACLE_SF_DIR),
         "asof_join": sql_asof_join(_ORACLE_SF_DIR),
         "simhash": sql_simhash(_ORACLE_SF_DIR),
         "simhash_pairs": sql_simhash_pairs(_ORACLE_SF_DIR),
