@@ -212,10 +212,12 @@ def broadcast_join(left, right_df, *, on: str | list[str],
                 for c in right_df.column_names if c not in on}
     right_ref = ray.put(right_df)
 
-    def join_batch(df: pd.DataFrame) -> pd.DataFrame:
+    def join_batch(df: pd.DataFrame):
+        from .grouped import typed_or_empty
         rdf, idx, unique, cols = _bcast_lookup(right_ref, on)
         if not unique:
-            return df.merge(rdf, on=on, how=how, suffixes=suffixes)
+            return typed_or_empty(
+                df.merge(rdf, on=on, how=how, suffixes=suffixes))
         if len(on) == 1:
             probe = df[on[0]].to_numpy()
         else:
@@ -228,9 +230,11 @@ def broadcast_join(left, right_df, *, on: str | list[str],
             found = None
         out = df.reset_index(drop=True)
         if len(rdf) == 0:
+            if how == "inner":
+                out = out.iloc[:0]
             for c, out_name in rval_out.items():
                 out[out_name] = np.full(len(out), np.nan)
-            return out
+            return typed_or_empty(out)
         safe = pos if found is None else np.where(found, pos, 0)
         for c, out_name in rval_out.items():
             src = cols.get(c)
@@ -247,6 +251,6 @@ def broadcast_join(left, right_df, *, on: str | list[str],
                 col[~found] = (np.datetime64("NaT")
                                if col.dtype.kind in "Mm" else np.nan)
             out[out_name] = col
-        return out
+        return typed_or_empty(out)
 
     return left.map_batches(join_batch, batch_format="pandas")
