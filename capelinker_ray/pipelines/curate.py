@@ -106,9 +106,11 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
     if pii_scrub:
         from ..stages.pii import redact_pii
         ds = redact_pii(ds, text_col=text_col, out_col=text_col)
+    # annotate + gate fuse into ONE streamed pass (annotated has exactly
+    # one consumer — materializing it would cost a full extra corpus
+    # round-trip through the object store)
     annotated = add_lang_id(add_quality_score(add_token_counts(
         ds, text_col=text_col), text_col=text_col), text_col=text_col)
-    annotated = annotated.materialize()
 
     def gate(df: pd.DataFrame) -> pd.DataFrame:
         reason = np.full(len(df), "", dtype=object)

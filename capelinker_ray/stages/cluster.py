@@ -103,6 +103,12 @@ def connected_components(ds_links, *, id_from: str = "conv_id_from",
     hash-min + pointer-doubling iteration. "distributed" forces the
     iterative path (exercised by tests); "driver" forces the local path.
     """
+    # pin the edge list once: auto-strategy needs a count AND a collect —
+    # on a lazy input each would re-execute the caller's entire upstream
+    # chain (measured: the minhash LSH explode+shuffle ran 3x per curation
+    # run before this). Edges are slim 2-col rows; the distributed path
+    # materializes its symmetrized copy anyway.
+    ds_links = ds_links.materialize()
     if strategy == "auto":
         n_edges = ds_links.count()
         strategy = ("driver" if n_edges <= driver_edge_threshold
