@@ -532,7 +532,10 @@ def _bigram_sides(sf_dir: str):
     """Two linkage sides from the conv records: odd-epoch records link TO
     even-epoch records (the vignette's year==1828 vs year<1828 split,
     vignettes/example.rmd:78-84, grafted onto transcript epochs)."""
-    recs = build_conv_records(normalize_turns(_read_turns(sf_dir)))
+    # pin: both sides AND the blocker's unmatched-retention pass consume
+    # recs — lazy, each would re-run the whole conv-records build
+    recs = build_conv_records(normalize_turns(_read_turns(sf_dir)))\
+        .materialize()
 
     def side(parity: int):
         def f(df: pd.DataFrame) -> pd.DataFrame:
