@@ -1199,6 +1199,27 @@ FROM le ASOF LEFT JOIN re
   ON le.user_id = re.user_id AND re.ts <= le.ts"""
 
 
+def q_pack_shards(sf_dir: str):
+    """Token-budget shard packing via the distributed prefix scan
+    (stages/scan.py): contiguous ~50k-char training shards in doc_id
+    order, plus the inclusive running total."""
+    from ..stages.scan import pack_by_budget
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    out = pack_by_budget(docs, "n_chars", 50_000, "doc_id")
+    return out.select_columns(["doc_id", "running_total", "shard_id"])
+
+
+def sql_pack_shards(sf_dir: str) -> str:
+    return """SELECT doc_id,
+  CAST(sum(coalesce(n_chars, 0)) OVER w AS BIGINT) AS running_total,
+  CAST(coalesce(sum(coalesce(n_chars, 0)) OVER
+         (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+          AND 1 PRECEDING), 0) // 50000 AS BIGINT) AS shard_id
+FROM documents
+WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)"""
+
+
 def q_curation_capped(sf_dir: str):
     """Curation variant whose WHOLE removal ledger is SQL-expressible:
     annotate -> token/quality/lang gates -> exact dedup -> per-source cap
@@ -1423,6 +1444,7 @@ def build_queries() -> dict:
         "stratified_sample": q_stratified_sample,
         "bernoulli_sample": q_bernoulli_sample,
         "curation_capped": q_curation_capped,
+        "pack_shards": q_pack_shards,
         "doc_curation": q_doc_curation,
         "sketch_stats": q_sketch_stats,
         "lang_quality": q_lang_quality,
@@ -1460,6 +1482,7 @@ def build_oracle_sql() -> dict:
         "stratified_sample": sql_stratified_sample(_ORACLE_SF_DIR),
         "bernoulli_sample": sql_bernoulli_sample(_ORACLE_SF_DIR),
         "curation_capped": sql_curation_capped(_ORACLE_SF_DIR),
+        "pack_shards": sql_pack_shards(_ORACLE_SF_DIR),
         "asof_join": sql_asof_join(_ORACLE_SF_DIR),
         "simhash": sql_simhash(_ORACLE_SF_DIR),
         "simhash_pairs": sql_simhash_pairs(_ORACLE_SF_DIR),

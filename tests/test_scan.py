@@ -1,0 +1,50 @@
+"""Distributed prefix scan (stages/scan.py) vs pandas cumsum ground truth."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from capelinker_ray.stages.scan import pack_by_budget, running_total
+
+
+def _df(n=1000, seed=2):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "id": rng.permutation(n).astype(np.int64),   # UNSORTED input
+        "n": rng.integers(0, 500, n).astype(np.int64),
+    })
+
+
+def test_running_total_matches_cumsum(ray_session):
+    df = _df()
+    out = (running_total(rd.from_pandas(df).repartition(7), "n", "id")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    exp = df.sort_values("id").reset_index(drop=True)
+    assert (out["running_total"].to_numpy()
+            == exp["n"].cumsum().to_numpy()).all()
+    assert (out["id"].to_numpy() == exp["id"].to_numpy()).all()
+
+
+def test_running_total_null_counts_contribute_zero(ray_session):
+    df = pd.DataFrame({"id": [1, 2, 3, 4],
+                       "n": pd.array([10, None, 5, None],
+                                     dtype="Int64")})
+    out = (running_total(rd.from_pandas(df), "n", "id")
+           .to_pandas().sort_values("id"))
+    assert out["running_total"].tolist() == [10, 10, 15, 15]
+
+
+def test_pack_by_budget_contiguous_shards(ray_session):
+    df = _df(500, seed=9)
+    out = (pack_by_budget(rd.from_pandas(df).repartition(5), "n", 1000,
+                          "id")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    exp = df.sort_values("id").reset_index(drop=True)
+    excl = exp["n"].cumsum() - exp["n"]
+    assert (out["shard_id"].to_numpy() == (excl // 1000).to_numpy()).all()
+    # shards are contiguous in id order and non-decreasing
+    assert (np.diff(out["shard_id"].to_numpy()) >= 0).all()
+    # every shard's exclusive start is under capacity of its boundary
+    sizes = out.groupby("shard_id")["n"].sum()
+    # all but possibly the last shard reach at least capacity incl. overshoot
+    assert (sizes.iloc[:-1] + 500 - 1 >= 1000).all()
