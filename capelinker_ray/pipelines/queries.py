@@ -1220,6 +1220,26 @@ FROM documents
 WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)"""
 
 
+def q_exact_quantiles(sf_dir: str):
+    """EXACT discrete quantiles of documents.n_chars via distributed sort
+    + prefix-scan rank select (stages/scan.py) — the exact complement of
+    the approximate sketch in sketch_stats. Binary-exact q values only
+    (0.25/0.5/0.75) so ceil(q*n) can't diverge between float stacks."""
+    from ..stages.scan import exact_quantiles
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    return exact_quantiles(docs, "n_chars", qs=(0.25, 0.5, 0.75))
+
+
+def sql_exact_quantiles(sf_dir: str) -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q, "
+        f"CAST(quantile_disc(n_chars, {q}) AS DOUBLE) AS value "
+        f"FROM documents"
+        for q in (0.25, 0.5, 0.75))
+    return rows
+
+
 def q_curation_capped(sf_dir: str):
     """Curation variant whose WHOLE removal ledger is SQL-expressible:
     annotate -> token/quality/lang gates -> exact dedup -> per-source cap
@@ -1445,6 +1465,7 @@ def build_queries() -> dict:
         "bernoulli_sample": q_bernoulli_sample,
         "curation_capped": q_curation_capped,
         "pack_shards": q_pack_shards,
+        "exact_quantiles": q_exact_quantiles,
         "doc_curation": q_doc_curation,
         "sketch_stats": q_sketch_stats,
         "lang_quality": q_lang_quality,
@@ -1483,6 +1504,7 @@ def build_oracle_sql() -> dict:
         "bernoulli_sample": sql_bernoulli_sample(_ORACLE_SF_DIR),
         "curation_capped": sql_curation_capped(_ORACLE_SF_DIR),
         "pack_shards": sql_pack_shards(_ORACLE_SF_DIR),
+        "exact_quantiles": sql_exact_quantiles(_ORACLE_SF_DIR),
         "asof_join": sql_asof_join(_ORACLE_SF_DIR),
         "simhash": sql_simhash(_ORACLE_SF_DIR),
         "simhash_pairs": sql_simhash_pairs(_ORACLE_SF_DIR),

@@ -29,14 +29,19 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-__all__ = ["running_total", "pack_by_budget"]
+__all__ = ["running_total", "pack_by_budget", "row_number",
+           "exact_quantiles"]
 
 
 @ray.remote
-def _block_sum(tbl: pa.Table, col: str) -> int:
+def _block_sum(tbl: pa.Table, col: str) -> tuple:
+    # ray's sort can emit schema-less EMPTY blocks — report rows so the
+    # driver can drop them (they contribute nothing to the scan)
+    if len(tbl) == 0 or col not in tbl.column_names:
+        return 0, 0
     a = tbl[col].cast(pa.int64())
     s = pa.compute.sum(a)          # arrow sum skips nulls
-    return int(s.as_py() or 0)
+    return len(tbl), int(s.as_py() or 0)
 
 
 @ray.remote
@@ -60,11 +65,23 @@ def _scan(ds, col: str, order_by, out_col: str,
     refs = ds.to_arrow_refs()      # blocks arrive in global sort order
     if not refs:
         return ds
-    sums = ray.get([_block_sum.remote(r, col) for r in refs])
+    stats = ray.get([_block_sum.remote(r, col) for r in refs])
+    live = [(r, s) for r, (n, s) in zip(refs, stats) if n > 0]
+    if not live:
+        # all-empty input: typed empty result carrying the scan columns
+        # (schema() may be None when every block is schema-less empty)
+        sch = ds.schema()
+        fields = ([(n, t) for n, t in zip(sch.names, sch.types)
+                   if isinstance(t, pa.DataType)] if sch else [])
+        fields.append((out_col, pa.int64()))
+        if shard_col is not None:
+            fields.append((shard_col, pa.int64()))
+        return rd.from_arrow(pa.schema(fields).empty_table())
+    sums = np.array([s for _, s in live], dtype=np.int64)
     offsets = np.concatenate([[0], np.cumsum(sums[:-1])]).astype(np.int64)
     new_refs = [_add_scan.remote(r, col, int(off), out_col,
                                  shard_col, capacity)
-                for r, off in zip(refs, offsets)]
+                for (r, _), off in zip(live, offsets)]
     return rd.from_arrow_refs(new_refs)
 
 
@@ -84,3 +101,48 @@ def pack_by_budget(ds, count_col: str, capacity: int, order_by,
         raise ValueError("capacity must be >= 1")
     return _scan(ds, count_col, order_by, out_col,
                  shard_col=shard_col, capacity=capacity)
+
+
+def row_number(ds, order_by, out_col: str = "row_number"):
+    """1-based global row number under ``order_by`` (prefix scan of ones)."""
+    def ones(t: pa.Table) -> pa.Table:
+        return t.append_column("_one",
+                               pa.array(np.ones(len(t), np.int64)))
+    out = _scan(ds.map_batches(ones, batch_format="pyarrow"),
+                "_one", order_by, out_col)
+    return out.drop_columns(["_one"])
+
+
+def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75)):
+    """EXACT discrete quantiles of ``col`` (DuckDB ``quantile_disc``
+    semantics: the element at 1-based rank max(1, ceil(q*n)) of the sorted
+    non-null values). One distributed sort + prefix scan + a filter that
+    ships only len(qs) rows to the driver — the exact complement of the
+    mergeable histogram sketch in stages/sketch.py (approximate, one pass,
+    no sort). Returns a pandas DataFrame (q, value); NaN values for an
+    empty/all-null column."""
+    import math
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def valid(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t[col]))
+
+    ranked = row_number(ds.map_batches(valid, batch_format="pyarrow"),
+                        order_by=col, out_col="_rn").materialize()
+    n = ranked.count()
+    if n == 0:
+        return pd.DataFrame({"q": [float(q) for q in qs],
+                             "value": [float("nan")] * len(qs)})
+    rank_of = {q: max(1, math.ceil(float(q) * n)) for q in qs}
+    targets = sorted(set(rank_of.values()))
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["_rn"],
+                                 value_set=pa.array(targets, pa.int64())))
+
+    rows = ranked.map_batches(pick, batch_format="pyarrow").take_all()
+    val_at = {r["_rn"]: float(r[col]) for r in rows}
+    return pd.DataFrame({"q": [float(q) for q in qs],
+                         "value": [val_at[rank_of[q]] for q in qs]})

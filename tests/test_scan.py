@@ -34,6 +34,25 @@ def test_running_total_null_counts_contribute_zero(ray_session):
     assert out["running_total"].tolist() == [10, 10, 15, 15]
 
 
+def test_exact_quantiles_match_numpy_and_nulls(ray_session):
+    import math
+
+    from capelinker_ray.stages.scan import exact_quantiles
+    rng = np.random.default_rng(4)
+    vals = rng.integers(0, 10_000, 777).astype(np.int64)
+    df = pd.DataFrame({"v": pd.array(list(vals) + [None, None],
+                                     dtype="Int64")})
+    out = exact_quantiles(rd.from_pandas(df).repartition(6), "v",
+                          qs=(0.25, 0.5, 0.75))
+    s = np.sort(vals)
+    for q, v in zip(out["q"], out["value"]):
+        assert v == float(s[max(1, math.ceil(q * len(s))) - 1])
+    # empty column -> NaN frame, no crash
+    empty = pd.DataFrame({"v": pd.array([None], dtype="Int64")})
+    out2 = exact_quantiles(rd.from_pandas(empty), "v")
+    assert out2["value"].isna().all()
+
+
 def test_pack_by_budget_contiguous_shards(ray_session):
     df = _df(500, seed=9)
     out = (pack_by_budget(rd.from_pandas(df).repartition(5), "n", 1000,
