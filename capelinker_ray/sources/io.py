@@ -17,7 +17,18 @@ import ray.data as rd
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 __all__ = ["TRANSCRIPT_COLUMNS", "read_transcripts", "read_table",
-           "read_labeled_pairs", "write_partitioned"]
+           "read_labeled_pairs", "read_jsonl", "write_partitioned"]
+
+
+def read_jsonl(path: str, columns: list[str] | None = None, **kwargs):
+    """JSONL source (one object per line — the common raw-ingest layout
+    for scraped/exported transcript and document corpora). Lazy
+    ``read_json`` with column pruning applied immediately after parse;
+    JSON carries no column statistics, so unlike parquet the prune cannot
+    skip bytes at the read — convert long-lived corpora to parquet with
+    ``write_partitioned`` and read those instead."""
+    ds = rd.read_json(path, **kwargs)
+    return ds.select_columns(columns) if columns else ds
 
 
 def read_transcripts(path: str, columns: list[str] | None = None,

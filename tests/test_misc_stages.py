@@ -106,3 +106,19 @@ def test_distcalc_reference_semantics(ray_session):
     assert np.isnan(out["mlastdist"].iloc[2])      # NA propagation
     assert out["yeardist"].iloc[0] == 28.0
     assert np.isnan(out["yeardist"].iloc[2])
+
+
+def test_read_jsonl_roundtrip(ray_session, tmp_path):
+    import json
+
+    from capelinker_ray.sources.io import read_jsonl
+    rows = [{"conv_id": f"c{i}", "turn_idx": i, "text": f"hello {i}",
+             "extra": i * 2} for i in range(25)]
+    p = tmp_path / "turns.jsonl"
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    out = read_jsonl(str(p), columns=["conv_id", "turn_idx", "text"])\
+        .to_pandas().sort_values("turn_idx").reset_index(drop=True)
+    assert list(out.columns) == ["conv_id", "turn_idx", "text"]
+    assert len(out) == 25 and out["text"][3] == "hello 3"
