@@ -71,20 +71,50 @@ def bernoulli_sample(ds, id_col: str, p: float, seed: int = 0):
 
 
 def stratified_sample(ds, key_col: str, id_col: str, n_per_key: int,
-                      seed: int = 0, num_partitions: int | None = None):
+                      seed: int = 0, num_partitions: int | None = None,
+                      pre_salt: int | None = None):
     """Keep the ``n_per_key`` rows with the smallest (hash, id) per key —
     the 'cap every domain at n documents' curation op. Deterministic: the
-    same (corpus, seed) always keeps the same rows."""
+    same (corpus, seed) always keeps the same rows.
+
+    Default: one grouped_map shuffle; assumes a key's rows fit one coarse
+    partition. ``pre_salt=K`` lifts that assumption for hot keys with a
+    two-phase top-n: keep n per (key, salt-of-K) shard first (each shard
+    ~1/K of the key), then n per key over the ≤ n·K survivors — min-of-
+    mins is exact, so the result is IDENTICAL to the unsalted path."""
     if n_per_key < 1:
         raise ValueError("n_per_key must be >= 1")
     from .grouped import grouped_map
 
-    def cap(df: pd.DataFrame) -> pd.DataFrame:
-        h = sample_hash(df[id_col].to_numpy(np.int64), seed)
-        order = np.lexsort((df[id_col].to_numpy(np.int64), h))
-        df = df.iloc[order]
-        keep = df.groupby(key_col, sort=False, dropna=False).cumcount() \
-            < n_per_key
-        return df[keep.to_numpy()]
+    def cap_fn(keys):
+        def cap(df: pd.DataFrame) -> pd.DataFrame:
+            h = sample_hash(df[id_col].to_numpy(np.int64), seed)
+            order = np.lexsort((df[id_col].to_numpy(np.int64), h))
+            df = df.iloc[order]
+            keep = df.groupby(keys, sort=False, dropna=False).cumcount() \
+                < n_per_key
+            return df[keep.to_numpy()]
+        return cap
 
-    return grouped_map(ds, key_col, cap, num_partitions=num_partitions)
+    if pre_salt and pre_salt > 1:
+        k = np.uint64(pre_salt)
+
+        def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            # salt by id hash (NOT the sample hash: decorrelate shard
+            # membership from keep order)
+            df["_salt"] = (sample_hash(
+                df[id_col].to_numpy(np.int64), seed + 1) % k)\
+                .astype(np.int64)
+            return df
+
+        phase1 = grouped_map(
+            ds.map_batches(add_salt, batch_format="pandas"),
+            [key_col, "_salt"], cap_fn([key_col, "_salt"]),
+            num_partitions=num_partitions)
+        phase1 = phase1.drop_columns(["_salt"])
+        return grouped_map(phase1, key_col, cap_fn(key_col),
+                           num_partitions=num_partitions)
+
+    return grouped_map(ds, key_col, cap_fn(key_col),
+                       num_partitions=num_partitions)

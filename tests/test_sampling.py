@@ -51,6 +51,15 @@ def test_stratified_matches_pandas_reference(ray_session):
     assert set(out["doc_id"]) == set(ref["doc_id"])
 
 
+def test_stratified_pre_salt_identical_to_unsalted(ray_session):
+    df = _docs(600, keys=3, seed=11)
+    a = stratified_sample(rd.from_pandas(df), "source", "doc_id",
+                          12, seed=5).to_pandas()
+    b = stratified_sample(rd.from_pandas(df), "source", "doc_id",
+                          12, seed=5, pre_salt=8).to_pandas()
+    assert set(a["doc_id"]) == set(b["doc_id"])
+
+
 def test_bernoulli_fraction_and_determinism(ray_session):
     df = _docs(4000)
     out = bernoulli_sample(rd.from_pandas(df), "doc_id", 0.25,
