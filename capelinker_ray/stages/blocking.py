@@ -424,12 +424,8 @@ def numeric_candidates(ds_from, ds_to, *, value_col: str, id_col: str,
     def bin_from(df: pd.DataFrame) -> pd.DataFrame:
         x = df[value_col].to_numpy(np.float64)
         b = np.floor(x / bound).astype(np.int64)
-        reps = []
-        for d in (-1, 0, 1):
-            r = df.copy()
-            r["_bin"] = b + d
-            r["_probe_home"] = np.int8(d == 0)
-            reps.append(r)
+        reps = [df.assign(_bin=b + d, _probe_home=np.int8(d == 0))
+                for d in (-1, 0, 1)]   # shallow; concat copies once
         return pd.concat(reps, ignore_index=True)
 
     f = _tag_side(ds_from, "F").map_batches(bin_from, batch_format="pandas")

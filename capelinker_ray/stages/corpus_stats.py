@@ -100,9 +100,8 @@ def normalise_column(ds, col: str, out_col: str | None = None):
     rng = (hi - lo) if hi > lo else 1.0
 
     def scale(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df[out_col] = (df[col].astype(float) - lo) / rng
-        return df
+        # shallow: untouched columns share buffers
+        return df.assign(**{out_col: (df[col].astype(float) - lo) / rng})
     return ds.map_batches(scale, batch_format="pandas")
 
 
@@ -134,10 +133,9 @@ def uniformise_column(ds, col: str, out_col: str | None = None,
     def apply_map(df: pd.DataFrame) -> pd.DataFrame:
         from .bcast import cached_get
         m = cached_get(ref)
-        df = df.copy()
-        df[out_col] = df[col].map(lambda s: m.get(s, s)
-                                  if isinstance(s, str) else None)
-        return df
+        mapped = df[col].map(lambda s: m.get(s, s)
+                             if isinstance(s, str) else None)
+        return df.assign(**{out_col: mapped})
     return ds.map_batches(apply_map, batch_format="pandas")
 
 

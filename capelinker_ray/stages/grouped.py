@@ -90,10 +90,12 @@ def grouped_map(ds, keys: str | list[str], fn, *,
         num_partitions = default_partitions()
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df[_PART] = (key_hash(df, keys) % np.uint64(num_partitions)).astype(
+        # assign = shallow copy (new frame, shared immutable column
+        # buffers) — this map runs on EVERY batch of EVERY shuffle, and a
+        # deep df.copy() here re-copied all payload columns engine-wide
+        part = (key_hash(df, keys) % np.uint64(num_partitions)).astype(
             np.int64)
-        return df
+        return df.assign(**{_PART: part})
 
     def run(g: pd.DataFrame) -> object:
         out = fn(g.drop(columns=[_PART]))
