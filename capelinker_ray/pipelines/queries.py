@@ -1220,6 +1220,23 @@ FROM documents
 WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)"""
 
 
+def q_top_per_lang(sf_dir: str):
+    """Top 10 docs per language by n_chars (grouped top-k,
+    stages/sampling.py:top_k_per_group; ties by doc_id)."""
+    from ..stages.sampling import top_k_per_group
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+    return top_k_per_group(docs, "lang", "n_chars", "doc_id", 10)
+
+
+def sql_top_per_lang(sf_dir: str) -> str:
+    return """SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn <= 10"""
+
+
 def q_exact_quantiles(sf_dir: str):
     """EXACT discrete quantiles of documents.n_chars via distributed sort
     + prefix-scan rank select (stages/scan.py) — the exact complement of
@@ -1466,6 +1483,7 @@ def build_queries() -> dict:
         "curation_capped": q_curation_capped,
         "pack_shards": q_pack_shards,
         "exact_quantiles": q_exact_quantiles,
+        "top_per_lang": q_top_per_lang,
         "doc_curation": q_doc_curation,
         "sketch_stats": q_sketch_stats,
         "lang_quality": q_lang_quality,
@@ -1505,6 +1523,7 @@ def build_oracle_sql() -> dict:
         "curation_capped": sql_curation_capped(_ORACLE_SF_DIR),
         "pack_shards": sql_pack_shards(_ORACLE_SF_DIR),
         "exact_quantiles": sql_exact_quantiles(_ORACLE_SF_DIR),
+        "top_per_lang": sql_top_per_lang(_ORACLE_SF_DIR),
         "asof_join": sql_asof_join(_ORACLE_SF_DIR),
         "simhash": sql_simhash(_ORACLE_SF_DIR),
         "simhash_pairs": sql_simhash_pairs(_ORACLE_SF_DIR),

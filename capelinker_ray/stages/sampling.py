@@ -29,8 +29,8 @@ import pandas as pd
 
 from .dedup import _splitmix64
 
-__all__ = ["bernoulli_sample", "stratified_sample", "sample_hash",
-           "seed_mix", "bernoulli_threshold"]
+__all__ = ["bernoulli_sample", "stratified_sample", "top_k_per_group",
+           "sample_hash", "seed_mix", "bernoulli_threshold"]
 
 _U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -68,6 +68,28 @@ def bernoulli_sample(ds, id_col: str, p: float, seed: int = 0):
         return typed_or_empty(df[h < t64])
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def top_k_per_group(ds, key_col: str, value_col: str, id_col: str,
+                    k: int, ascending: bool = False,
+                    num_partitions: int | None = None):
+    """Keep the ``k`` rows with the largest (default) or smallest
+    ``value_col`` per key, ties broken by id ascending — 'top 5 docs per
+    language by quality'. One grouped_map shuffle; deterministic. Null
+    values rank LAST (SQL ``ORDER BY ... DESC`` NULLS-LAST parity)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from .grouped import grouped_map
+
+    def cap(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(np.float64)
+        key2 = v if ascending else -v      # NaN sorts last either way
+        order = np.lexsort((df[id_col].to_numpy(), key2))
+        df = df.iloc[order]
+        keep = df.groupby(key_col, sort=False, dropna=False).cumcount() < k
+        return df[keep.to_numpy()]
+
+    return grouped_map(ds, key_col, cap, num_partitions=num_partitions)
 
 
 def stratified_sample(ds, key_col: str, id_col: str, n_per_key: int,

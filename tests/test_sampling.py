@@ -75,6 +75,27 @@ def test_bernoulli_fraction_and_determinism(ray_session):
     assert bernoulli_sample(rd.from_pandas(df), "doc_id", 0.0).count() == 0
 
 
+def test_top_k_per_group_matches_pandas(ray_session):
+    from capelinker_ray.stages.sampling import top_k_per_group
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({
+        "doc_id": np.arange(300, dtype=np.int64),
+        "lang": rng.choice(["en", "nl", "af"], 300),
+        "v": rng.integers(0, 50, 300).astype(np.int64),  # many ties
+    })
+    out = top_k_per_group(rd.from_pandas(df), "lang", "v", "doc_id",
+                          7).to_pandas()
+    ref = (df.sort_values(["v", "doc_id"], ascending=[False, True])
+           .groupby("lang").head(7))
+    assert set(map(tuple, out[["doc_id", "lang"]].to_numpy())) == \
+        set(map(tuple, ref[["doc_id", "lang"]].to_numpy()))
+    # ascending variant
+    out2 = top_k_per_group(rd.from_pandas(df), "lang", "v", "doc_id",
+                           3, ascending=True).to_pandas()
+    ref2 = (df.sort_values(["v", "doc_id"]).groupby("lang").head(3))
+    assert set(out2["doc_id"]) == set(ref2["doc_id"])
+
+
 def test_threshold_exactness():
     assert bernoulli_threshold(0.25) == 1 << 62
     assert bernoulli_threshold(1.0) == 1 << 64
