@@ -1027,6 +1027,115 @@ WHERE token <> ''
 GROUP BY token HAVING count(*) >= 5"""
 
 
+_HH_PHI = 0.0005
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Misra-Gries candidates + exact recount over document tokens
+    (stages/sketch.py:heavy_hitters) — value-exact despite the bounded
+    sketch because pass 2 recounts the survivors."""
+    from ..stages.sketch import heavy_hitters
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return heavy_hitters(docs, "text", phi=_HH_PHI, tokenize=True)
+
+
+def sql_heavy_hitters(sf_dir: str) -> str:
+    # CAST to DOUBLE on both factors: DuckDB would otherwise do exact
+    # DECIMAL math while the engine computes ceil(phi * total) in doubles
+    return f"""WITH tok AS (
+  SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM tok WHERE token <> ''
+GROUP BY token
+HAVING count(*) >= (
+  SELECT CAST(ceil(CAST({_HH_PHI} AS DOUBLE) *
+                   CAST(count(*) AS DOUBLE)) AS BIGINT)
+  FROM tok WHERE token <> '')"""
+
+
+_BM25_TERMS = ["customer", "vector", "stream"]
+_BM25_K = 10
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 keyword search, global top-k with deterministic tie-break
+    (stages/search.py:bm25_topk)."""
+    from ..stages.search import bm25_topk
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
+
+
+def sql_bm25_topk(sf_dir: str) -> str:
+    # mirrors stages/search.py:bm25_topk operation-for-operation (same
+    # literals, same association order) so round-6 doubles match exactly
+    t0, t1, t2 = _BM25_TERMS
+    term_expr = " + ".join(
+        f"""(ln((st.n - dfq.df{i} + 0.5) / (dfq.df{i} + 0.5) + 1.0)
+      * (tf.tf{i} * (1.2 + 1.0))
+      / (tf.tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * dl.len / st.avglen)))"""
+        for i in range(3))
+    return f"""WITH tok AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS token
+  FROM documents
+), dl AS (
+  SELECT doc_id,
+         CAST(count(*) FILTER (token <> '') AS DOUBLE) AS len
+  FROM tok GROUP BY doc_id
+), tf AS (
+  SELECT doc_id,
+         CAST(count(*) FILTER (token = '{t0}') AS DOUBLE) AS tf0,
+         CAST(count(*) FILTER (token = '{t1}') AS DOUBLE) AS tf1,
+         CAST(count(*) FILTER (token = '{t2}') AS DOUBLE) AS tf2
+  FROM tok GROUP BY doc_id
+), st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avglen
+  FROM dl
+), dfq AS (
+  SELECT CAST(count(*) FILTER (tf0 > 0) AS DOUBLE) AS df0,
+         CAST(count(*) FILTER (tf1 > 0) AS DOUBLE) AS df1,
+         CAST(count(*) FILTER (tf2 > 0) AS DOUBLE) AS df2
+  FROM tf
+), s AS (
+  SELECT dl.doc_id, round({term_expr}, 6) AS score
+  FROM dl JOIN tf USING (doc_id), st, dfq
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank
+FROM s
+QUALIFY rank <= {_BM25_K}"""
+
+
+def q_window_agg(sf_dir: str):
+    """Tumbling per-(user, hour) aggregate with in-batch partial
+    aggregation (stages/events.py:tumbling_window_agg)."""
+    from ..stages.events import tumbling_window_agg
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    out = tumbling_window_agg(ev, window_minutes=60.0)
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype(np.int64),
+            "window": df["window"].astype(np.int64),
+            "n_events": df["n_events"].astype(np.int64),
+            "value_sum": df["value_sum"].round(4)})
+    return out.map_batches(rnd, batch_format="pandas")
+
+
+def sql_window_agg(sf_dir: str) -> str:
+    return """SELECT user_id,
+       CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM events GROUP BY 1, 2"""
+
+
 def q_stratified_sample(sf_dir: str):
     """Cap every source at 20 docs, deterministic smallest-(hash,id) keep
     (stages/sampling.py — the 'no domain may dominate' curation op)."""
@@ -1478,6 +1587,9 @@ def build_queries() -> dict:
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
         "vocab_counts": q_vocab_counts,
+        "heavy_hitters": q_heavy_hitters,
+        "bm25_topk": q_bm25_topk,
+        "window_agg": q_window_agg,
         "stratified_sample": q_stratified_sample,
         "bernoulli_sample": q_bernoulli_sample,
         "curation_capped": q_curation_capped,
@@ -1518,6 +1630,9 @@ def build_oracle_sql() -> dict:
         "pii_redact": sql_pii_redact(_ORACLE_SF_DIR),
         "decontaminate": sql_decontaminate(_ORACLE_SF_DIR),
         "vocab_counts": sql_vocab_counts(_ORACLE_SF_DIR),
+        "heavy_hitters": sql_heavy_hitters(_ORACLE_SF_DIR),
+        "bm25_topk": sql_bm25_topk(_ORACLE_SF_DIR),
+        "window_agg": sql_window_agg(_ORACLE_SF_DIR),
         "stratified_sample": sql_stratified_sample(_ORACLE_SF_DIR),
         "bernoulli_sample": sql_bernoulli_sample(_ORACLE_SF_DIR),
         "curation_capped": sql_curation_capped(_ORACLE_SF_DIR),

@@ -15,9 +15,19 @@ kilobytes.
                     aggregate, then per-batch bincount partials summed in
                     one reduce; quantile values interpolate within their
                     bin — absolute error bounded by (max-min)/bins.
+  heavy_hitters     Misra-Gries candidates + exact recount: per-batch
+                    bounded-size frequency sketch (Misra & Gries 1982;
+                    merge rule per Agarwal et al., "Mergeable Summaries",
+                    PODS 2012), then an exact second pass counting ONLY
+                    the surviving candidates — the output is VALUE-EXACT
+                    (every item with global count >= ceil(phi*total),
+                    true counts) while nothing ever shuffles the full
+                    distinct-token set the way vocab_counts must.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -25,7 +35,7 @@ from ray.data.aggregate import Max, Min
 
 from .textstats import fnv1a_64
 
-__all__ = ["approx_distinct", "approx_quantiles"]
+__all__ = ["approx_distinct", "approx_quantiles", "heavy_hitters"]
 
 
 def _hash_column(vals: np.ndarray) -> np.ndarray:
@@ -71,6 +81,120 @@ def approx_distinct(ds, col: str, *, p: int = 14) -> int:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)           # linear-counting correction
     return int(round(est))
+
+
+def heavy_hitters(ds, col: str, *, phi: float = 0.001,
+                  tokenize: bool = False, sketch_size: int | None = None):
+    """EXACT frequent items: Dataset[(token, n)] of every value of ``col``
+    (or every single-space token of it when ``tokenize=True``) whose global
+    count reaches ``ceil(phi * total)``, with true counts.
+
+    Two passes, both bounded-state (the 100-TB answer to "find the stop
+    words / boilerplate lines / dominant values" without a full
+    distinct-key shuffle):
+
+    1. per-batch Misra-Gries sketch of ``B = max(64, ceil(4/phi))``
+       counters (exact in-batch counts reduced by subtracting the
+       (B+1)-th largest — each item's undercount is <= batch_total/B, so
+       the summed undercount across batches is <= total/B); partials merge
+       through ONE tiny (token, n) groupby, and candidates are everything
+       whose merged residual could still reach the threshold. With
+       B = 4/phi the candidate set is <= ~4/(3*phi) items regardless of
+       corpus size — kilobytes on the driver.
+    2. exact recount of the broadcast candidate set (per-batch bincount of
+       candidate hits only, one tiny groupby), filtered at the true
+       threshold.
+
+    Empty strings are never counted (in both modes) — the "" key carries
+    the per-batch token totals through the same shuffle.
+
+    Reference analog: ``namefreq``-style grouped counts
+    (data_raw/traindata_graafreinet.R:121-122) when the key set is too
+    large to shuffle exactly.
+    """
+    if not (0.0 < phi < 1.0):
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    B = sketch_size or max(64, int(math.ceil(4.0 / phi)))
+
+    def extract(df: pd.DataFrame) -> np.ndarray:
+        if tokenize:
+            words = df[col].where(df[col].notna(), "").str.split(" ")
+            if not len(words):
+                return np.empty(0, dtype=object)
+            flat = np.concatenate(
+                [np.asarray(w, dtype=object) for w in words])
+        else:
+            flat = df[col].dropna().to_numpy(dtype=object)
+        return flat[flat != ""] if len(flat) else flat
+
+    def sketch_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat = extract(df)
+        if not len(flat):
+            return pd.DataFrame({"token": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        codes, uniq = pd.factorize(flat, sort=False)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        total = int(cnt.sum())
+        uniq = np.asarray(uniq, dtype=object)
+        if len(uniq) > B:
+            order = np.argsort(-cnt, kind="stable")
+            offset = cnt[order[B]]          # (B+1)-th largest
+            keep = order[:B]
+            resid = cnt[keep] - offset
+            pos = resid > 0
+            uniq, cnt = uniq[keep][pos], resid[pos]
+        out = pd.DataFrame({"token": uniq, "n": cnt})
+        # "" is excluded from tokens above, so it can carry the batch total
+        return pd.concat(
+            [out, pd.DataFrame({"token": [""], "n": [total]})],
+            ignore_index=True)
+
+    from .grouped import grouped_map
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("token", sort=False)["n"].sum().reset_index())
+
+    merged = grouped_map(
+        ds.map_batches(sketch_partial, batch_format="pandas"),
+        "token", combine).materialize()
+    total_rows = merged.filter(lambda r: r["token"] == "").take_all()
+    total = int(total_rows[0]["n"]) if total_rows else 0
+    if total == 0:
+        return merged  # no tokens anywhere -> merged is already empty
+    threshold = int(math.ceil(phi * total))
+    # merged residual of a true heavy hitter >= threshold - total//B
+    floor_n = max(1, threshold - total // B)
+    cand = [r["token"] for r in
+            merged.filter(
+                lambda r, f=floor_n: r["token"] != "" and r["n"] >= f
+            ).take_all()]
+
+    import ray
+    cand_ref = ray.put(pd.Index(np.asarray(cand, dtype=object)))
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        idx = ray.get(cand_ref)
+        flat = extract(df)
+        if not len(flat) or not len(idx):
+            return pd.DataFrame({"token": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        pos = idx.get_indexer(flat)
+        pos = pos[pos >= 0]
+        if not len(pos):
+            return pd.DataFrame({"token": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        cnt = np.bincount(pos, minlength=len(idx)).astype(np.int64)
+        hit = cnt > 0
+        return pd.DataFrame({"token": idx.to_numpy(dtype=object)[hit],
+                             "n": cnt[hit]})
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("token", sort=False)["n"].sum().reset_index())
+        return out[out["n"] >= threshold]
+
+    return grouped_map(
+        ds.map_batches(recount, batch_format="pandas"),
+        "token", finalize)
 
 
 def approx_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75), *,

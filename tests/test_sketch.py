@@ -53,3 +53,59 @@ def test_quantiles_empty_and_all_null(ray_session):
     out = approx_quantiles(allnull, "v")
     assert list(out["q"]) == [0.25, 0.5, 0.75]
     assert out["value"].isna().all()
+
+
+def _exact_token_hh(texts, phi):
+    import math
+    toks = [t for s in texts for t in (s or "").split(" ") if t != ""]
+    vc = pd.Series(toks).value_counts()
+    thr = math.ceil(phi * len(toks))
+    return {k: int(v) for k, v in vc.items() if v >= thr}
+
+
+def test_heavy_hitters_exact_vs_pandas(ray_session):
+    """Output is VALUE-EXACT (recount pass) on a Zipf-ish token corpus."""
+    from capelinker_ray.stages.sketch import heavy_hitters
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(400)]
+    p = 1.0 / np.arange(1, 401); p /= p.sum()
+    texts = [" ".join(rng.choice(vocab, size=30, p=p)) for _ in range(800)]
+    phi = 0.004
+    out = heavy_hitters(
+        rd.from_pandas(pd.DataFrame({"text": texts})).repartition(8),
+        "text", phi=phi, tokenize=True).to_pandas()
+    got = dict(zip(out["token"], out["n"].astype(int)))
+    assert got == _exact_token_hh(texts, phi)
+
+
+def test_heavy_hitters_tiny_sketch_still_exact(ray_session):
+    """A sketch far smaller than the default must still be exact as long
+    as B >= 4/phi holds — force the MG reduction path with many distinct
+    rare tokens per batch."""
+    import math
+    from capelinker_ray.stages.sketch import heavy_hitters
+    rng = np.random.default_rng(9)
+    texts = []
+    for i in range(600):
+        rare = [f"rare_{i}_{j}" for j in range(20)]        # unique per doc
+        hot = ["hot_a"] * 4 + ["hot_b"] * 2
+        row = rare + hot
+        rng.shuffle(row)
+        texts.append(" ".join(row))
+    phi = 0.004                                            # thr ~ 63
+    B = int(math.ceil(4.0 / phi))                          # minimal legal B
+    out = heavy_hitters(
+        rd.from_pandas(pd.DataFrame({"text": texts})).repartition(6),
+        "text", phi=phi, tokenize=True, sketch_size=B).to_pandas()
+    got = dict(zip(out["token"], out["n"].astype(int)))
+    assert got == {"hot_a": 2400, "hot_b": 1200}
+
+
+def test_heavy_hitters_column_mode_and_nulls(ray_session):
+    from capelinker_ray.stages.sketch import heavy_hitters
+    vals = ["x"] * 50 + ["y"] * 30 + ["z"] * 2 + [None] * 5 + [""] * 4
+    out = heavy_hitters(
+        rd.from_pandas(pd.DataFrame({"v": vals})).repartition(3),
+        "v", phi=0.3).to_pandas()       # thr = ceil(0.3*82) = 25
+    got = dict(zip(out["token"], out["n"].astype(int)))
+    assert got == {"x": 50, "y": 30}    # null/"" never counted
