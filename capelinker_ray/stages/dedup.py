@@ -266,7 +266,7 @@ def _minhash_rejoin_pairs(sigged, band_keys_fn, sig_matrix_fn, *,
                              ("est_jaccard", pa.float64())])
 
     def explode_slim(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        ids = t[id_col].to_numpy().astype(np.int64, copy=False)
         keys = band_keys_fn(sig_matrix_fn(t))
         return pa.table({
             id_col: pa.array(np.tile(ids, bands)),
@@ -368,7 +368,7 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
             max_bucket_pairs=max_bucket_pairs)
 
     def explode(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        ids = t[id_col].to_numpy().astype(np.int64, copy=False)
         sig = _sig_matrix(t)
         keys = _band_keys(sig)
         packed = _pack_rows(sig.astype(np.int64))
@@ -538,7 +538,7 @@ def simhash_dup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
     # union null-pads the payload column, and pandas represents nullable
     # int64 as float64 — silently destroying the low ~11 bits
     def slim(t: pa.Table) -> pa.Table:
-        sig = np.asarray(t["simhash"].to_pylist(), dtype=np.int64)
+        sig = t["simhash"].to_numpy().astype(np.int64, copy=False)
         return pa.table({id_col: t[id_col].cast(pa.int64()),
                          "sig_b": _pack_rows(sig.reshape(-1, 1))})
     joined = _join_payload(pairs, sigged.map_batches(
