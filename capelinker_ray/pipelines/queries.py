@@ -1136,6 +1136,63 @@ def sql_window_agg(sf_dir: str) -> str:
 FROM events GROUP BY 1, 2"""
 
 
+def q_hopping_window(sf_dir: str):
+    """Sliding per-(event_type, 60-min window hopping every 15) aggregate
+    with bounded vectorized fan-out (stages/events.py:hopping_window_agg)."""
+    from ..stages.events import hopping_window_agg
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    out = hopping_window_agg(ev, window_minutes=60.0, hop_minutes=15.0)
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "window_start_us": df["window_start_us"].astype(np.int64),
+            "n_events": df["n_events"].astype(np.int64),
+            "value_sum": df["value_sum"].round(4)})
+    return out.map_batches(rnd, batch_format="pandas")
+
+
+def sql_hopping_window(sf_dir: str) -> str:
+    # each event expands to its window/hop = 4 containing window starts
+    return """WITH x AS (
+  SELECT event_type, value,
+         unnest(range(epoch_us(ts) // 900000000 - 3,
+                      epoch_us(ts) // 900000000 + 1)) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(k * 900000000 AS BIGINT) AS window_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM x GROUP BY 1, 2"""
+
+
+def q_grouped_quantiles(sf_dir: str):
+    """Per-language exact discrete quantiles of document length
+    (stages/scan.py:grouped_quantiles — quantile_disc parity within each
+    group, vectorized rank pick across all groups of a partition)."""
+    from ..stages.scan import grouped_quantiles
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "n_chars"])
+    out = grouped_quantiles(docs, "lang", "n_chars", qs=(0.25, 0.5, 0.75))
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lang": df["lang"],
+                             "q": df["q"].astype(np.float64),
+                             "value": df["value"].astype(np.float64)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_grouped_quantiles(sf_dir: str) -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT lang, CAST({q} AS DOUBLE) AS q, "
+        f"CAST(quantile_disc(n_chars, {q}) AS DOUBLE) AS value "
+        f"FROM documents GROUP BY lang"
+        for q in (0.25, 0.5, 0.75))
+    return rows
+
+
 def q_stratified_sample(sf_dir: str):
     """Cap every source at 20 docs, deterministic smallest-(hash,id) keep
     (stages/sampling.py — the 'no domain may dominate' curation op)."""
@@ -1590,6 +1647,8 @@ def build_queries() -> dict:
         "heavy_hitters": q_heavy_hitters,
         "bm25_topk": q_bm25_topk,
         "window_agg": q_window_agg,
+        "hopping_window": q_hopping_window,
+        "grouped_quantiles": q_grouped_quantiles,
         "stratified_sample": q_stratified_sample,
         "bernoulli_sample": q_bernoulli_sample,
         "curation_capped": q_curation_capped,
@@ -1633,6 +1692,8 @@ def build_oracle_sql() -> dict:
         "heavy_hitters": sql_heavy_hitters(_ORACLE_SF_DIR),
         "bm25_topk": sql_bm25_topk(_ORACLE_SF_DIR),
         "window_agg": sql_window_agg(_ORACLE_SF_DIR),
+        "hopping_window": sql_hopping_window(_ORACLE_SF_DIR),
+        "grouped_quantiles": sql_grouped_quantiles(_ORACLE_SF_DIR),
         "stratified_sample": sql_stratified_sample(_ORACLE_SF_DIR),
         "bernoulli_sample": sql_bernoulli_sample(_ORACLE_SF_DIR),
         "curation_capped": sql_curation_capped(_ORACLE_SF_DIR),

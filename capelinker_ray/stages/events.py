@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 __all__ = ["sessionize", "session_stats", "tumbling_window_agg",
-           "asof_join"]
+           "hopping_window_agg", "asof_join"]
 
 
 def _ts_us(s: pd.Series) -> np.ndarray:
@@ -105,6 +105,61 @@ def tumbling_window_agg(ds, *, user_col: str = "user_id",
                      value_sum=("value_sum", "sum"))
                 .reset_index())
     return grouped_map(partials, [user_col, "window"], combine)
+
+
+def hopping_window_agg(ds, *, key_col: str = "event_type",
+                       ts_col: str = "ts", value_col: str = "value",
+                       window_minutes: float = 60.0,
+                       hop_minutes: float = 15.0,
+                       batch_size: int | None = None):
+    """Per (key, sliding window) count/sum: windows of ``window_minutes``
+    starting every ``hop_minutes`` (hop must divide the window). An event
+    at time t lands in the windows whose start k*hop satisfies
+    k*hop <= t < k*hop + window — exactly window/hop of them.
+
+    Distributed shape mirrors :func:`tumbling_window_agg` with a bounded
+    fan-out: each batch replicates its rows window/hop times VECTORIZED
+    (np.repeat + per-copy k offsets), pre-aggregates to one partial row
+    per (key, window) per batch, and only those partials shuffle. Window
+    identity is ``window_start_us`` (int64 epoch microseconds, = k*hop).
+
+    Timestamps are assumed >= window size after the epoch (true for any
+    real event stream) so floor and truncating division agree — the DuckDB
+    oracle uses ``//`` which truncates toward zero."""
+    win_us = np.int64(window_minutes * 60e6)
+    hop_us = np.int64(hop_minutes * 60e6)
+    if win_us % hop_us:
+        raise ValueError("hop_minutes must divide window_minutes "
+                         f"({hop_minutes} vs {window_minutes})")
+    copies = int(win_us // hop_us)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = _ts_us(df[ts_col])
+        k_hi = ts // hop_us                     # last window containing t
+        n = len(df)
+        # k vector for all copies: k_hi - c for c in 0..copies-1
+        k = np.repeat(k_hi, copies) - np.tile(
+            np.arange(copies, dtype=np.int64), n)
+        pos = np.repeat(np.arange(n, dtype=np.int64), copies)
+        out = pd.DataFrame({
+            key_col: df[key_col].to_numpy()[pos],
+            "window_start_us": k * hop_us,
+            "_v": df[value_col].to_numpy(np.float64)[pos]})
+        return (out.groupby([key_col, "window_start_us"], sort=False)
+                .agg(n_events=("_v", "size"), value_sum=("_v", "sum"))
+                .reset_index())
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=batch_size)
+
+    from .grouped import grouped_map
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([key_col, "window_start_us"], sort=False)
+                .agg(n_events=("n_events", "sum"),
+                     value_sum=("value_sum", "sum"))
+                .reset_index())
+    return grouped_map(partials, [key_col, "window_start_us"], combine)
 
 
 def asof_join(left, right, *, by: str, ts_col: str = "ts",

@@ -30,7 +30,7 @@ import ray
 import ray.data as rd
 
 __all__ = ["running_total", "pack_by_budget", "row_number",
-           "exact_quantiles"]
+           "exact_quantiles", "grouped_quantiles"]
 
 
 @ray.remote
@@ -146,3 +146,47 @@ def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75)):
     val_at = {r["_rn"]: float(r[col]) for r in rows}
     return pd.DataFrame({"q": [float(q) for q in qs],
                          "value": [val_at[rank_of[q]] for q in qs]})
+
+
+def grouped_quantiles(ds, group_col: str, col: str, qs=(0.25, 0.5, 0.75)):
+    """EXACT per-group discrete quantiles (same ``quantile_disc`` rank
+    rule as :func:`exact_quantiles`, applied within each ``group_col``
+    group). Returns Dataset[(group_col, q, value)].
+
+    Unlike the global variant — which needs the prefix-scan machinery
+    because no worker sees the whole sorted stream — per-group quantiles
+    fit the standard grouped shape: ONE co-partitioning shuffle, then a
+    vectorized sort + rank pick across ALL groups of a partition at once
+    (no per-group Python loop; the group boundaries are computed from one
+    batch-wide sort). Partitioning assumption: one group's rows fit a
+    partition (same contract as every grouped op here)."""
+    import math
+
+    import pandas as pd
+
+    qs = [float(q) for q in qs]
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[col].notna()]
+        if not len(df):
+            return pd.DataFrame({group_col: pd.Series(dtype=object),
+                                 "q": pd.Series(dtype=np.float64),
+                                 "value": pd.Series(dtype=np.float64)})
+        s = df.sort_values([group_col, col], kind="stable")
+        g = s[group_col].to_numpy()
+        v = s[col].to_numpy(np.float64)
+        new = np.ones(len(s), dtype=bool)
+        new[1:] = g[1:] != g[:-1]
+        starts = np.nonzero(new)[0]
+        sizes = np.diff(np.append(starts, len(s)))
+        out = []
+        for q in qs:
+            # 1-based rank max(1, ceil(q*n)) within each group, vectorized
+            ranks = np.maximum(1, np.ceil(q * sizes).astype(np.int64))
+            idx = starts + ranks - 1
+            out.append(pd.DataFrame({group_col: g[starts], "q": q,
+                                     "value": v[idx]}))
+        return pd.concat(out, ignore_index=True)
+
+    from .grouped import grouped_map
+    return grouped_map(ds, group_col, per_partition)

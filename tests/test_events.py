@@ -128,3 +128,47 @@ def test_asof_join_bucketed_hot_key_parity(ray_session):
     b = bucketed.sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(f, b[f.columns])
     assert f["value"].notna().sum() > 300  # carries actually fired
+
+
+def test_hopping_window_matches_pandas(ray_session):
+    """Every event lands in exactly window/hop sliding windows; counts and
+    sums match a brute-force expansion."""
+    from capelinker_ray.stages.events import hopping_window_agg
+    rng = np.random.default_rng(13)
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    df = pd.DataFrame({
+        "event_type": rng.choice(["a", "b"], size=400),
+        "ts": base + pd.to_timedelta(rng.integers(0, 86_400, 400), unit="s"),
+        "value": rng.normal(10.0, 2.0, 400)})
+    out = (hopping_window_agg(rd.from_pandas(df).repartition(5),
+                              window_minutes=60, hop_minutes=15)
+           .to_pandas().sort_values(["event_type", "window_start_us"])
+           .reset_index(drop=True))
+    # brute force: replicate each event into its 4 windows
+    hop = 15 * 60 * 1_000_000
+    ts_us = df["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    rows = []
+    for c in range(4):
+        k = ts_us // hop - c
+        rows.append(pd.DataFrame({"event_type": df["event_type"],
+                                  "w": k * hop, "value": df["value"]}))
+    exp = (pd.concat(rows).groupby(["event_type", "w"])
+           .agg(n_events=("value", "size"), value_sum=("value", "sum"))
+           .reset_index().sort_values(["event_type", "w"])
+           .reset_index(drop=True))
+    assert len(out) == len(exp)
+    assert (out["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
+    np.testing.assert_allclose(out["value_sum"], exp["value_sum"],
+                               rtol=1e-9)
+    # fan-out invariant: total replicated events = 4x input
+    assert out["n_events"].sum() == 4 * len(df)
+
+
+def test_hopping_window_rejects_nondivisible_hop(ray_session):
+    from capelinker_ray.stages.events import hopping_window_agg
+    import pytest
+    df = pd.DataFrame({"event_type": ["a"],
+                       "ts": [pd.Timestamp("2024-01-01")], "value": [1.0]})
+    with pytest.raises(ValueError):
+        hopping_window_agg(rd.from_pandas(df), window_minutes=60,
+                           hop_minutes=25)

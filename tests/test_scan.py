@@ -67,3 +67,29 @@ def test_pack_by_budget_contiguous_shards(ray_session):
     sizes = out.groupby("shard_id")["n"].sum()
     # all but possibly the last shard reach at least capacity incl. overshoot
     assert (sizes.iloc[:-1] + 500 - 1 >= 1000).all()
+
+
+def test_grouped_quantiles_exact_per_group(ray_session):
+    """quantile_disc rank rule within each group, incl. 1-row groups and
+    nulls dropped."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from capelinker_ray.stages.scan import grouped_quantiles
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y", "z"], size=500),
+        "v": rng.integers(0, 1000, 500).astype(float)})
+    df.loc[df.index[:20], "v"] = np.nan
+    df = pd.concat([df, pd.DataFrame({"g": ["solo"], "v": [42.0]})],
+                   ignore_index=True)
+    out = (grouped_quantiles(rd.from_pandas(df).repartition(6), "g", "v",
+                             qs=(0.25, 0.5, 0.75)).to_pandas())
+    import math
+    for (g, q), grp in out.groupby(["g", "q"]):
+        vals = np.sort(df.loc[df["g"].eq(g) & df["v"].notna(), "v"]
+                       .to_numpy())
+        rank = max(1, math.ceil(q * len(vals)))
+        assert grp["value"].iloc[0] == vals[rank - 1], (g, q)
+    assert set(out.loc[out["g"] == "solo", "value"]) == {42.0}
