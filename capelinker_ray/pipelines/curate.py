@@ -92,7 +92,8 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
                      max_per_source: int | None = None,
                      source_col: str = "source",
                      sample_fraction: float | None = None,
-                     sample_seed: int = 13) -> dict:
+                     sample_seed: int = 13,
+                     near_dup_keep: str = "min_id") -> dict:
     """Optional extra stages: ``pii_scrub=True`` rewrites ``text_col`` in
     place (stages/pii.py masks) BEFORE annotation, so gates and dedup see
     redacted text; ``decontam_against=<benchmark Dataset>`` removes docs
@@ -102,7 +103,16 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
     docs (deterministic smallest-(splitmix64,id) keep, stages/sampling.py,
     reason "source_cap"); ``sample_fraction=<p>`` keeps a deterministic ~p
     global fraction (reason "sampled_out"). Both run AFTER dedup — caps
-    should count unique content, not dup clusters."""
+    should count unique content, not dup clusters.
+
+    ``near_dup_keep`` picks the near-dup family representative:
+    ``"min_id"`` (default — it IS the hash-min component id, zero extra
+    work) or ``"best_quality"`` (keep the member with the HIGHEST quality
+    score, ties to min id — what a training-data pipeline usually wants;
+    costs one broadcast of the slim (id, quality) rows of the family
+    members only, never the corpus)."""
+    if near_dup_keep not in ("min_id", "best_quality"):
+        raise ValueError(f"near_dup_keep: {near_dup_keep!r}")
     if pii_scrub:
         from ..stages.pii import redact_pii
         ds = redact_pii(ds, text_col=text_col, out_col=text_col)
@@ -198,17 +208,50 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
         comp = connected_components(pairs, id_from="id_from",
                                     id_to="id_to")
 
-        def losers(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            node = t["node"].cast(pa.int64())
-            keep = pc.not_equal(node, t["entity_id"].cast(pa.int64()))
-            node = node.filter(keep)
-            return pa.table({id_col: node,
-                             "reason": pa.array(["near_dup"] * len(node),
-                                                pa.string())},
-                            schema=ledger_schema)
-        near_removed = comp.map_batches(
-            losers, batch_format="pyarrow").materialize()
+        if near_dup_keep == "best_quality":
+            # representative = argmax quality (ties -> min id). One inner
+            # hash join of the SLIM (id, quality) projection against the
+            # family members, then a per-family vectorized pick — family
+            # rows only, never the corpus texts.
+            from ..stages.join import hash_join
+
+            def slim_q(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({
+                    "node": df[id_col].to_numpy(np.int64),
+                    "_q": df["quality"].to_numpy(np.float64)})
+
+            fam = hash_join(comp, survivors.map_batches(
+                slim_q, batch_format="pandas"), on="node", how="inner")
+
+            def q_losers(df: pd.DataFrame) -> pa.Table:
+                if not len(df):
+                    return ledger_schema.empty_table()
+                order = np.lexsort((df["node"].to_numpy(np.int64),
+                                    -df["_q"].to_numpy(np.float64)))
+                df = df.iloc[order]
+                drop = (df.groupby("entity_id", sort=False).cumcount()
+                        .to_numpy() > 0)
+                out = df[drop]
+                return pa.table(
+                    {id_col: pa.array(out["node"].to_numpy(np.int64)),
+                     "reason": pa.array(["near_dup"] * len(out),
+                                        pa.string())},
+                    schema=ledger_schema)
+            near_removed = grouped_map(
+                fam, "entity_id", q_losers).materialize()
+        else:
+            def losers(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                node = t["node"].cast(pa.int64())
+                keep = pc.not_equal(node, t["entity_id"].cast(pa.int64()))
+                node = node.filter(keep)
+                return pa.table({id_col: node,
+                                 "reason": pa.array(
+                                     ["near_dup"] * len(node),
+                                     pa.string())},
+                                schema=ledger_schema)
+            near_removed = comp.map_batches(
+                losers, batch_format="pyarrow").materialize()
         n_near = near_removed.count()
         survivors = _anti_join_ds(survivors, near_removed, n_near,
                                   id_col, broadcast_threshold)

@@ -167,3 +167,33 @@ def test_curate_pii_and_decontam(ray_session):
     assert removed.loc[3, "reason"] == "too_short"
     assert out["stats"]["contaminated"] == 1
     assert set(kept.index) == {0, 2}
+
+
+def test_curate_near_dup_keep_best_quality(ray_session):
+    """near_dup_keep='best_quality' keeps the family member with the
+    highest quality score instead of the min id."""
+    out = curate_documents(rd.from_pandas(_corpus()), min_tokens=5,
+                           min_quality=0.5, jaccard_threshold=0.55,
+                           near_dup_keep="best_quality")
+    kept = out["kept"].to_pandas()
+    removed = out["removed"].to_pandas().set_index("doc_id")["reason"]
+    fam = {1, 2, 3}
+    kept_fam = fam & set(kept["doc_id"])
+    assert len(kept_fam) == 1
+    rep = kept_fam.pop()
+    # the representative's quality is the family max (ties -> min id)
+    from capelinker_ray.stages.textstats import (add_quality_score,
+                                                 add_token_counts)
+    ann = add_quality_score(add_token_counts(
+        rd.from_pandas(_corpus()))).to_pandas().set_index("doc_id")
+    best = max(sorted(fam), key=lambda i: (ann.loc[i, "quality"], -i))
+    assert rep == best
+    assert (fam - {rep}) <= set(removed[removed == "near_dup"].index)
+    assert out["stats"]["kept"] + out["stats"]["removed"] == 7
+
+
+def test_curate_near_dup_keep_rejects_unknown(ray_session):
+    import pytest
+    with pytest.raises(ValueError):
+        curate_documents(rd.from_pandas(_corpus()),
+                         near_dup_keep="longest")
