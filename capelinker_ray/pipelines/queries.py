@@ -1168,6 +1168,32 @@ SELECT event_type,
 FROM x GROUP BY 1, 2"""
 
 
+def q_user_running_total(sf_dir: str):
+    """Per-user ordered cumulative value sum
+    (stages/scan.py:grouped_running_total — PARTITION BY window sum with
+    no global scan)."""
+    from ..stages.scan import grouped_running_total
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    out = grouped_running_total(ev, "user_id", "value",
+                                order_by=["ts", "event_id"])
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype(np.int64),
+            "user_id": df["user_id"].astype(np.int64),
+            "running_sum": df["running_total"].round(4)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_user_running_total(sf_dir: str) -> str:
+    return """SELECT event_id, user_id,
+       round(sum(coalesce(value, 0.0))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
+         AS running_sum
+FROM events"""
+
+
 def q_grouped_quantiles(sf_dir: str):
     """Per-language exact discrete quantiles of document length
     (stages/scan.py:grouped_quantiles — quantile_disc parity within each
@@ -1649,6 +1675,7 @@ def build_queries() -> dict:
         "window_agg": q_window_agg,
         "hopping_window": q_hopping_window,
         "grouped_quantiles": q_grouped_quantiles,
+        "user_running_total": q_user_running_total,
         "stratified_sample": q_stratified_sample,
         "bernoulli_sample": q_bernoulli_sample,
         "curation_capped": q_curation_capped,
@@ -1694,6 +1721,7 @@ def build_oracle_sql() -> dict:
         "window_agg": sql_window_agg(_ORACLE_SF_DIR),
         "hopping_window": sql_hopping_window(_ORACLE_SF_DIR),
         "grouped_quantiles": sql_grouped_quantiles(_ORACLE_SF_DIR),
+        "user_running_total": sql_user_running_total(_ORACLE_SF_DIR),
         "stratified_sample": sql_stratified_sample(_ORACLE_SF_DIR),
         "bernoulli_sample": sql_bernoulli_sample(_ORACLE_SF_DIR),
         "curation_capped": sql_curation_capped(_ORACLE_SF_DIR),

@@ -29,8 +29,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-__all__ = ["running_total", "pack_by_budget", "row_number",
-           "exact_quantiles", "grouped_quantiles"]
+__all__ = ["running_total", "grouped_running_total", "pack_by_budget",
+           "row_number", "exact_quantiles", "grouped_quantiles"]
 
 
 @ray.remote
@@ -89,6 +89,36 @@ def running_total(ds, col: str, order_by, out_col: str = "running_total"):
     """Inclusive running sum of ``col`` under a global ``order_by`` sort.
     ≡ SQL ``sum(col) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``."""
     return _scan(ds, col, order_by, out_col)
+
+
+def grouped_running_total(ds, key_col: str, col: str, order_by,
+                          out_col: str = "running_total"):
+    """Inclusive running sum of ``col`` per ``key_col`` group under a
+    within-group ``order_by`` sort — SQL
+    ``sum(col) OVER (PARTITION BY key ORDER BY ...)``.
+
+    Needs NO global scan: unlike :func:`running_total`, the accumulation
+    never crosses a key boundary, so one co-partitioning shuffle +
+    one vectorized sort + grouped cumsum per coarse partition suffices
+    (sessionize's shape). Null values contribute 0 (SQL sum-over
+    semantics); the partitioning assumption is one key per partition."""
+    import pandas as pd
+
+    order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            df = df.copy()
+            df[out_col] = pd.Series(dtype=np.float64)
+            return df
+        df = df.sort_values([key_col, *order_by], kind="stable").copy()
+        v = df[col].fillna(0.0).astype(np.float64)
+        df[out_col] = v.groupby(df[key_col].to_numpy(),
+                                sort=False).cumsum()
+        return df
+
+    from .grouped import grouped_map
+    return grouped_map(ds, key_col, per_partition)
 
 
 def pack_by_budget(ds, count_col: str, capacity: int, order_by,

@@ -93,3 +93,24 @@ def test_grouped_quantiles_exact_per_group(ray_session):
         rank = max(1, math.ceil(q * len(vals)))
         assert grp["value"].iloc[0] == vals[rank - 1], (g, q)
     assert set(out.loc[out["g"] == "solo", "value"]) == {42.0}
+
+
+def test_grouped_running_total_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from capelinker_ray.stages.scan import grouped_running_total
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], size=300),
+        "o": rng.permutation(300),
+        "v": rng.normal(5.0, 2.0, 300)})
+    df.loc[df.index[:10], "v"] = np.nan          # nulls contribute 0
+    out = (grouped_running_total(rd.from_pandas(df).repartition(5),
+                                 "k", "v", order_by="o")
+           .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    exp = df.sort_values(["k", "o"]).reset_index(drop=True)
+    exp["rt"] = (exp["v"].fillna(0.0).groupby(exp["k"].to_numpy())
+                 .cumsum())
+    np.testing.assert_allclose(out["running_total"], exp["rt"], rtol=1e-12)
