@@ -428,6 +428,117 @@ def sql_lineitem_agg(sf_dir: str) -> str:
 FROM lineitem GROUP BY l_returnflag, l_linestatus"""
 
 
+def q_customers_no_orders(sf_dir: str):
+    """Distributed ANTI join (NOT EXISTS): customers with no URGENT order.
+
+    The probe side is filtered AT THE READ (row-level predicate before any
+    shuffle) and ships only per-batch-deduplicated key rows through the
+    shuffle (stages/join.py hash_join how='anti') — at 100 TB the orders
+    side moves one row per distinct customer per batch, not one per order.
+    """
+    import pyarrow.compute as pc
+    from ..stages.join import hash_join
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name", "c_acctbal"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+        filter=pc.field("o_orderpriority") == "1-URGENT",
+    ).drop_columns(["o_orderpriority"])
+    out = hash_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                    how="anti")
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["c_acctbal"] = df["c_acctbal"].round(2)
+        return df
+    return out.map_batches(rnd, batch_format="pandas").sort("c_custkey")
+
+
+def sql_customers_no_orders(sf_dir: str) -> str:
+    return ("SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal "
+            "FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderpriority = '1-URGENT') "
+            "ORDER BY c_custkey")
+
+
+def q_nation_revenue(sf_dir: str):
+    """Multi-way star join + grouped rollup (TPC-H Q5 flavor): orders ⋈
+    customer (hash shuffle join) ⋈ nation (broadcast — 25 rows), partial
+    revenue aggregation inside map_batches before the tiny final groupby."""
+    from ..stages.join import broadcast_join, hash_join
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    oc = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                   how="inner")
+    ocn = broadcast_join(oc, nation, on="c_nationkey",
+                         right_on="n_nationkey", how="inner")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("n_name", sort=False)
+                .agg(revenue=("o_totalprice", "sum"),
+                     n_orders=("o_totalprice", "size"))
+                .reset_index())
+
+    agg = (ocn.map_batches(partial, batch_format="pandas")
+           .groupby("n_name")
+           .aggregate(Sum("revenue", alias_name="revenue"),
+                      Sum("n_orders", alias_name="n_orders")))
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["revenue"] = df["revenue"].round(2)
+        df["n_orders"] = df["n_orders"].astype(np.int64)
+        return df
+    return agg.map_batches(rnd, batch_format="pandas").sort("n_name")
+
+
+def sql_nation_revenue(sf_dir: str) -> str:
+    return ("SELECT n_name, round(sum(o_totalprice), 2) AS revenue, "
+            "CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name ORDER BY n_name")
+
+
+def q_distinct_users(sf_dir: str):
+    """Grouped EXACT count-distinct: one hash-partitioned shuffle on the
+    (event_type, user_id) pair — each pair lands in exactly one partition,
+    so a per-partition dedupe is globally exact and only tiny per-partition
+    counts reach the final groupby."""
+    from ..stages.grouped import grouped_map
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    local = ev.map_batches(lambda df: df.drop_duplicates(),
+                           batch_format="pandas")
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        u = g[["event_type", "user_id"]].drop_duplicates()
+        return (u.groupby("event_type", sort=False)
+                .agg(n_users=("user_id", "size")).reset_index())
+
+    counts = grouped_map(local, ["event_type", "user_id"], part)
+    agg = counts.groupby("event_type").aggregate(
+        Sum("n_users", alias_name="n_users"))
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_users"] = df["n_users"].astype(np.int64)
+        return df
+    return agg.map_batches(cast, batch_format="pandas").sort("event_type")
+
+
+def sql_distinct_users(sf_dir: str) -> str:
+    return ("SELECT event_type, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY event_type ORDER BY event_type")
+
+
 def q_group_count(sf_dir: str):
     """namefreq analog (SURVEY §2.5): per-key count joined back broadcast."""
     from ..stages.corpus_stats import add_group_count
@@ -1650,6 +1761,9 @@ def build_queries() -> dict:
         "events_sessionize": q_events_sessionize,
         "ann_topk": q_ann_topk,
         "lineitem_agg": q_lineitem_agg,
+        "customers_no_orders": q_customers_no_orders,
+        "nation_revenue": q_nation_revenue,
+        "distinct_users": q_distinct_users,
         "group_count": q_group_count,
         "normalise_column": q_normalise_column,
         "numeric_band": q_numeric_band,
@@ -1704,6 +1818,9 @@ def build_oracle_sql() -> dict:
         "events_sessionize": sql_events_sessionize(_ORACLE_SF_DIR),
         "ann_topk": sql_ann_topk(_ORACLE_SF_DIR),
         "lineitem_agg": sql_lineitem_agg(_ORACLE_SF_DIR),
+        "customers_no_orders": sql_customers_no_orders(_ORACLE_SF_DIR),
+        "nation_revenue": sql_nation_revenue(_ORACLE_SF_DIR),
+        "distinct_users": sql_distinct_users(_ORACLE_SF_DIR),
         "group_count": sql_group_count(_ORACLE_SF_DIR),
         "normalise_column": sql_normalise_column(_ORACLE_SF_DIR),
         "numeric_band": sql_numeric_band(_ORACLE_SF_DIR),

@@ -42,13 +42,19 @@ def _arrow_types(ds) -> dict[str, pa.DataType]:
 def hash_join(left, right, *, on: str | list[str], right_on=None,
               how: str = "inner", suffixes=("", "_r"),
               num_partitions: int | None = None):
-    """Equi-join two Datasets. ``how`` in inner/left.
+    """Equi-join two Datasets. ``how`` in inner/left/semi/anti.
 
     Right-side key columns are renamed onto the left names before the
     shuffle; non-key name collisions get ``suffixes``.
+
+    ``semi``/``anti`` return LEFT columns only (SQL EXISTS / NOT EXISTS
+    semantics: null left keys never match, so anti retains them). The right
+    side is projected to its key columns and per-batch-deduplicated BEFORE
+    the shuffle — a fact-table probe side (orders per customer) ships one
+    row per distinct key per batch, not one per fact row.
     """
-    if how not in ("inner", "left"):
-        raise ValueError("how must be 'inner' or 'left'")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError("how must be 'inner', 'left', 'semi' or 'anti'")
     on = [on] if isinstance(on, str) else list(on)
     right_on = on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on))
@@ -58,6 +64,9 @@ def hash_join(left, right, *, on: str | list[str], right_on=None,
     lcols = list(ltypes)
     rcols = list(rtypes)
     rmap = dict(zip(right_on, on))
+    existence_only = how in ("semi", "anti")
+    if existence_only:
+        rcols = list(right_on)          # keys are all that matters
     rvals = [c for c in rcols if c not in right_on]
     # disambiguate collisions on non-key value columns
     out_rvals = {}
@@ -94,6 +103,10 @@ def hash_join(left, right, *, on: str | list[str], right_on=None,
 
     def tag_right(t: pa.Table) -> pa.Table:
         t = t.filter(_valid_keys(t, right_on))
+        if existence_only and len(t):
+            # only key existence matters: dedupe within the batch so a
+            # high-fanout probe side doesn't ship every fact row
+            t = t.select(right_on).group_by(right_on).aggregate([])
         n = len(t)
         inv = {v: k for k, v in rmap.items()}      # out key -> right key
         inv_vals = {v: k for k, v in out_rvals.items()}  # out val -> right val
@@ -120,7 +133,14 @@ def hash_join(left, right, *, on: str | list[str], right_on=None,
         calls (stages/grouped.py rationale)."""
         l = g[g[_SIDE] == 0][on + lvals]
         r = g[g[_SIDE] == 1][on + [out_rvals[c] for c in rvals]]
-        out = l.merge(r, on=on, how=how)
+        if existence_only:
+            probe = l.merge(r.drop_duplicates(on), on=on, how="left",
+                            indicator=True)
+            keep = (probe["_merge"] == "both") if how == "semi" else \
+                   (probe["_merge"] == "left_only")
+            out = probe.loc[keep, on + lvals]
+        else:
+            out = l.merge(r, on=on, how=how)
         # pin the arrow schema: all-null partitions must not degrade types
         return pa.Table.from_pandas(out[out_cols], schema=out_schema,
                                     preserve_index=False)
@@ -129,9 +149,10 @@ def hash_join(left, right, *, on: str | list[str], right_on=None,
     joined = grouped_map(tagged, on, join_partition,
                          num_partitions=num_partitions)
 
-    if how == "left":
-        # null-keyed left rows bypassed the shuffle: re-emit them with null
-        # right values (pin the same arrow schema)
+    if how in ("left", "anti"):
+        # null-keyed left rows bypassed the shuffle: re-emit them — with
+        # null right values (left), or as-is (anti: a null key can never
+        # satisfy EXISTS, so NOT EXISTS retains the row)
         def null_left(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
             t = t.filter(pc.invert(_valid_keys(t, on)))

@@ -37,6 +37,37 @@ def test_hash_join_left_keeps_unmatched(ray_session):
     assert set(missing["lv"]) == {1, 5}
 
 
+def test_hash_join_semi(ray_session):
+    out = hash_join(rd.from_pandas(_l()), rd.from_pandas(_r()),
+                    on="k", how="semi").to_pandas()
+    # EXISTS: b,b,c match; no duplication from the two 'b' right rows if
+    # the right side had dupes; null key never matches
+    assert sorted(out.columns) == ["k", "lv"]
+    assert sorted(out["lv"]) == [2, 3, 4]
+
+
+def test_hash_join_semi_no_fanout_on_duplicate_right(ray_session):
+    r = pd.DataFrame({"k": ["b", "b", "b", "c"], "rv": [1, 2, 3, 4]})
+    out = hash_join(rd.from_pandas(_l()), rd.from_pandas(r),
+                    on="k", how="semi").to_pandas()
+    assert sorted(out["lv"]) == [2, 3, 4]      # one output row per left row
+
+
+def test_hash_join_anti_keeps_null_keys(ray_session):
+    out = hash_join(rd.from_pandas(_l()), rd.from_pandas(_r()),
+                    on="k", how="anti").to_pandas()
+    # NOT EXISTS: 'a' unmatched and the null-keyed row is retained
+    assert sorted(out.columns) == ["k", "lv"]
+    assert sorted(out["lv"]) == [1, 5]
+
+
+def test_hash_join_anti_right_on(ray_session):
+    r = _r().rename(columns={"k": "kk"})
+    out = hash_join(rd.from_pandas(_l()), rd.from_pandas(r),
+                    on="k", right_on="kk", how="anti").to_pandas()
+    assert sorted(out["lv"]) == [1, 5]
+
+
 def test_hash_join_right_on_and_collision(ray_session):
     r = _r().rename(columns={"k": "kk"})
     r["lv"] = [100, 200, 300]  # name collision with left value col
