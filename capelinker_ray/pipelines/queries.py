@@ -539,6 +539,28 @@ def sql_distinct_users(sf_dir: str) -> str:
             "FROM events GROUP BY event_type ORDER BY event_type")
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(sf_dir: str):
+    """Long → wide pivot (data.table dcast analog): per-user event counts,
+    one column per event type. Batches collapse locally to the wide layout
+    before one small groupby merge (stages/pivot.py)."""
+    from ..stages.pivot import pivot_counts
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    out = pivot_counts(ev, index="user_id", pivot="event_type")
+    return out.sort("user_id")
+
+
+def sql_events_pivot(sf_dir: str) -> str:
+    cases = ", ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS \"{t}\"" for t in _EVENT_TYPES)
+    return (f"SELECT user_id, {cases} FROM events "
+            "GROUP BY user_id ORDER BY user_id")
+
+
 def q_group_count(sf_dir: str):
     """namefreq analog (SURVEY §2.5): per-key count joined back broadcast."""
     from ..stages.corpus_stats import add_group_count
@@ -1764,6 +1786,7 @@ def build_queries() -> dict:
         "customers_no_orders": q_customers_no_orders,
         "nation_revenue": q_nation_revenue,
         "distinct_users": q_distinct_users,
+        "events_pivot": q_events_pivot,
         "group_count": q_group_count,
         "normalise_column": q_normalise_column,
         "numeric_band": q_numeric_band,
@@ -1821,6 +1844,7 @@ def build_oracle_sql() -> dict:
         "customers_no_orders": sql_customers_no_orders(_ORACLE_SF_DIR),
         "nation_revenue": sql_nation_revenue(_ORACLE_SF_DIR),
         "distinct_users": sql_distinct_users(_ORACLE_SF_DIR),
+        "events_pivot": sql_events_pivot(_ORACLE_SF_DIR),
         "group_count": sql_group_count(_ORACLE_SF_DIR),
         "normalise_column": sql_normalise_column(_ORACLE_SF_DIR),
         "numeric_band": sql_numeric_band(_ORACLE_SF_DIR),

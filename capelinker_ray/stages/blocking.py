@@ -293,23 +293,33 @@ def _pairs_fn(block_col: str, id_col: str, blocktype: str, maxdist: float,
                 out = pd.concat([out, na], ignore_index=True)
         return out
 
+    canon_cols = list(empty_pairs().columns)
+
+    def _finish(out: pd.DataFrame) -> pd.DataFrame:
+        """Pin the canonical column order WITHOUT concat-ing a typed empty
+        frame (that concat fired a pandas all-NA deprecation per partition
+        and re-inferred dtypes)."""
+        if not len(out):
+            out = empty_pairs()
+        elif list(out.columns) != canon_cols:
+            out = out.reindex(columns=canon_cols)
+        return _norm_pair_dtypes(out, attr_cols, id_from_col, id_to_col)
+
     def pairs_partition(part: pd.DataFrame) -> pd.DataFrame:
         """Coarse partition of many complete (block, salt) groups
         (stages/grouped.py): per-block pair generation without Ray's
         per-group overhead. The equality blocktype takes the fully
         vectorized cross-block path."""
         if not len(part):
-            return _norm_pair_dtypes(empty_pairs(), attr_cols,
-                                     id_from_col, id_to_col)
+            return _finish(empty_pairs())
         if blocktype == "equality":
-            out = pd.concat([empty_pairs(), equality_partition(part)],
-                            ignore_index=True)
-            return _norm_pair_dtypes(out, attr_cols, id_from_col, id_to_col)
-        frames = [empty_pairs()]
-        for _, g in part.groupby([block_col, "_salt"], sort=False):
-            frames.append(pairs(g))
-        out = pd.concat(frames, ignore_index=True)
-        return _norm_pair_dtypes(out, attr_cols, id_from_col, id_to_col)
+            return _finish(equality_partition(part))
+        frames = [f for f in (pairs(g) for _, g in
+                              part.groupby([block_col, "_salt"], sort=False))
+                  if len(f)]
+        if not frames:
+            return _finish(empty_pairs())
+        return _finish(pd.concat(frames, ignore_index=True))
 
     return pairs_partition
 

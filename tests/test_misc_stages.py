@@ -122,3 +122,33 @@ def test_read_jsonl_roundtrip(ray_session, tmp_path):
         .to_pandas().sort_values("turn_idx").reset_index(drop=True)
     assert list(out.columns) == ["conv_id", "turn_idx", "text"]
     assert len(out) == 25 and out["text"][3] == "hello 3"
+
+
+def test_pivot_counts_matches_pandas_crosstab(ray_session):
+    from capelinker_ray.stages.pivot import pivot_counts
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "u": rng.integers(0, 20, 500).astype(str),
+        "t": rng.choice(["a", "b", "c"], 500),
+    })
+    out = (pivot_counts(rd.from_pandas(df).repartition(6),
+                        index="u", pivot="t")
+           .to_pandas().sort_values("u").reset_index(drop=True))
+    exp = (pd.crosstab(df["u"], df["t"]).reindex(columns=["a", "b", "c"],
+                                                 fill_value=0)
+           .reset_index().rename_axis(None, axis=1)
+           .sort_values("u").reset_index(drop=True))
+    exp.columns = ["u", "a", "b", "c"]
+    pd.testing.assert_frame_equal(out[["u", "a", "b", "c"]], exp,
+                                  check_dtype=False)
+
+
+def test_pivot_counts_sum_mode_and_explicit_values(ray_session):
+    from capelinker_ray.stages.pivot import pivot_counts
+    df = pd.DataFrame({"u": ["x", "x", "y"], "t": ["a", "b", "a"],
+                       "v": [1.5, 2.0, 3.0]})
+    out = (pivot_counts(rd.from_pandas(df), index="u", pivot="t",
+                        values=["a", "b", "z"], sum_col="v")
+           .to_pandas().sort_values("u").reset_index(drop=True))
+    assert list(out.loc[0, ["a", "b", "z"]]) == [1.5, 2.0, 0.0]
+    assert list(out.loc[1, ["a", "b", "z"]]) == [3.0, 0.0, 0.0]
