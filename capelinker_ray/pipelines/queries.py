@@ -561,6 +561,30 @@ def sql_events_pivot(sf_dir: str) -> str:
             "GROUP BY user_id ORDER BY user_id")
 
 
+def q_incremental_assign(sf_dir: str):
+    """Incremental linkage (pipelines/incremental.py): hash-split ~1/8 of
+    conversations off as the 'new batch', link the remainder into a frozen
+    entity table, then assign the batch — model-scored, so rows-only (no
+    SQL oracle)."""
+    from ..stages.textstats import fnv1a_64
+    from .incremental import assign_to_entities
+    path = ensure_transcripts(sf_dir)
+    turns = rd.read_parquet(path)
+
+    def split(new_side: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            from ..stages.grouped import typed_or_empty
+            m = (fnv1a_64(df["conv_id"].tolist()) % np.uint64(8)) == 0
+            return typed_or_empty(df[m if new_side else ~m])
+        return fn
+
+    base = turns.map_batches(split(False), batch_format="pandas")
+    new = turns.map_batches(split(True), batch_format="pandas")
+    out = link_transcripts(base, checkpoint_dir=None, sort_output=False)
+    res = assign_to_entities(new, out["records"], out["entities"])
+    return res["assignments"].sort("conv_id")
+
+
 def q_group_count(sf_dir: str):
     """namefreq analog (SURVEY §2.5): per-key count joined back broadcast."""
     from ..stages.corpus_stats import add_group_count
@@ -1798,6 +1822,7 @@ def build_queries() -> dict:
         # (FNV-over-codepoints recursive-CTE SQL above); the rest below are
         # rows-only (no SQL oracle): model scoring / sketches / stubs
         "flagship_entities": q_flagship_entities,
+        "incremental_assign": q_incremental_assign,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,

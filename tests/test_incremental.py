@@ -1,0 +1,74 @@
+"""Incremental assignment of new conversations to a frozen entity table."""
+
+import pandas as pd
+import ray.data as rd
+
+from capelinker_ray import synth
+from capelinker_ray.pipelines.incremental import assign_to_entities
+from capelinker_ray.pipelines.linkage import link_transcripts
+
+
+def test_assign_to_entities_recovers_holdout(ray_session):
+    turns, truth = synth.gen_corpus(n_entities=120, seed=11)
+    tdf = truth.to_pandas() if not isinstance(truth, pd.DataFrame) else truth
+    groups = tdf.groupby("entity_id")["conv_id"].apply(list)
+    # hold out TWO convs from big entities (exercises within-batch linking
+    # + base adoption) and one from pairs
+    held = []
+    for v in groups:
+        if len(v) >= 3:
+            held.extend(sorted(v)[:2])
+        elif len(v) == 2:
+            held.append(sorted(v)[0])
+    held = sorted(held)[:40]
+    turns_pd = turns.to_pandas()
+    new_pd = turns_pd[turns_pd["conv_id"].isin(held)]
+    base_pd = turns_pd[~turns_pd["conv_id"].isin(held)]
+
+    base_out = link_transcripts(rd.from_pandas(base_pd),
+                                checkpoint_dir=None, sort_output=False)
+    res = assign_to_entities(rd.from_pandas(new_pd),
+                             base_out["records"], base_out["entities"])
+    asg = res["assignments"].to_pandas()
+
+    # exactly one assignment per held-out conversation
+    assert sorted(asg["conv_id"]) == held
+
+    # frozen-base invariant surface: matched rows point at EXISTING ids
+    ent_pd = base_out["entities"].to_pandas()[["conv_id", "entity_id"]]
+    base_ids = set(ent_pd["entity_id"])
+    m = asg[asg["matched"]]
+    assert set(m["entity_id"]) <= base_ids
+    # minted rows use ids of THIS batch (their own component rep)
+    minted = asg[~asg["matched"]]
+    assert set(minted["entity_id"]) <= set(asg["conv_id"])
+
+    # quality: most held convs re-find their entity, and matched
+    # assignments land in a cluster containing a true sibling
+    true_of = dict(zip(tdf["conv_id"], tdf["entity_id"]))
+    ent_pd = ent_pd.assign(true_ent=ent_pd["conv_id"].map(true_of))
+    truth_sets = ent_pd.groupby("entity_id")["true_ent"].agg(set)
+    ok = sum(1 for _, r in m.iterrows()
+             if true_of[r["conv_id"]] in truth_sets.get(r["entity_id"],
+                                                        set()))
+    assert len(m) >= 0.8 * len(held)
+    assert ok >= 0.95 * max(1, len(m))
+
+
+def test_assign_no_batch_linking_mints_singletons(ray_session):
+    turns, truth = synth.gen_corpus(n_entities=40, seed=23)
+    turns_pd = turns.to_pandas()
+    convs = sorted(turns_pd["conv_id"].unique())
+    held = convs[:6]
+    new_pd = turns_pd[turns_pd["conv_id"].isin(held)]
+    base_pd = turns_pd[~turns_pd["conv_id"].isin(held)]
+    base_out = link_transcripts(rd.from_pandas(base_pd),
+                                checkpoint_dir=None, sort_output=False)
+    res = assign_to_entities(rd.from_pandas(new_pd),
+                             base_out["records"], base_out["entities"],
+                             link_within_batch=False)
+    asg = res["assignments"].to_pandas()
+    assert sorted(asg["conv_id"]) == held
+    minted = asg[~asg["matched"]]
+    # without in-batch linking every unmatched conv is its own entity
+    assert (minted["entity_id"] == minted["conv_id"]).all()
