@@ -1418,6 +1418,29 @@ def sql_bernoulli_sample(sf_dir: str) -> str:
             f"WHERE {_sql_sample_hash(11)} < CAST('{thr}' AS UBIGINT)")
 
 
+def q_weighted_sample(sf_dir: str):
+    """Efraimidis-Spirakis weighted sample without replacement: 100 docs
+    with probability proportional to length (n_chars) — the quality/
+    length-weighted subset op of a curation pipeline. Deterministic via
+    the splitmix64 twin, so the SQL oracle is value-exact."""
+    from ..stages.sampling import weighted_sample_topk
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    out = weighted_sample_topk(docs, "doc_id", "n_chars", k=100, seed=13)
+    return out.sort("doc_id")
+
+
+def sql_weighted_sample(sf_dir: str) -> str:
+    # (CAST(h AS DOUBLE) + 1) * 2^-64 mirrors the engine op-for-op;
+    # x * 2^-64 == x / 2^64 exactly in IEEE, so the SQL divides
+    return f"""SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         ln((CAST({_sql_sample_hash(13)} AS DOUBLE) + 1)
+            / 18446744073709551616.0) / CAST(n_chars AS DOUBLE) AS es
+  FROM documents WHERE n_chars > 0
+  ORDER BY es DESC, doc_id LIMIT 100) ORDER BY doc_id"""
+
+
 def q_lang_quality(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "lang"])
@@ -1840,6 +1863,7 @@ def build_queries() -> dict:
         "user_running_total": q_user_running_total,
         "stratified_sample": q_stratified_sample,
         "bernoulli_sample": q_bernoulli_sample,
+        "weighted_sample": q_weighted_sample,
         "curation_capped": q_curation_capped,
         "pack_shards": q_pack_shards,
         "exact_quantiles": q_exact_quantiles,
@@ -1890,6 +1914,7 @@ def build_oracle_sql() -> dict:
         "user_running_total": sql_user_running_total(_ORACLE_SF_DIR),
         "stratified_sample": sql_stratified_sample(_ORACLE_SF_DIR),
         "bernoulli_sample": sql_bernoulli_sample(_ORACLE_SF_DIR),
+        "weighted_sample": sql_weighted_sample(_ORACLE_SF_DIR),
         "curation_capped": sql_curation_capped(_ORACLE_SF_DIR),
         "pack_shards": sql_pack_shards(_ORACLE_SF_DIR),
         "exact_quantiles": sql_exact_quantiles(_ORACLE_SF_DIR),

@@ -30,6 +30,7 @@ import pandas as pd
 from .dedup import _splitmix64
 
 __all__ = ["bernoulli_sample", "stratified_sample", "top_k_per_group",
+           "weighted_sample_topk",
            "sample_hash", "seed_mix", "bernoulli_threshold"]
 
 _U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -68,6 +69,48 @@ def bernoulli_sample(ds, id_col: str, p: float, seed: int = 0):
         return typed_or_empty(df[h < t64])
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def weighted_sample_topk(ds, id_col: str, weight_col: str, k: int,
+                         seed: int = 0):
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    Spirakis A-Res, IPL 2006): each row draws u = (splitmix64(id ^ seed) +
+    1) / 2^64 in (0, 1] and scores ``ln(u) / w``; the k LARGEST scores are
+    an exact weight-proportional sample. Deterministic — same (corpus,
+    seed) always keeps the same rows — so a resumed 100-TB run re-selects
+    identically.
+
+    Scale path: per-batch top-k (each batch ships at most k slim rows),
+    then one tiny single-task merge. Rows with weight <= 0 or null are
+    excluded (they have zero selection probability by definition).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    inv64 = np.float64(1.0) / np.float64(2.0 ** 64)
+
+    def es_key(df: pd.DataFrame) -> np.ndarray:
+        h = sample_hash(df[id_col].to_numpy(np.int64), seed)
+        u = (h.astype(np.float64) + 1.0) * inv64
+        return np.log(u) / df[weight_col].to_numpy(np.float64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from .grouped import typed_or_empty
+        w = df[weight_col].to_numpy(np.float64)
+        df = df[np.isfinite(w) & (w > 0)]
+        if not len(df):
+            return typed_or_empty(df.assign(_es=np.zeros(0)))
+        df = df.assign(_es=es_key(df))
+        order = np.lexsort((df[id_col].to_numpy(), -df["_es"].to_numpy()))
+        return df.iloc[order[:k]]
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        order = np.lexsort((df[id_col].to_numpy(), -df["_es"].to_numpy()))
+        return df.iloc[order[:k]].drop(columns=["_es"])
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.repartition(1).map_batches(merge, batch_format="pandas")
 
 
 def top_k_per_group(ds, key_col: str, value_col: str, id_col: str,

@@ -100,3 +100,35 @@ def test_threshold_exactness():
     assert bernoulli_threshold(0.25) == 1 << 62
     assert bernoulli_threshold(1.0) == 1 << 64
     assert bernoulli_threshold(0.0) == 0
+
+
+def test_weighted_sample_matches_local_reference(ray_session):
+    from capelinker_ray.stages.sampling import (sample_hash,
+                                                weighted_sample_topk)
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({"id": np.arange(1000, dtype=np.int64),
+                       "w": rng.integers(1, 500, 1000).astype(np.int64)})
+    out = (weighted_sample_topk(rd.from_pandas(df).repartition(7),
+                                "id", "w", k=50, seed=13)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    # local Efraimidis-Spirakis reference
+    h = sample_hash(df["id"].to_numpy(np.int64), 13)
+    u = (h.astype(np.float64) + 1.0) / np.float64(2.0 ** 64)
+    es = np.log(u) / df["w"].to_numpy(np.float64)
+    order = np.lexsort((df["id"].to_numpy(), -es))
+    exp = df.iloc[order[:50]].sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[["id", "w"]], exp, check_dtype=False)
+
+
+def test_weighted_sample_drops_nonpositive_and_is_weight_biased(ray_session):
+    from capelinker_ray.stages.sampling import weighted_sample_topk
+    n = 2000
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "w": np.where(np.arange(n) % 2 == 0, 100.0, 1.0)})
+    df.loc[:9, "w"] = 0.0            # never selectable
+    out = weighted_sample_topk(rd.from_pandas(df), "id", "w",
+                               k=200, seed=1).to_pandas()
+    assert len(out) == 200
+    assert not set(out["id"]) & set(range(0, 10, 2))  # w=0 excluded
+    heavy = (out["w"] == 100.0).sum()
+    assert heavy > 160                # ~99% expected; loose statistical bar
