@@ -141,13 +141,24 @@ def hash_join(left, right, *, on: str | list[str], right_on=None,
             out = probe.loc[keep, on + lvals]
         else:
             out = l.merge(r, on=on, how=how)
-        # pin the arrow schema: all-null partitions must not degrade types
-        return pa.Table.from_pandas(out[out_cols], schema=out_schema,
-                                    preserve_index=False)
+        # pin the arrow schema: all-null partitions must not degrade types.
+        # strip the from_pandas dict metadata — Ray's schema-dedup hash
+        # chokes on it and logs a warning per block
+        return pa.Table.from_pandas(
+            out[out_cols], schema=out_schema,
+            preserve_index=False).replace_schema_metadata(None)
 
     from .grouped import grouped_map
     joined = grouped_map(tagged, on, join_partition,
                          num_partitions=num_partitions)
+
+    # pin the output schema even when EVERY row is filtered before the
+    # shuffle (e.g. all-null keys): a zero-block dataset loses its schema
+    # in Ray 2.49 and downstream column access breaks
+    import ray.data as _rd
+    fields = dict(out_fields)
+    joined = joined.union(_rd.from_arrow(pa.table(
+        {k: pa.nulls(0, fields[k]) for k in out_cols}, schema=out_schema)))
 
     if how in ("left", "anti"):
         # null-keyed left rows bypassed the shuffle: re-emit them — with

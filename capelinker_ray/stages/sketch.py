@@ -35,7 +35,8 @@ from ray.data.aggregate import Max, Min
 
 from .textstats import fnv1a_64
 
-__all__ = ["approx_distinct", "approx_quantiles", "heavy_hitters"]
+__all__ = ["approx_distinct", "approx_distinct_by", "approx_quantiles",
+           "heavy_hitters"]
 
 
 def _hash_column(vals: np.ndarray) -> np.ndarray:
@@ -60,13 +61,9 @@ def approx_distinct(ds, col: str, *, p: int = 14) -> int:
         reg = np.zeros(m, dtype=np.int8)
         v = df[col].dropna().to_numpy()
         if len(v):
-            h = _hash_column(v)
-            idx = (h >> suffix_bits).astype(np.int64)
-            w = h & ((np.uint64(1) << suffix_bits) - np.uint64(1))
             # rho = leading zeros of the (64-p)-bit suffix + 1; suffix has
             # <= 50 bits so float64 frexp is exact
-            _, e = np.frexp(w.astype(np.float64))
-            rho = (int(suffix_bits) - e + 1).astype(np.int8)
+            idx, rho = _hll_rho(_hash_column(v), suffix_bits)
             np.maximum.at(reg, idx, rho)
         return pd.DataFrame({"_reg": [reg.tobytes()]})
 
@@ -74,13 +71,70 @@ def approx_distinct(ds, col: str, *, p: int = 14) -> int:
     reg = np.zeros(m, dtype=np.int8)
     for r in parts:
         reg = np.maximum(reg, np.frombuffer(r["_reg"], dtype=np.int8))
+    return _hll_estimate(reg)
 
+
+def _hll_rho(h: np.ndarray, suffix_bits: np.uint64) -> tuple:
+    """(register index, rho) pairs for uint64 hashes."""
+    idx = (h >> suffix_bits).astype(np.int64)
+    w = h & ((np.uint64(1) << suffix_bits) - np.uint64(1))
+    _, e = np.frexp(w.astype(np.float64))
+    rho = (int(suffix_bits) - e + 1).astype(np.int8)
+    return idx, rho
+
+
+def _hll_estimate(reg: np.ndarray) -> int:
+    m = len(reg)
     alpha = 0.7213 / (1.0 + 1.079 / m)
     est = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
     zeros = int((reg == 0).sum())
     if est <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)           # linear-counting correction
+        est = m * np.log(m / zeros)
     return int(round(est))
+
+
+def approx_distinct_by(ds, key_col: str, col: str, *, p: int = 12):
+    """GROUPED HyperLogLog: Dataset[(key_col, n_distinct)] with ~1.6% (p=12)
+    relative error per group — "distinct users per language" at 100 TB
+    without shuffling the (key, user) pair set the way the exact
+    count-distinct must.
+
+    Per batch: ONE hash pass + a single flat ``np.maximum.at`` scatter
+    across all groups of the batch (key codes × 2^p registers); each batch
+    ships one 2^p-byte register row per key it saw. Merge is an
+    elementwise max per key inside one grouped_map partition — mergeable
+    and associative, so partials combine in any order.
+    """
+    m = 1 << p
+    suffix_bits = np.uint64(64 - p)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[key_col, col]].dropna()
+        if not len(df):
+            return pd.DataFrame({key_col: pd.Series(dtype=object),
+                                 "_reg": pd.Series(dtype=object)})
+        codes, uniq = pd.factorize(df[key_col], sort=False)
+        h = _hash_column(df[col].to_numpy())
+        idx, rho = _hll_rho(h, suffix_bits)
+        regs = np.zeros(len(uniq) * m, dtype=np.int8)
+        np.maximum.at(regs, codes.astype(np.int64) * m + idx, rho)
+        regs = regs.reshape(len(uniq), m)
+        return pd.DataFrame({key_col: np.asarray(uniq, dtype=object),
+                             "_reg": [r.tobytes() for r in regs]})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        keys, ests = [], []
+        for k, rows in g.groupby(key_col, sort=False):
+            stack = np.frombuffer(b"".join(rows["_reg"]),
+                                  dtype=np.int8).reshape(len(rows), m)
+            keys.append(k)
+            ests.append(_hll_estimate(stack.max(axis=0)))
+        return pd.DataFrame({key_col: keys,
+                             "n_distinct": np.asarray(ests, np.int64)})
+
+    from .grouped import grouped_map
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return grouped_map(parts, key_col, merge)
 
 
 def heavy_hitters(ds, col: str, *, phi: float = 0.001,

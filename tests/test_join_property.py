@@ -67,3 +67,25 @@ def test_broadcast_join_matches_pandas_merge(ray_session, case):
         return
     pd.testing.assert_frame_equal(_norm(ds.to_pandas()), _norm(exp),
                                   check_dtype=False)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(frames())
+def test_hash_join_semi_anti_matches_pandas(ray_session, case):
+    from capelinker_ray.stages.join import hash_join
+    left, right, _ = case
+    assume(len(left) > 0 and len(right) > 0)
+    rset = set(right["k"].dropna())
+    for how in ("semi", "anti"):
+        out = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                        on="k", how=how).to_pandas()
+        if how == "semi":
+            exp = left[left["k"].isin(rset)]
+        else:  # NOT EXISTS keeps null-keyed left rows
+            exp = left[~left["k"].isin(rset) | left["k"].isna()]
+        if len(exp) == 0:
+            # Ray's to_pandas drops columns on 0 rows (schema() keeps them)
+            assert len(out) == 0, how
+        else:
+            assert sorted(out["lv"]) == sorted(exp["lv"]), how

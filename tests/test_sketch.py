@@ -109,3 +109,35 @@ def test_heavy_hitters_column_mode_and_nulls(ray_session):
         "v", phi=0.3).to_pandas()       # thr = ceil(0.3*82) = 25
     got = dict(zip(out["token"], out["n"].astype(int)))
     assert got == {"x": 50, "y": 30}    # null/"" never counted
+
+
+def test_approx_distinct_by_accuracy(ray_session):
+    import ray.data as rd
+    from capelinker_ray.stages.sketch import approx_distinct_by
+    rng = np.random.default_rng(8)
+    n = 30_000
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], n, p=[0.6, 0.3, 0.1]),
+        "v": rng.integers(0, 5000, n),
+    })
+    out = (approx_distinct_by(rd.from_pandas(df).repartition(9), "k", "v")
+           .to_pandas().set_index("k")["n_distinct"])
+    exact = df.groupby("k")["v"].nunique()
+    for k in ["a", "b", "c"]:
+        rel = abs(out[k] - exact[k]) / exact[k]
+        assert rel < 0.05, (k, out[k], exact[k])
+
+
+def test_approx_distinct_by_matches_global_hll(ray_session):
+    """One group must reproduce the global sketch's estimate exactly
+    (same hash, same registers, same finalize)."""
+    import ray.data as rd
+    from capelinker_ray.stages.sketch import (approx_distinct,
+                                              approx_distinct_by)
+    df = pd.DataFrame({"k": ["x"] * 5000,
+                       "v": np.arange(5000, dtype=np.int64) % 1234})
+    ds = rd.from_pandas(df).repartition(4)
+    grouped = (approx_distinct_by(ds, "k", "v", p=12)
+               .to_pandas()["n_distinct"].iloc[0])
+    global_est = approx_distinct(ds, "v", p=12)
+    assert int(grouped) == int(global_est)
