@@ -1418,6 +1418,46 @@ def sql_bernoulli_sample(sf_dir: str) -> str:
             f"WHERE {_sql_sample_hash(11)} < CAST('{thr}' AS UBIGINT)")
 
 
+def _setop_sides(sf_dir: str):
+    import pyarrow.compute as pc
+    docs = f"{sf_dir}/documents.parquet"
+    long_side = rd.read_parquet(docs, columns=["source", "lang", "n_chars"],
+                                filter=pc.field("n_chars") >= 200)
+    short_side = rd.read_parquet(docs, columns=["source", "lang", "n_chars"],
+                                 filter=pc.field("n_chars") < 200)
+    cols = ["source", "lang"]
+    return (long_side.select_columns(cols), short_side.select_columns(cols),
+            cols)
+
+
+def q_setop_except(sf_dir: str):
+    """SQL EXCEPT (stages/setops.py): (source, lang) combos that occur
+    ONLY among long documents — distinct_rows + anti hash join."""
+    from ..stages.setops import except_distinct
+    a, b, cols = _setop_sides(sf_dir)
+    return except_distinct(a, b, cols).sort(cols)
+
+
+def sql_setop_except(sf_dir: str) -> str:
+    return ("SELECT source, lang FROM documents WHERE n_chars >= 200 "
+            "EXCEPT SELECT source, lang FROM documents WHERE n_chars < 200 "
+            "ORDER BY source, lang")
+
+
+def q_setop_intersect(sf_dir: str):
+    """SQL INTERSECT: (source, lang) combos present among BOTH long and
+    short documents — distinct_rows + semi hash join."""
+    from ..stages.setops import intersect_distinct
+    a, b, cols = _setop_sides(sf_dir)
+    return intersect_distinct(a, b, cols).sort(cols)
+
+
+def sql_setop_intersect(sf_dir: str) -> str:
+    return ("SELECT source, lang FROM documents WHERE n_chars >= 200 "
+            "INTERSECT SELECT source, lang FROM documents WHERE n_chars < 200 "
+            "ORDER BY source, lang")
+
+
 def q_weighted_sample(sf_dir: str):
     """Efraimidis-Spirakis weighted sample without replacement: 100 docs
     with probability proportional to length (n_chars) — the quality/
@@ -1864,6 +1904,8 @@ def build_queries() -> dict:
         "stratified_sample": q_stratified_sample,
         "bernoulli_sample": q_bernoulli_sample,
         "weighted_sample": q_weighted_sample,
+        "setop_except": q_setop_except,
+        "setop_intersect": q_setop_intersect,
         "curation_capped": q_curation_capped,
         "pack_shards": q_pack_shards,
         "exact_quantiles": q_exact_quantiles,
@@ -1915,6 +1957,8 @@ def build_oracle_sql() -> dict:
         "stratified_sample": sql_stratified_sample(_ORACLE_SF_DIR),
         "bernoulli_sample": sql_bernoulli_sample(_ORACLE_SF_DIR),
         "weighted_sample": sql_weighted_sample(_ORACLE_SF_DIR),
+        "setop_except": sql_setop_except(_ORACLE_SF_DIR),
+        "setop_intersect": sql_setop_intersect(_ORACLE_SF_DIR),
         "curation_capped": sql_curation_capped(_ORACLE_SF_DIR),
         "pack_shards": sql_pack_shards(_ORACLE_SF_DIR),
         "exact_quantiles": sql_exact_quantiles(_ORACLE_SF_DIR),
