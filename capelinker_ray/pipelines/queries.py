@@ -1351,6 +1351,54 @@ def sql_user_running_total(sf_dir: str) -> str:
 FROM events"""
 
 
+def q_user_rolling_mean(sf_dir: str):
+    """Per-user trailing 4-row moving average
+    (stages/scan.py:grouped_rolling_mean — ROWS BETWEEN 3 PRECEDING AND
+    CURRENT ROW)."""
+    from ..stages.scan import grouped_rolling_mean
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    out = grouped_rolling_mean(ev, "user_id", "value",
+                               order_by=["ts", "event_id"], window=4)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype(np.int64),
+            "user_id": df["user_id"].astype(np.int64),
+            "rolling_mean": df["rolling_mean"].round(6)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_user_rolling_mean(sf_dir: str) -> str:
+    return """SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS rolling_mean
+FROM events"""
+
+
+def q_event_percent_rank(sf_dir: str):
+    """percent_rank() OVER (PARTITION BY event_type ORDER BY value)
+    (stages/scan.py:grouped_percent_rank — min-rank ties, (r-1)/(n-1))."""
+    from ..stages.scan import grouped_percent_rank
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    out = grouped_percent_rank(ev, "event_type", "value")
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype(np.int64),
+            "event_type": df["event_type"],
+            "pr": df["percent_rank"].round(9)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_event_percent_rank(sf_dir: str) -> str:
+    return """SELECT event_id, event_type,
+       round(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 9)
+         AS pr
+FROM events"""
+
+
 def q_grouped_quantiles(sf_dir: str):
     """Per-language exact discrete quantiles of document length
     (stages/scan.py:grouped_quantiles — quantile_disc parity within each
@@ -1901,6 +1949,8 @@ def build_queries() -> dict:
         "hopping_window": q_hopping_window,
         "grouped_quantiles": q_grouped_quantiles,
         "user_running_total": q_user_running_total,
+        "user_rolling_mean": q_user_rolling_mean,
+        "event_percent_rank": q_event_percent_rank,
         "stratified_sample": q_stratified_sample,
         "bernoulli_sample": q_bernoulli_sample,
         "weighted_sample": q_weighted_sample,
@@ -1954,6 +2004,8 @@ def build_oracle_sql() -> dict:
         "hopping_window": sql_hopping_window(_ORACLE_SF_DIR),
         "grouped_quantiles": sql_grouped_quantiles(_ORACLE_SF_DIR),
         "user_running_total": sql_user_running_total(_ORACLE_SF_DIR),
+        "user_rolling_mean": sql_user_rolling_mean(_ORACLE_SF_DIR),
+        "event_percent_rank": sql_event_percent_rank(_ORACLE_SF_DIR),
         "stratified_sample": sql_stratified_sample(_ORACLE_SF_DIR),
         "bernoulli_sample": sql_bernoulli_sample(_ORACLE_SF_DIR),
         "weighted_sample": sql_weighted_sample(_ORACLE_SF_DIR),

@@ -30,7 +30,8 @@ import ray
 import ray.data as rd
 
 __all__ = ["running_total", "grouped_running_total", "pack_by_budget",
-           "row_number", "exact_quantiles", "grouped_quantiles"]
+           "row_number", "exact_quantiles", "grouped_quantiles",
+           "grouped_rolling_mean", "grouped_percent_rank"]
 
 
 @ray.remote
@@ -115,6 +116,59 @@ def grouped_running_total(ds, key_col: str, col: str, order_by,
         v = df[col].fillna(0.0).astype(np.float64)
         df[out_col] = v.groupby(df[key_col].to_numpy(),
                                 sort=False).cumsum()
+        return df
+
+    from .grouped import grouped_map
+    return grouped_map(ds, key_col, per_partition)
+
+
+def grouped_rolling_mean(ds, key_col: str, col: str, order_by,
+                         window: int, out_col: str = "rolling_mean"):
+    """Trailing row-based moving average per key — SQL
+    ``avg(col) OVER (PARTITION BY key ORDER BY ... ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW)``. One co-partitioning shuffle, one
+    vectorized pandas ``groupby(...).rolling`` per coarse partition; nulls
+    are skipped within the window (SQL avg semantics: mean of the non-null
+    values present). Partitioning assumption: one key per partition."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    import pandas as pd
+    order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            df = df.copy()
+            df[out_col] = pd.Series(dtype=np.float64)
+            return df
+        df = df.sort_values([key_col, *order_by], kind="stable").copy()
+        v = df[col].astype(np.float64)
+        df[out_col] = (v.groupby(df[key_col].to_numpy(), sort=False)
+                       .rolling(window, min_periods=1).mean()
+                       .reset_index(level=0, drop=True))
+        return df
+
+    from .grouped import grouped_map
+    return grouped_map(ds, key_col, per_partition)
+
+
+def grouped_percent_rank(ds, key_col: str, col: str,
+                         out_col: str = "percent_rank"):
+    """SQL ``percent_rank() OVER (PARTITION BY key ORDER BY col)`` =
+    (rank - 1) / (n - 1) with min-rank ties; single-row groups get 0.
+    One co-partitioning shuffle, vectorized rank across every group of a
+    partition."""
+    import pandas as pd
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            df = df.copy()
+            df[out_col] = pd.Series(dtype=np.float64)
+            return df
+        df = df.copy()
+        g = df.groupby(key_col, sort=False)[col]
+        rank = g.rank(method="min", na_option="bottom")
+        n = g.transform("size").astype(np.float64)
+        df[out_col] = np.where(n > 1, (rank - 1.0) / (n - 1.0), 0.0)
         return df
 
     from .grouped import grouped_map

@@ -114,3 +114,35 @@ def test_grouped_running_total_matches_pandas(ray_session):
     exp["rt"] = (exp["v"].fillna(0.0).groupby(exp["k"].to_numpy())
                  .cumsum())
     np.testing.assert_allclose(out["running_total"], exp["rt"], rtol=1e-12)
+
+
+def test_grouped_rolling_mean_matches_pandas(ray_session):
+    from capelinker_ray.stages.scan import grouped_rolling_mean
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame({"k": rng.choice(["a", "b", "c"], 300),
+                       "t": rng.permutation(300),
+                       "v": rng.normal(size=300)})
+    df.loc[::17, "v"] = np.nan
+    out = (grouped_rolling_mean(rd.from_pandas(df).repartition(5),
+                                "k", "v", order_by="t", window=3)
+           .to_pandas().sort_values(["k", "t"]).reset_index(drop=True))
+    exp = df.sort_values(["k", "t"]).reset_index(drop=True)
+    exp["rm"] = (exp.groupby("k")["v"].rolling(3, min_periods=1).mean()
+                 .reset_index(level=0, drop=True))
+    assert np.allclose(out["rolling_mean"], exp["rm"], equal_nan=True)
+
+
+def test_grouped_percent_rank_matches_sql_semantics(ray_session):
+    from capelinker_ray.stages.scan import grouped_percent_rank
+    df = pd.DataFrame({"k": ["a"] * 4 + ["b"] * 1 + ["c"] * 3,
+                       "v": [10.0, 10.0, 20.0, 30.0, 5.0,
+                             1.0, np.nan, 2.0]})
+    out = (grouped_percent_rank(rd.from_pandas(df), "k", "v")
+           .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    # group a: ranks 1,1,3,4 -> pr 0, 0, 2/3, 1; singleton b -> 0;
+    # group c: 1.0->0, 2.0->0.5, null ranks last -> 1.0
+    got = dict(zip(zip(out["k"], out["v"].fillna(-1)), out["percent_rank"]))
+    assert got[("a", 10.0)] == 0.0 and abs(got[("a", 20.0)] - 2/3) < 1e-12
+    assert got[("a", 30.0)] == 1.0 and got[("b", 5.0)] == 0.0
+    assert got[("c", 1.0)] == 0.0 and got[("c", 2.0)] == 0.5
+    assert got[("c", -1)] == 1.0
