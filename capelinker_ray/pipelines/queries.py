@@ -506,6 +506,49 @@ def sql_nation_revenue(sf_dir: str) -> str:
             "GROUP BY n_name ORDER BY n_name")
 
 
+def q_nation_coverage(sf_dir: str):
+    """FULL OUTER join of two grouped rollups: nations with rich customers
+    vs nations with rich suppliers — either side may be missing
+    (hash_join how='outer' retains both, SQL FULL OUTER semantics)."""
+    import pyarrow.compute as pc
+    from ..stages.join import hash_join
+
+    def counts(table, key, bal, thr, out_name):
+        ds = rd.read_parquet(f"{sf_dir}/{table}.parquet",
+                             columns=[key, bal],
+                             filter=pc.field(bal) > thr)
+
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            return (df.groupby(key, sort=False)
+                    .agg(**{out_name: (bal, "size")}).reset_index())
+        return (ds.map_batches(part, batch_format="pandas")
+                .groupby(key).aggregate(Sum(out_name, alias_name=out_name)))
+
+    a = counts("customer", "c_nationkey", "c_acctbal", 9700.0, "n_cust")
+    b = counts("supplier", "s_nationkey", "s_acctbal", 6000.0, "n_supp")
+    out = hash_join(a, b, on="c_nationkey", right_on="s_nationkey",
+                    how="outer")
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "nationkey": df["c_nationkey"].astype(np.int64),
+            "n_cust": df["n_cust"].astype(np.float64),
+            "n_supp": df["n_supp"].astype(np.float64)})
+    return out.map_batches(proj, batch_format="pandas").sort("nationkey")
+
+
+def sql_nation_coverage(sf_dir: str) -> str:
+    return """SELECT COALESCE(a.k, b.k) AS nationkey,
+       CAST(a.n_cust AS DOUBLE) AS n_cust,
+       CAST(b.n_supp AS DOUBLE) AS n_supp
+FROM (SELECT c_nationkey k, count(*) n_cust FROM customer
+      WHERE c_acctbal > 9700.0 GROUP BY 1) a
+FULL OUTER JOIN
+     (SELECT s_nationkey k, count(*) n_supp FROM supplier
+      WHERE s_acctbal > 6000.0 GROUP BY 1) b
+ON a.k = b.k ORDER BY nationkey"""
+
+
 def q_distinct_users(sf_dir: str):
     """Grouped EXACT count-distinct: one hash-partitioned shuffle on the
     (event_type, user_id) pair — each pair lands in exactly one partition,
@@ -1921,6 +1964,7 @@ def build_queries() -> dict:
         "customers_no_orders": q_customers_no_orders,
         "nation_revenue": q_nation_revenue,
         "distinct_users": q_distinct_users,
+        "nation_coverage": q_nation_coverage,
         "events_pivot": q_events_pivot,
         "group_count": q_group_count,
         "normalise_column": q_normalise_column,
@@ -1985,6 +2029,7 @@ def build_oracle_sql() -> dict:
         "customers_no_orders": sql_customers_no_orders(_ORACLE_SF_DIR),
         "nation_revenue": sql_nation_revenue(_ORACLE_SF_DIR),
         "distinct_users": sql_distinct_users(_ORACLE_SF_DIR),
+        "nation_coverage": sql_nation_coverage(_ORACLE_SF_DIR),
         "events_pivot": sql_events_pivot(_ORACLE_SF_DIR),
         "group_count": sql_group_count(_ORACLE_SF_DIR),
         "normalise_column": sql_normalise_column(_ORACLE_SF_DIR),

@@ -42,7 +42,8 @@ def _arrow_types(ds) -> dict[str, pa.DataType]:
 def hash_join(left, right, *, on: str | list[str], right_on=None,
               how: str = "inner", suffixes=("", "_r"),
               num_partitions: int | None = None):
-    """Equi-join two Datasets. ``how`` in inner/left/semi/anti.
+    """Equi-join two Datasets. ``how`` in inner/left/outer/semi/anti
+    (right join = ``hash_join(right, left, how="left")``).
 
     Right-side key columns are renamed onto the left names before the
     shuffle; non-key name collisions get ``suffixes``.
@@ -53,8 +54,9 @@ def hash_join(left, right, *, on: str | list[str], right_on=None,
     the shuffle — a fact-table probe side (orders per customer) ships one
     row per distinct key per batch, not one per fact row.
     """
-    if how not in ("inner", "left", "semi", "anti"):
-        raise ValueError("how must be 'inner', 'left', 'semi' or 'anti'")
+    if how not in ("inner", "left", "outer", "semi", "anti"):
+        raise ValueError(
+            "how must be 'inner', 'left', 'outer', 'semi' or 'anti'")
     on = [on] if isinstance(on, str) else list(on)
     right_on = on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on))
@@ -160,10 +162,10 @@ def hash_join(left, right, *, on: str | list[str], right_on=None,
     joined = joined.union(_rd.from_arrow(pa.table(
         {k: pa.nulls(0, fields[k]) for k in out_cols}, schema=out_schema)))
 
-    if how in ("left", "anti"):
+    if how in ("left", "outer", "anti"):
         # null-keyed left rows bypassed the shuffle: re-emit them — with
-        # null right values (left), or as-is (anti: a null key can never
-        # satisfy EXISTS, so NOT EXISTS retains the row)
+        # null right values (left/outer), or as-is (anti: a null key can
+        # never satisfy EXISTS, so NOT EXISTS retains the row)
         def null_left(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
             t = t.filter(pc.invert(_valid_keys(t, on)))
@@ -178,6 +180,26 @@ def hash_join(left, right, *, on: str | list[str], right_on=None,
             return pa.table(dict(zip(out_cols, arrays)), schema=out_schema)
         joined = joined.union(
             left.map_batches(null_left, batch_format="pyarrow"))
+    if how == "outer":
+        # null-keyed RIGHT rows too (SQL FULL OUTER retains both sides)
+        inv = {v: k for k, v in rmap.items()}
+        inv_vals = {v: k for k, v in out_rvals.items()}
+
+        def null_right(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            t = t.filter(pc.invert(_valid_keys(t, right_on)))
+            n = len(t)
+            arrays = []
+            for k in out_cols:
+                typ = dict(out_fields)[k]
+                src = inv.get(k) or inv_vals.get(k)
+                if src is not None and src in t.column_names:
+                    arrays.append(t[src].cast(typ))
+                else:
+                    arrays.append(pa.nulls(n, typ))
+            return pa.table(dict(zip(out_cols, arrays)), schema=out_schema)
+        joined = joined.union(
+            right.map_batches(null_right, batch_format="pyarrow"))
     return joined
 
 

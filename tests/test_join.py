@@ -114,3 +114,27 @@ def test_broadcast_join_right_on_and_collision(ray_session):
                      suffixes=("", "_r"))
     pd.testing.assert_frame_equal(_sorted(out), _sorted(exp),
                                   check_dtype=False)
+
+
+def test_hash_join_outer_retains_both_sides(ray_session):
+    r = pd.DataFrame({"k": ["b", "x", None], "rv": [10, 30, 99]})
+    out = hash_join(rd.from_pandas(_l()), rd.from_pandas(r),
+                    on="k", how="outer").to_pandas()
+    # matched: b,b; left-only: a, c, null-key lv=5; right-only: x, null-key
+    assert len(out) == 7
+    assert sorted(out.loc[out["rv"].notna() & out["lv"].notna(), "lv"]) \
+        == [2, 3]
+    left_only = out[out["rv"].isna()]
+    assert sorted(left_only["lv"]) == [1, 4, 5]
+    right_only = out[out["lv"].isna()]
+    assert sorted(right_only["rv"]) == [30, 99]
+    # SQL semantics: the two null-keyed rows do NOT join each other
+    assert out[(out["lv"] == 5) & (out["rv"] == 99)].empty
+
+
+def test_hash_join_outer_right_on_keys_populated(ray_session):
+    r = _r().rename(columns={"k": "kk"})
+    out = hash_join(rd.from_pandas(_l()), rd.from_pandas(r),
+                    on="k", right_on="kk", how="outer").to_pandas()
+    ronly = out[out["lv"].isna()]
+    assert sorted(ronly["k"]) == ["d"]     # right key mapped onto left name
