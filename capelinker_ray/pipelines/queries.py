@@ -585,6 +585,41 @@ def sql_distinct_users(sf_dir: str) -> str:
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q_props_stats(sf_dir: str):
+    """Semi-structured extraction (stages/jsoncol.py): pull the scalar
+    ``k`` field out of the JSON ``props`` column with the vectorized
+    regex fast path, then a partial-agg rollup per event_type."""
+    from ..stages.jsoncol import json_scalar
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+    ex = json_scalar(ev, "props", "k", "k", kind="int")
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("event_type", sort=False)
+                .agg(k_sum=("k", "sum"), n=("k", "count")).reset_index())
+
+    agg = (ex.map_batches(part, batch_format="pandas")
+           .groupby("event_type")
+           .aggregate(Sum("k_sum", alias_name="k_sum"),
+                      Sum("n", alias_name="n")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "k_sum": df["k_sum"].astype(np.int64),
+            "k_avg": (df["k_sum"] / df["n"]).round(6)})
+    return agg.map_batches(fin, batch_format="pandas").sort("event_type")
+
+
+def sql_props_stats(sf_dir: str) -> str:
+    return """SELECT event_type,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum,
+       round(CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / count(json_extract(props, '$.k')), 6) AS k_avg
+FROM events GROUP BY event_type ORDER BY event_type"""
+
+
 def q_events_pivot(sf_dir: str):
     """Long → wide pivot (data.table dcast analog): per-user event counts,
     one column per event type. Batches collapse locally to the wide layout
@@ -1966,6 +2001,7 @@ def build_queries() -> dict:
         "distinct_users": q_distinct_users,
         "nation_coverage": q_nation_coverage,
         "events_pivot": q_events_pivot,
+        "props_stats": q_props_stats,
         "group_count": q_group_count,
         "normalise_column": q_normalise_column,
         "numeric_band": q_numeric_band,
@@ -2031,6 +2067,7 @@ def build_oracle_sql() -> dict:
         "distinct_users": sql_distinct_users(_ORACLE_SF_DIR),
         "nation_coverage": sql_nation_coverage(_ORACLE_SF_DIR),
         "events_pivot": sql_events_pivot(_ORACLE_SF_DIR),
+        "props_stats": sql_props_stats(_ORACLE_SF_DIR),
         "group_count": sql_group_count(_ORACLE_SF_DIR),
         "normalise_column": sql_normalise_column(_ORACLE_SF_DIR),
         "numeric_band": sql_numeric_band(_ORACLE_SF_DIR),
