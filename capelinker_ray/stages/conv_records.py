@@ -52,7 +52,8 @@ _DAY_US = 86_400_000_000
 def collect_tool_vocab(ds) -> dict[str, int]:
     """Distinct tool names -> bit index. Small global aggregate, computed once
     and broadcast (the reference's model-registry-style shared state)."""
-    names = sorted(x for x in ds.unique("tool") if x is not None)
+    uniq = ds.unique("tool") or []       # Ray returns None on empty input
+    names = sorted(x for x in uniq if x is not None)
     if len(names) > 62:
         # cap the exact mask at 62 tools; the tail shares overflow bit 62 —
         # bit 63 stays clear so int64 masks remain non-negative (negative is

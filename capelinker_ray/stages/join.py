@@ -261,7 +261,12 @@ def broadcast_join(left, right_df, *, on: str | list[str],
         right_df = pa.Table.from_pandas(right_df.rename(columns=rmap),
                                         preserve_index=False)
     # resolve collision names ONCE (left schema is known up front)
-    lcols = [n for n in left.schema().names]
+    lschema = left.schema()
+    if lschema is None:
+        # zero-block schema-less empty input (Ray 2.49): nothing to join
+        # onto — the join of an empty left with anything is empty
+        return left
+    lcols = [n for n in lschema.names]
     rval_out = {c: (c + suffixes[1] if c in lcols else c)
                 for c in right_df.column_names if c not in on}
     right_ref = ray.put(right_df)

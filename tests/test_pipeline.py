@@ -158,3 +158,21 @@ def test_slim_broadcast_pair_path_matches_wide(ray_session):
     ea = slim["entities"].to_pandas().sort_values("conv_id").reset_index(drop=True)
     eb = wide["entities"].to_pandas().sort_values("conv_id").reset_index(drop=True)
     assert (ea["entity_id"].values == eb["entity_id"].values).all()
+
+
+def test_link_transcripts_empty_corpus(ray_session):
+    """A filter that drops everything must yield 0-row outputs, not a
+    crash (Ray returns None schemas / None unique() on empty datasets)."""
+    import pyarrow as pa
+    empty = pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int32()),
+        "role": pa.array([], pa.string()),
+        "text": pa.array([], pa.string()),
+        "tool": pa.array([], pa.string()),
+        "ts": pa.array([], pa.timestamp("us"))})
+    out = link_transcripts(rd.from_arrow(empty), checkpoint_dir=None,
+                           sort_output=True)
+    assert out["entities"].count() == 0
+    assert out["pairs"].count() == 0
+    assert out["turns_out"].count() == 0
