@@ -125,6 +125,9 @@ def _df_and_n(tagged, blockvariable: str):
 
     stats = grouped_map(tagged.map_batches(partial, batch_format="pandas"),
                         "code", combine).to_pandas()
+    if not len(stats) or "code" not in stats.columns:
+        # empty corpus: Ray's to_pandas drops columns on zero rows
+        return (np.empty(0, np.int64), np.empty(0, np.int64), 0)
     n_total = int(stats.loc[stats["code"] == -1, "df"].sum())
     stats = stats[stats["code"] != -1]
     return (stats["code"].to_numpy(np.int64),
@@ -542,7 +545,10 @@ def bigram_candidates(ds_from, ds_to=None, *, blockvariable: str,
                     {"id_from": pc.unique(t[id_col].cast(pa.string()))})
 
             fdf = (f_only.map_batches(distinct_fid, batch_format="pyarrow")
-                   .to_pandas().drop_duplicates("id_from"))
+                   .to_pandas())
+            if "id_from" not in fdf.columns:   # empty corpus loses columns
+                fdf = pd.DataFrame({"id_from": pd.Series(dtype=object)})
+            fdf = fdf.drop_duplicates("id_from")
             un = fdf[~fdf["id_from"].isin(cseries.index)]
             if len(un):
                 stubs = pd.DataFrame({

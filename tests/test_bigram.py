@@ -133,3 +133,13 @@ def test_batch_bigrams_nul_in_text_matches_dense_kernel():
             ord("b"), ord("b") * _CODE_BASE + h}
     assert got0 == exp0
     assert counts[np.asarray(doc) == 0].sum() == 4
+
+
+def test_bigram_candidates_empty_corpus(ray_session):
+    import pyarrow as pa
+    recs = pa.table({"conv_id": pa.array([], pa.string()),
+                     "first_text_prefix": pa.array([], pa.string())})
+    out = bigram_candidates(rd.from_arrow(recs), None,
+                            blockvariable="first_text_prefix",
+                            id_col="conv_id", maxdist=0.35)
+    assert out.count() == 0
