@@ -49,6 +49,21 @@ from .linkage import PAIR_ATTR_COLS
 __all__ = ["assign_to_entities"]
 
 
+def _pin_link_schema(ds, with_rank: bool):
+    """Zero-row link stages come back schema-less (Ray materialize /
+    checkpoint of an empty dataset); pin the link-table layout so the
+    downstream joins keep their columns."""
+    sch = ds.schema()
+    if sch is not None and sch.names:
+        return ds
+    cols = {"conv_id_from": pa.array([], pa.string()),
+            "conv_id_to": pa.array([], pa.string()),
+            "pred": pa.array([], pa.float64())}
+    if with_rank:
+        cols["rank_from"] = pa.array([], pa.float64())
+    return rd.from_arrow(pa.table(cols))
+
+
 def _score_select(pairs, model, minimum_confidence, linktype, concurrency):
     scored = score_pairs(
         pairs.select_columns(
@@ -67,7 +82,8 @@ def assign_to_entities(new_turns, base_records, base_entities, *,
                        block_prefix_len: int | None = None,
                        max_block_pairs: int = DEFAULT_MAX_BLOCK_PAIRS,
                        link_within_batch: bool = True,
-                       input_partitions: int | str | None = "auto") -> dict:
+                       input_partitions: int | str | None = "auto",
+                       checkpoint_dir: str | None = None) -> dict:
     """Attach a batch of new transcripts to an existing entity table.
 
     ``base_records``: conv records of the linked corpus (a prior
@@ -75,12 +91,23 @@ def assign_to_entities(new_turns, base_records, base_entities, *,
     ``block_key`` built with the SAME ``block_prefix_len``).
     ``base_entities``: Dataset with ``conv_id, entity_id``.
 
+    ``checkpoint_dir`` makes the batch resumable with the flagship's
+    CheckpointManager (per-stage Parquet + param-hash invalidation) — use
+    ONE directory per (batch, base-table) pair: the hash chain covers this
+    function's parameters, not the content of the base datasets. Without a
+    root, each stage is pinned via ``materialize()`` so the conv-record
+    build runs once, not once per consumer.
+
     Returns dict of Datasets: ``records`` (new conv records),
     ``links_new_base``, ``links_within`` (empty when
     ``link_within_batch=False``), and ``assignments`` with one row per new
     conversation: ``conv_id, entity_id, matched`` (matched=True when the
-    entity comes from the base, False when minted for this batch).
+    entity comes from the base, False when minted for this batch),
+    plus the checkpoint lineage under ``metrics``.
     """
+    from .checkpoint import CheckpointManager
+    ck = CheckpointManager(checkpoint_dir)
+
     if input_partitions:
         if input_partitions == "auto":
             input_partitions = default_partitions()
@@ -89,20 +116,32 @@ def assign_to_entities(new_turns, base_records, base_entities, *,
     from ..stages.conv_records import BLOCK_PREFIX_LEN
     if block_prefix_len is None:
         block_prefix_len = BLOCK_PREFIX_LEN
-    records = build_conv_records(normalize_turns(new_turns),
-                                 prefix_len=block_prefix_len)
+    records = ck.stage(
+        "inc_records",
+        lambda: build_conv_records(normalize_turns(new_turns),
+                                   prefix_len=block_prefix_len),
+        inputs=("new_turns",), params={"prefix_len": block_prefix_len})
 
     scorer_pool = (1, max(8, default_partitions() // 2))
+    pair_params = {"blocktype": blocktype, "maxdist": maxdist,
+                   "max_block_pairs": max_block_pairs, "model": model,
+                   "minimum_confidence": minimum_confidence}
 
     # -- new vs base: rank-1 per NEW conversation above confidence --------
-    nb_pairs = candidates(
-        records, base_records, block_col="block_key", id_col="conv_id",
-        blocktype=blocktype, maxdist=maxdist, attr_cols=PAIR_ATTR_COLS,
-        max_block_pairs=max_block_pairs, keep_unmatched=False)
-    nb_pairs = add_pair_features(
-        nb_pairs.repartition(4 * default_partitions()))
-    links_nb = _score_select(nb_pairs, model, minimum_confidence,
+    def build_links_nb():
+        nb_pairs = candidates(
+            records, base_records, block_col="block_key", id_col="conv_id",
+            blocktype=blocktype, maxdist=maxdist, attr_cols=PAIR_ATTR_COLS,
+            max_block_pairs=max_block_pairs, keep_unmatched=False)
+        nb_pairs = add_pair_features(
+            nb_pairs.repartition(4 * default_partitions()))
+        return _score_select(nb_pairs, model, minimum_confidence,
                              "many:one", scorer_pool)
+
+    links_nb = _pin_link_schema(
+        ck.stage("inc_links_nb", build_links_nb,
+                 inputs=("inc_records",), params=pair_params),
+        with_rank=True)
 
     # matched base conv -> its frozen entity id
     ent_map = base_entities.select_columns(["conv_id", "entity_id"])
@@ -112,15 +151,21 @@ def assign_to_entities(new_turns, base_records, base_entities, *,
 
     # -- within-batch link graph ------------------------------------------
     if link_within_batch:
-        ww_pairs = candidates(
-            records, None, block_col="block_key", id_col="conv_id",
-            blocktype=blocktype, maxdist=maxdist,
-            attr_cols=PAIR_ATTR_COLS, max_block_pairs=max_block_pairs,
-            keep_unmatched=False)
-        ww_pairs = add_pair_features(
-            ww_pairs.repartition(4 * default_partitions()))
-        links_ww = _score_select(ww_pairs, model, minimum_confidence,
+        def build_links_ww():
+            ww_pairs = candidates(
+                records, None, block_col="block_key", id_col="conv_id",
+                blocktype=blocktype, maxdist=maxdist,
+                attr_cols=PAIR_ATTR_COLS, max_block_pairs=max_block_pairs,
+                keep_unmatched=False)
+            ww_pairs = add_pair_features(
+                ww_pairs.repartition(4 * default_partitions()))
+            return _score_select(ww_pairs, model, minimum_confidence,
                                  "threshold", scorer_pool)
+
+        links_ww = _pin_link_schema(
+            ck.stage("inc_links_ww", build_links_ww,
+                     inputs=("inc_records",), params=pair_params),
+            with_rank=False)
         # small: one row per LINKED new conv; pin so count()+reuse is one run
         comps = connected_components(links_ww, id_from="conv_id_from",
                                      id_to="conv_id_to").materialize()
@@ -194,8 +239,12 @@ def assign_to_entities(new_turns, base_records, base_entities, *,
             "matched": df["base_entity"].notna().astype(np.bool_),
         })
         return out
-    assignments = final.map_batches(finish, batch_format="pandas")
+    assignments = ck.stage(
+        "inc_assignments",
+        lambda: final.map_batches(finish, batch_format="pandas"),
+        inputs=("inc_links_nb", "inc_links_ww"),
+        params={"link_within_batch": link_within_batch})
 
     return {"records": records, "links_new_base": links_nb,
             "links_within": links_ww, "assignments": assignments,
-            "components_entity": comp_ent}
+            "components_entity": comp_ent, "metrics": ck.records}

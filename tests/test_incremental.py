@@ -72,3 +72,28 @@ def test_assign_no_batch_linking_mints_singletons(ray_session):
     minted = asg[~asg["matched"]]
     # without in-batch linking every unmatched conv is its own entity
     assert (minted["entity_id"] == minted["conv_id"]).all()
+
+
+def test_assign_checkpoint_resume_identical(ray_session, tmp_path):
+    turns, _ = synth.gen_corpus(n_entities=30, seed=31)
+    turns_pd = turns.to_pandas()
+    convs = sorted(turns_pd["conv_id"].unique())
+    held = convs[:5]
+    new_pd = turns_pd[turns_pd["conv_id"].isin(held)]
+    base_pd = turns_pd[~turns_pd["conv_id"].isin(held)]
+    base_out = link_transcripts(rd.from_pandas(base_pd),
+                                checkpoint_dir=None, sort_output=False)
+    ckdir = str(tmp_path / "inc_ck")
+    r1 = assign_to_entities(rd.from_pandas(new_pd), base_out["records"],
+                            base_out["entities"], checkpoint_dir=ckdir)
+    a1 = (r1["assignments"].to_pandas()
+          .sort_values("conv_id").reset_index(drop=True))
+    import os
+    assert os.path.exists(os.path.join(ckdir, "inc_assignments",
+                                       "_SUCCESS.json"))
+    # resume: heavy stages read back from parquet, output identical
+    r2 = assign_to_entities(rd.from_pandas(new_pd), base_out["records"],
+                            base_out["entities"], checkpoint_dir=ckdir)
+    a2 = (r2["assignments"].to_pandas()
+          .sort_values("conv_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a1, a2)
