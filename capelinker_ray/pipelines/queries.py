@@ -753,6 +753,17 @@ def q_embedding_dup(sf_dir: str):
     return out.map_batches(proj, batch_format="pandas")
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style cluster-scoped near-dup removal over the embeddings
+    table (stages/dedup.py:semantic_dedup — k-means iterative, so
+    rows-only: no SQL oracle)."""
+    from ..stages.dedup import semantic_dedup
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    out = semantic_dedup(emb, id_col="vec_id", threshold=0.4)
+    return out.sort("vec_id")
+
+
 def sql_embedding_dup(sf_dir: str) -> str:
     return """SELECT a.vec_id AS id_from, b.vec_id AS id_to,
        round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
@@ -2014,6 +2025,7 @@ def build_queries() -> dict:
         # rows-only (no SQL oracle): model scoring / sketches / stubs
         "flagship_entities": q_flagship_entities,
         "incremental_assign": q_incremental_assign,
+        "semantic_dedup": q_semantic_dedup,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,

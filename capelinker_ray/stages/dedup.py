@@ -24,7 +24,7 @@ from .textstats import fnv1a_64
 __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_dedup",
     "simhash_signatures", "simhash_dup_pairs", "ngram_jaccard_pairs",
-    "embedding_dup_pairs", "segment_dedup",
+    "embedding_dup_pairs", "segment_dedup", "semantic_dedup",
 ]
 
 
@@ -943,3 +943,70 @@ def segment_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     return joined.map_batches(
         lambda df: df.rename(columns={"text_clean": text_col}),
         batch_format="pandas")
+
+
+def semantic_dedup(ds, *, vec_col: str = "embedding",
+                   id_col: str = "doc_id", threshold: float = 0.95,
+                   n_clusters: int | str = "auto",
+                   sample_size: int = 2048, seed: int = 7,
+                   input_partitions="auto"):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    k-means-cluster the embedding space, then WITHIN each cluster drop
+    every row whose cosine to an earlier-id kept row is >= ``threshold``
+    (keep = lexicographic-min id, the engine-wide convention).
+
+    Scale shape: centroids from a seeded driver sample
+    (simsearch.kmeans_centroids, broadcast once); one cluster-key
+    grouped_map shuffle of slim (id, vector) rows; inside a partition the
+    greedy keep scan is CHUNKED — each 2048-row block is compared against
+    the kept set by matmul, so memory is O(cluster x d), never the full
+    cluster x cluster similarity matrix. Assumes one cluster fits a
+    partition (~sqrt(N) rows at auto sizing — the same contract as
+    grouped_quantiles / asof_join).
+
+    Returns Dataset[(id_col, kept_id, cosine)] — one row per REMOVED
+    document with its surviving representative.
+    """
+    from .simsearch import assign_clusters, kmeans_centroids, _norm_rows
+    ds = _widen(ds, input_partitions)
+    slim = ds.select_columns([id_col, vec_col])
+    C = kmeans_centroids(slim, vec_col=vec_col, k=n_clusters,
+                         sample_size=sample_size, seed=seed)
+    tagged = assign_clusters(slim, C, vec_col=vec_col, out_col="_sc")
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        out_ids, out_kept, out_cos = [], [], []
+        for _, rows in g.groupby("_sc", sort=False):
+            if len(rows) < 2:
+                continue
+            order = np.argsort(rows[id_col].to_numpy(), kind="stable")
+            ids = rows[id_col].to_numpy()[order]
+            V = _norm_rows(np.stack(
+                rows[vec_col].to_numpy())[order].astype(np.float64))
+            kept: list = []                       # global row indices kept
+            for lo in range(0, len(ids), 2048):
+                chunk = V[lo:lo + 2048]
+                prev_hit = ((chunk @ V[kept].T) >= threshold) if kept \
+                    else np.zeros((len(chunk), 0), bool)
+                S = chunk @ chunk.T
+                local_kept: list = []             # chunk-local kept indices
+                for j in range(len(chunk)):       # greedy scan: each row's
+                    hit = -1                      # fate depends only on
+                    if prev_hit.shape[1] and prev_hit[j].any():   # earlier
+                        hit = kept[int(prev_hit[j].argmax())]     # KEPT rows
+                    elif local_kept:
+                        m = S[j, local_kept] >= threshold
+                        if m.any():
+                            hit = lo + local_kept[int(np.argmax(m))]
+                    if hit >= 0:
+                        out_ids.append(ids[lo + j])
+                        out_kept.append(ids[hit])
+                        out_cos.append(round(float(V[lo + j] @ V[hit]), 6))
+                    else:
+                        local_kept.append(j)
+                kept.extend(lo + j for j in local_kept)
+        return pd.DataFrame({id_col: out_ids, "kept_id": out_kept,
+                             "cosine": np.asarray(out_cos, np.float64)})
+
+    from .grouped import grouped_map
+    return grouped_map(tagged, "_sc", dedup_part)

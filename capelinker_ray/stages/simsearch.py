@@ -23,7 +23,8 @@ import numpy as np
 import pandas as pd
 import ray
 
-__all__ = ["brute_force_topk", "ivf_topk"]
+__all__ = ["brute_force_topk", "ivf_topk", "kmeans_centroids",
+           "assign_clusters"]
 
 
 def _norm_rows(M: np.ndarray) -> np.ndarray:
@@ -69,39 +70,32 @@ def brute_force_topk(ds, queries: np.ndarray, *, k: int = 5,
                                                    batch_format="pandas")
 
 
-def ivf_topk(ds, queries: np.ndarray, *, k: int = 5,
-             n_centroids: int | str = "auto",
-             n_probe: int = 4, vec_col: str = "embedding",
-             id_col: str = "vec_id", sample_size: int = 2048, seed: int = 7,
-             batch_size: int | None = None):
-    """IVF-style ANN: probe only the n_probe nearest centroid lists.
+def kmeans_centroids(ds, *, vec_col: str = "embedding",
+                     k: int | str = "auto", sample_size: int = 2048,
+                     seed: int = 7, iters: int = 5) -> np.ndarray:
+    """Seeded, deterministic k-means centroids (row-normalized) from a
+    driver-side UNIFORM sample of the vector column.
 
-    ``n_centroids="auto"`` (default) scales the list count to the corpus —
-    ~sqrt(N) clamped to [16, 1024] (the classical IVF sizing: expected
-    list length ~sqrt(N), scan cost ~n_probe*sqrt(N)) — a fixed 16 would
-    leave each list hosting N/16 rows at web scale (r2 verdict next-round
-    #6). The sample grows with the centroid count so k-means stays
-    determined."""
-    # centroids from a driver-side sample (k-means++ style seeding, 5 Lloyd
-    # iterations — small, seeded, deterministic). Sampled UNIFORMLY across
-    # the dataset (seeded per-row bernoulli), not first-rows — a limit() on
-    # sorted input would collapse every centroid into the leading key range.
+    ``k="auto"`` scales to the corpus — ~sqrt(N) clamped to [16, 1024]
+    (classical IVF sizing: expected cluster ~sqrt(N)). The sample is a
+    seeded per-row bernoulli across the whole dataset, not first-rows — a
+    limit() on sorted input would collapse every centroid into the leading
+    key range. Lloyd iterations use the matmul distance form, never the
+    (n, k, d) broadcast cube."""
     n_rows = ds.count()
-    if n_centroids == "auto":
-        n_centroids = int(np.clip(round(np.sqrt(max(n_rows, 1))), 16, 1024))
-    sample_size = max(sample_size, 8 * n_centroids)
+    if k == "auto":
+        k = int(np.clip(round(np.sqrt(max(n_rows, 1))), 16, 1024))
+    sample_size = max(sample_size, 8 * k)
     frac = min(1.0, (2.0 * sample_size) / max(n_rows, 1))
     samp_ds = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
     sample = np.stack(
         samp_ds.limit(sample_size).to_pandas()[vec_col].to_numpy()
     ).astype(np.float64)
     rng = np.random.default_rng(seed)
-    C = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)),
+    C = sample[rng.choice(len(sample), size=min(k, len(sample)),
                           replace=False)]
     s_sq = (sample ** 2).sum(axis=1)
-    for _ in range(5):
-        # squared distances via matmul: (n_s, k) — never the (n_s, k, d)
-        # broadcast cube (8 GB at 16k x 1k x 64)
+    for _ in range(iters):
         d = s_sq[:, None] - 2.0 * (sample @ C.T) + (C ** 2).sum(axis=1)[None, :]
         assign = d.argmin(axis=1)
         sums = np.zeros_like(C)
@@ -110,7 +104,43 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 5,
         np.add.at(counts, assign, 1.0)
         nz = counts > 0
         C[nz] = sums[nz] / counts[nz][:, None]
-    C = _norm_rows(C)
+    return _norm_rows(C)
+
+
+def assign_clusters(ds, centroids: np.ndarray, *,
+                    vec_col: str = "embedding",
+                    out_col: str = "cluster_id",
+                    batch_size: int | None = None):
+    """Add ``out_col`` = nearest-centroid index (cosine) per row. The
+    centroid matrix rides the object store once (``ray.put``)."""
+    c_ref = ray.put(_norm_rows(np.asarray(centroids, np.float64)))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            df = df.copy()
+            df[out_col] = pd.Series(dtype=np.int64)
+            return df
+        Cm = ray.get(c_ref)
+        V = _norm_rows(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        df = df.copy()
+        df[out_col] = (V @ Cm.T).argmax(axis=1).astype(np.int64)
+        return df
+
+    return ds.map_batches(tag, batch_format="pandas", batch_size=batch_size)
+
+
+def ivf_topk(ds, queries: np.ndarray, *, k: int = 5,
+             n_centroids: int | str = "auto",
+             n_probe: int = 4, vec_col: str = "embedding",
+             id_col: str = "vec_id", sample_size: int = 2048, seed: int = 7,
+             batch_size: int | None = None):
+    """IVF-style ANN: probe only the n_probe nearest centroid lists.
+
+    Centroids/auto-sizing via :func:`kmeans_centroids` (r2 verdict
+    next-round #6: a fixed 16 lists would leave each hosting N/16 rows at
+    web scale)."""
+    C = kmeans_centroids(ds, vec_col=vec_col, k=n_centroids,
+                         sample_size=sample_size, seed=seed)
     c_ref = ray.put(C)
 
     Q = _norm_rows(np.asarray(queries, np.float64))

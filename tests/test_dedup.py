@@ -252,3 +252,41 @@ def test_segment_dedup_fully_hot_doc_becomes_empty(ray_session):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert (out["text_clean"] == "").all()
     assert (out["n_removed"] == 1).all()
+
+
+def test_semantic_dedup_removes_planted_duplicates(ray_session):
+    from capelinker_ray.stages.dedup import semantic_dedup
+    rng = np.random.default_rng(12)
+    base = rng.normal(size=(40, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 10, v))                    # original
+        if i % 4 == 0:
+            rows.append((i * 10 + 1, v.copy()))     # exact duplicate
+    df = pd.DataFrame({"doc_id": [r[0] for r in rows],
+                       "embedding": [r[1] for r in rows]})
+    out = (semantic_dedup(rd.from_pandas(df), threshold=0.999)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    dup_ids = sorted(r[0] for r in rows if r[0] % 10 == 1)
+    assert sorted(out["doc_id"]) == dup_ids          # only clones removed
+    assert (out["kept_id"] == out["doc_id"] - 1).all()   # min-id kept
+    assert (out["cosine"] >= 0.999).all()
+
+
+def test_semantic_dedup_deterministic(ray_session):
+    from capelinker_ray.stages.dedup import semantic_dedup
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "doc_id": np.arange(200, dtype=np.int64),
+        "embedding": [rng.normal(size=8) for _ in range(200)]})
+    # near-dups: every 10th vector is a tiny perturbation of its neighbor
+    for i in range(0, 200, 10):
+        if i + 1 < 200:
+            df.at[i + 1, "embedding"] = (df.at[i, "embedding"]
+                                         + rng.normal(scale=1e-4, size=8))
+    a = (semantic_dedup(rd.from_pandas(df), threshold=0.98)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (semantic_dedup(rd.from_pandas(df).repartition(5), threshold=0.98)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) >= 15    # the planted perturbation pairs collapse
