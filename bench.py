@@ -85,6 +85,19 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
     q_lineitem_agg(sf_dir).count()
     timings["lineitem_agg"] = round(time.monotonic() - t0, 3)
 
+    # relational family added in r3: shuffle joins (anti/outer), pivot,
+    # per-key window — small next to the linkage pipelines but keeps the
+    # sf0.1 walls of the new operators on record
+    from capelinker_ray.pipelines.queries import (
+        q_customers_no_orders, q_events_pivot, q_nation_revenue,
+        q_user_rolling_mean)
+    t0 = time.monotonic()
+    counters["nation_rows"] = q_nation_revenue(sf_dir).count()
+    counters["no_urgent_customers"] = q_customers_no_orders(sf_dir).count()
+    counters["pivot_rows"] = q_events_pivot(sf_dir).count()
+    counters["rolling_rows"] = q_user_rolling_mean(sf_dir).count()
+    timings["relational_suite"] = round(time.monotonic() - t0, 3)
+
     from capelinker_ray.pipelines.queries import (q_bigram_candidates,
                                                   q_doc_curation)
     t0 = time.monotonic()

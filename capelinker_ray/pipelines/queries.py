@@ -452,7 +452,7 @@ def q_customers_no_orders(sf_dir: str):
         df = df.copy()
         df["c_acctbal"] = df["c_acctbal"].round(2)
         return df
-    return out.map_batches(rnd, batch_format="pandas").sort("c_custkey")
+    return out.map_batches(rnd, batch_format="pandas")
 
 
 def sql_customers_no_orders(sf_dir: str) -> str:
@@ -495,7 +495,7 @@ def q_nation_revenue(sf_dir: str):
         df["revenue"] = df["revenue"].round(2)
         df["n_orders"] = df["n_orders"].astype(np.int64)
         return df
-    return agg.map_batches(rnd, batch_format="pandas").sort("n_name")
+    return agg.map_batches(rnd, batch_format="pandas")
 
 
 def sql_nation_revenue(sf_dir: str) -> str:
@@ -534,7 +534,7 @@ def q_nation_coverage(sf_dir: str):
             "nationkey": df["c_nationkey"].astype(np.int64),
             "n_cust": df["n_cust"].astype(np.float64),
             "n_supp": df["n_supp"].astype(np.float64)})
-    return out.map_batches(proj, batch_format="pandas").sort("nationkey")
+    return out.map_batches(proj, batch_format="pandas")
 
 
 def sql_nation_coverage(sf_dir: str) -> str:
@@ -573,7 +573,7 @@ def q_distinct_users(sf_dir: str):
         df = df.copy()
         df["n_users"] = df["n_users"].astype(np.int64)
         return df
-    return agg.map_batches(cast, batch_format="pandas").sort("event_type")
+    return agg.map_batches(cast, batch_format="pandas")
 
 
 def sql_distinct_users(sf_dir: str) -> str:
@@ -608,7 +608,7 @@ def q_props_stats(sf_dir: str):
             "event_type": df["event_type"],
             "k_sum": df["k_sum"].astype(np.int64),
             "k_avg": (df["k_sum"] / df["n"]).round(6)})
-    return agg.map_batches(fin, batch_format="pandas").sort("event_type")
+    return agg.map_batches(fin, batch_format="pandas")
 
 
 def sql_props_stats(sf_dir: str) -> str:
@@ -627,8 +627,7 @@ def q_events_pivot(sf_dir: str):
     from ..stages.pivot import pivot_counts
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_type"])
-    out = pivot_counts(ev, index="user_id", pivot="event_type")
-    return out.sort("user_id")
+    return pivot_counts(ev, index="user_id", pivot="event_type")
 
 
 def sql_events_pivot(sf_dir: str) -> str:
@@ -660,7 +659,7 @@ def q_incremental_assign(sf_dir: str):
     new = turns.map_batches(split(True), batch_format="pandas")
     out = link_transcripts(base, checkpoint_dir=None, sort_output=False)
     res = assign_to_entities(new, out["records"], out["entities"])
-    return res["assignments"].sort("conv_id")
+    return res["assignments"]
 
 
 def q_group_count(sf_dir: str):
@@ -760,8 +759,7 @@ def q_semantic_dedup(sf_dir: str):
     from ..stages.dedup import semantic_dedup
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
-    out = semantic_dedup(emb, id_col="vec_id", threshold=0.4)
-    return out.sort("vec_id")
+    return semantic_dedup(emb, id_col="vec_id", threshold=0.4)
 
 
 def sql_embedding_dup(sf_dir: str) -> str:
@@ -1572,7 +1570,7 @@ def q_setop_except(sf_dir: str):
     ONLY among long documents — distinct_rows + anti hash join."""
     from ..stages.setops import except_distinct
     a, b, cols = _setop_sides(sf_dir)
-    return except_distinct(a, b, cols).sort(cols)
+    return except_distinct(a, b, cols)
 
 
 def sql_setop_except(sf_dir: str) -> str:
@@ -1586,7 +1584,7 @@ def q_setop_intersect(sf_dir: str):
     short documents — distinct_rows + semi hash join."""
     from ..stages.setops import intersect_distinct
     a, b, cols = _setop_sides(sf_dir)
-    return intersect_distinct(a, b, cols).sort(cols)
+    return intersect_distinct(a, b, cols)
 
 
 def sql_setop_intersect(sf_dir: str) -> str:
@@ -1603,8 +1601,7 @@ def q_weighted_sample(sf_dir: str):
     from ..stages.sampling import weighted_sample_topk
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "n_chars"])
-    out = weighted_sample_topk(docs, "doc_id", "n_chars", k=100, seed=13)
-    return out.sort("doc_id")
+    return weighted_sample_topk(docs, "doc_id", "n_chars", k=100, seed=13)
 
 
 def sql_weighted_sample(sf_dir: str) -> str:

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from ray.data.aggregate import Sum
 
 __all__ = ["pivot_counts"]
 
@@ -57,14 +56,17 @@ def pivot_counts(ds, *, index: str, pivot: str, values: list | None = None,
         return wide.astype(np.float64).reset_index()
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    agg = partials.groupby(index).aggregate(
-        *[Sum(c, alias_name=c) for c in vals])
 
-    if sum_col is None:
-        def to_int(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
+    # merge partials with ONE grouped_map shuffle + a vectorized pandas
+    # groupby-sum per partition — Ray's native groupby().aggregate() runs
+    # a per-row Python combine (measured 17 s for 1500 keys x 5 sums at
+    # sf0.1 vs ~2 s here)
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(index, sort=False)[vals].sum().reset_index()
+        if sum_col is None:
             for c in vals:
-                df[c] = df[c].fillna(0).astype(np.int64)
-            return df
-        agg = agg.map_batches(to_int, batch_format="pandas")
-    return agg
+                out[c] = out[c].fillna(0).astype(np.int64)
+        return out
+
+    from .grouped import grouped_map
+    return grouped_map(partials, index, merge)
