@@ -861,7 +861,6 @@ def segment_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     import ray
 
     ds = _widen(ds, input_partitions)
-    from ray.data.aggregate import Sum
 
     def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
         _, _, segs = _batch_segments(df[text_col].tolist(), words_per_seg)
@@ -869,8 +868,16 @@ def segment_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return pd.DataFrame({"seg": vc.index.to_numpy(object),
                              "n": vc.to_numpy(np.int64)})
 
-    counts = (ds.map_batches(partial_counts, batch_format="pandas")
-              .groupby("seg").aggregate(Sum("n", alias_name="n")))
+    # merge partials via grouped_map (vectorized per-partition groupby-sum)
+    # — the segment key is HIGH-cardinality (~one per distinct word window)
+    # and Ray's native groupby().aggregate() pays per-key Python there
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("seg", sort=False)["n"].sum().reset_index()
+
+    from .grouped import grouped_map
+    counts = grouped_map(
+        ds.map_batches(partial_counts, batch_format="pandas"),
+        "seg", merge_counts)
     hot_ds = counts.map_batches(
         lambda df: df[df["n"] > max_count][["seg"]],
         batch_format="pandas")
