@@ -20,7 +20,8 @@ pipeline composes the same engine stages into the incremental contract:
 
 FROZEN-BASE INVARIANT: base entities are never merged or renamed. A new
 record that matches two DIFFERENT base entities joins the min-id one only
-(logged in the output as ``n_ambiguous``); reconciling base entities is a
+(surfaced as ``n_distinct`` > 1 in ``components_entity``); reconciling
+base entities is a
 full re-link, not an incremental step.
 
 Every stage is a Dataset transform — candidate shuffle, actor-pool scorer,

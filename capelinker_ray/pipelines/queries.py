@@ -1593,6 +1593,26 @@ def sql_setop_intersect(sf_dir: str) -> str:
             "ORDER BY source, lang")
 
 
+def q_grouped_split(sf_dir: str):
+    """Leakage-safe grouped train/test split: every event of a user lands
+    in the same split (stages/sampling.py:grouped_split, splitmix64 twin
+    -> value-exact SQL oracle)."""
+    from ..stages.sampling import grouped_split
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id"])
+    return grouped_split(ev, "user_id", test_frac=0.25, seed=5)
+
+
+def sql_grouped_split(sf_dir: str) -> str:
+    from ..stages.sampling import bernoulli_threshold, seed_mix
+    thr = bernoulli_threshold(0.25)
+    h = _sql_splitmix64(
+        f"xor(CAST(user_id AS UBIGINT), CAST('{seed_mix(5)}' AS UBIGINT))")
+    return (f"SELECT event_id, user_id, CASE WHEN {h} < "
+            f"CAST('{thr}' AS UBIGINT) THEN 'test' ELSE 'train' END "
+            "AS split FROM events")
+
+
 def q_weighted_sample(sf_dir: str):
     """Efraimidis-Spirakis weighted sample without replacement: 100 docs
     with probability proportional to length (n_chars) — the quality/
@@ -2043,6 +2063,7 @@ def build_queries() -> dict:
         "stratified_sample": q_stratified_sample,
         "bernoulli_sample": q_bernoulli_sample,
         "weighted_sample": q_weighted_sample,
+        "grouped_split": q_grouped_split,
         "setop_except": q_setop_except,
         "setop_intersect": q_setop_intersect,
         "curation_capped": q_curation_capped,
@@ -2100,6 +2121,7 @@ def build_oracle_sql() -> dict:
         "stratified_sample": sql_stratified_sample(_ORACLE_SF_DIR),
         "bernoulli_sample": sql_bernoulli_sample(_ORACLE_SF_DIR),
         "weighted_sample": sql_weighted_sample(_ORACLE_SF_DIR),
+        "grouped_split": sql_grouped_split(_ORACLE_SF_DIR),
         "setop_except": sql_setop_except(_ORACLE_SF_DIR),
         "setop_intersect": sql_setop_intersect(_ORACLE_SF_DIR),
         "curation_capped": sql_curation_capped(_ORACLE_SF_DIR),

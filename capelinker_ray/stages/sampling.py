@@ -30,7 +30,7 @@ import pandas as pd
 from .dedup import _splitmix64
 
 __all__ = ["bernoulli_sample", "stratified_sample", "top_k_per_group",
-           "weighted_sample_topk",
+           "weighted_sample_topk", "grouped_split",
            "sample_hash", "seed_mix", "bernoulli_threshold"]
 
 _U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -111,6 +111,25 @@ def weighted_sample_topk(ds, id_col: str, weight_col: str, k: int,
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return partials.repartition(1).map_batches(merge, batch_format="pandas")
+
+
+def grouped_split(ds, key_col: str, test_frac: float, seed: int = 0,
+                  out_col: str = "split"):
+    """Leakage-safe train/test split: EVERY row of a key lands in the same
+    split (hash-of-key Bernoulli, the grouped-holdout rule the reference's
+    training scripts use — a per-row split would leak one conversation's
+    turns across both sides). Deterministic via the engine splitmix64
+    stream; shuffle-free per-batch map."""
+    thr = bernoulli_threshold(test_frac)
+    t64 = np.uint64(min(thr, (1 << 64) - 1))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = sample_hash(df[key_col].to_numpy(np.int64), seed)
+        df[out_col] = np.where(h < t64, "test", "train")
+        return df
+
+    return ds.map_batches(tag, batch_format="pandas")
 
 
 def top_k_per_group(ds, key_col: str, value_col: str, id_col: str,

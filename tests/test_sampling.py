@@ -132,3 +132,23 @@ def test_weighted_sample_drops_nonpositive_and_is_weight_biased(ray_session):
     assert not set(out["id"]) & set(range(0, 10, 2))  # w=0 excluded
     heavy = (out["w"] == 100.0).sum()
     assert heavy > 160                # ~99% expected; loose statistical bar
+
+
+def test_grouped_split_leakage_safe_and_deterministic(ray_session):
+    from capelinker_ray.stages.sampling import grouped_split
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({"k": rng.integers(0, 300, 3000).astype(np.int64),
+                       "v": np.arange(3000)})
+    out = (grouped_split(rd.from_pandas(df).repartition(6), "k", 0.25,
+                         seed=5).to_pandas())
+    # every key entirely in one split (no leakage)
+    assert (out.groupby("k")["split"].nunique() == 1).all()
+    # roughly a quarter of KEYS on the test side
+    key_split = out.drop_duplicates("k")
+    frac = (key_split["split"] == "test").mean()
+    assert 0.15 < frac < 0.35
+    # deterministic across runs / partitionings
+    out2 = grouped_split(rd.from_pandas(df), "k", 0.25, seed=5).to_pandas()
+    m = out.sort_values("v").reset_index(drop=True)
+    m2 = out2.sort_values("v").reset_index(drop=True)
+    assert (m["split"] == m2["split"]).all()
