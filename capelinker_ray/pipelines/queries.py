@@ -1593,6 +1593,40 @@ def sql_setop_intersect(sf_dir: str) -> str:
             "ORDER BY source, lang")
 
 
+def q_trigram_nll(sf_dir: str):
+    """CCNet-style corpus-LM quality signal (stages/lm.py): per-document
+    mean negative log prob under the corpus's own add-one-smoothed
+    character-trigram model."""
+    from ..stages.lm import trigram_nll
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return trigram_nll(docs)
+
+
+def sql_trigram_nll(sf_dir: str) -> str:
+    return """WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS p
+  FROM documents WHERE length(text) >= 3
+), tri AS (
+  SELECT doc_id,
+         unicode(substr(text, CAST(p AS INTEGER), 1)) AS c1,
+         unicode(substr(text, CAST(p AS INTEGER) + 1, 1)) AS c2,
+         unicode(substr(text, CAST(p AS INTEGER) + 2, 1)) AS c3
+  FROM pos
+), tcnt AS (
+  SELECT c1, c2, c3, count(*) AS n FROM tri GROUP BY 1, 2, 3
+), ctx AS (
+  SELECT c1, c2, sum(n) AS m FROM tcnt GROUP BY 1, 2
+), v AS (SELECT count(DISTINCT c3) AS v FROM tri)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+       round(-avg(ln((tn.n + 1.0) / (cx.m + v.v))), 6) AS nll
+FROM tri t
+JOIN tcnt tn USING (c1, c2, c3)
+JOIN ctx cx USING (c1, c2)
+CROSS JOIN v
+GROUP BY t.doc_id"""
+
+
 def q_grouped_split(sf_dir: str):
     """Leakage-safe grouped train/test split: every event of a user lands
     in the same split (stages/sampling.py:grouped_split, splitmix64 twin
@@ -2064,6 +2098,7 @@ def build_queries() -> dict:
         "bernoulli_sample": q_bernoulli_sample,
         "weighted_sample": q_weighted_sample,
         "grouped_split": q_grouped_split,
+        "trigram_nll": q_trigram_nll,
         "setop_except": q_setop_except,
         "setop_intersect": q_setop_intersect,
         "curation_capped": q_curation_capped,
@@ -2122,6 +2157,7 @@ def build_oracle_sql() -> dict:
         "bernoulli_sample": sql_bernoulli_sample(_ORACLE_SF_DIR),
         "weighted_sample": sql_weighted_sample(_ORACLE_SF_DIR),
         "grouped_split": sql_grouped_split(_ORACLE_SF_DIR),
+        "trigram_nll": sql_trigram_nll(_ORACLE_SF_DIR),
         "setop_except": sql_setop_except(_ORACLE_SF_DIR),
         "setop_intersect": sql_setop_intersect(_ORACLE_SF_DIR),
         "curation_capped": sql_curation_capped(_ORACLE_SF_DIR),
