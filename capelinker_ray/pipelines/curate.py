@@ -93,7 +93,8 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
                      source_col: str = "source",
                      sample_fraction: float | None = None,
                      sample_seed: int = 13,
-                     near_dup_keep: str = "min_id") -> dict:
+                     near_dup_keep: str = "min_id",
+                     max_nll: float | None = None) -> dict:
     """Optional extra stages: ``pii_scrub=True`` rewrites ``text_col`` in
     place (stages/pii.py masks) BEFORE annotation, so gates and dedup see
     redacted text; ``decontam_against=<benchmark Dataset>`` removes docs
@@ -170,6 +171,28 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
         n_contaminated = contam_removed.count()
         removed_frames.append(contam_removed)
         survivors = _anti_join_ds(survivors, contam_removed, n_contaminated,
+                                  id_col, broadcast_threshold)
+
+    n_high_ppl = None
+    if max_nll is not None:
+        # CCNet-style perplexity gate (stages/lm.py): the trigram LM is
+        # trained on the POST-GATE survivor corpus itself, so "improbable"
+        # means improbable relative to what the pipeline is keeping
+        from ..stages.lm import trigram_nll
+        nll = trigram_nll(survivors, text_col=text_col, id_col=id_col)
+
+        def high_ppl_ledger(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            bad = t.filter(pc.greater(t["nll"], max_nll))
+            return pa.table({id_col: bad[id_col].cast(pa.int64()),
+                             "reason": pa.array(
+                                 ["high_perplexity"] * len(bad),
+                                 pa.string())})
+        ppl_removed = nll.map_batches(
+            high_ppl_ledger, batch_format="pyarrow").materialize()
+        n_high_ppl = ppl_removed.count()
+        removed_frames.append(ppl_removed)
+        survivors = _anti_join_ds(survivors, ppl_removed, n_high_ppl,
                                   id_col, broadcast_threshold)
 
     # exact dup: min id per text hash; emit ONLY the non-representatives
@@ -333,6 +356,8 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
         stats["segments_removed"] = n_segments_removed
     if n_contaminated is not None:
         stats["contaminated"] = n_contaminated
+    if n_high_ppl is not None:
+        stats["high_perplexity"] = n_high_ppl
     if n_capped is not None:
         stats["source_capped"] = n_capped
     if n_sampled_out is not None:

@@ -197,3 +197,26 @@ def test_curate_near_dup_keep_rejects_unknown(ray_session):
     with pytest.raises(ValueError):
         curate_documents(rd.from_pandas(_corpus()),
                          near_dup_keep="longest")
+
+
+def test_curate_perplexity_gate(ray_session):
+    """max_nll removes the improbable-character docs with reason
+    high_perplexity; None (default) leaves behavior unchanged."""
+    import numpy as np
+    rng = np.random.default_rng(9)
+    normal = ["the quick brown fox jumps over the lazy dog " * 4] * 40
+    weird = ["".join(chr(int(c)) for c in rng.integers(0x4E00, 0x9FFF, 80))
+             for _ in range(3)]
+    df = pd.DataFrame({"doc_id": np.arange(43, dtype=np.int64),
+                       "text": normal + weird,
+                       "lang": ["en"] * 43, "source": ["s"] * 43})
+    base = curate_documents(rd.from_pandas(df), min_quality=0.0,
+                            min_tokens=1, near_dup=False)
+    out = curate_documents(rd.from_pandas(df), min_quality=0.0,
+                           min_tokens=1, near_dup=False, max_nll=3.0)
+    rem = out["removed"].to_pandas()
+    ppl = rem[rem["reason"] == "high_perplexity"]
+    assert set(ppl["doc_id"]) == {40, 41, 42}
+    assert out["stats"]["high_perplexity"] == 3
+    # the gate only ever removes MORE, never changes other reasons
+    assert out["stats"]["kept"] == base["stats"]["kept"] - 3
