@@ -23,6 +23,15 @@ Returns {"kept": Dataset, "removed": Dataset[id, reason], "stats": dict}.
 Removal id-sets are the DUPLICATES (small relative to the corpus — never
 the keep-list), broadcast via ray.put below ``broadcast_threshold`` with
 a hash anti-join fallback above it.
+
+Pinning: every survivor transition has >=2 downstream consumers (the next
+stage's ledger pass + the anti-join output; the perplexity gate alone
+reads its input three times), so each is pinned exactly once. With
+``checkpoint_dir=None`` the pin is ``materialize()`` (object store,
+spillable); with a directory it is a per-stage Parquet checkpoint via
+pipelines/checkpoint.CheckpointManager — survivors stream DISK-to-disk
+instead of holding 2-3 corpus copies in plasma, and a killed run resumes
+from the last completed stage.
 """
 
 from __future__ import annotations
@@ -94,7 +103,8 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
                      sample_fraction: float | None = None,
                      sample_seed: int = 13,
                      near_dup_keep: str = "min_id",
-                     max_nll: float | None = None) -> dict:
+                     max_nll: float | None = None,
+                     checkpoint_dir: str | None = None) -> dict:
     """Optional extra stages: ``pii_scrub=True`` rewrites ``text_col`` in
     place (stages/pii.py masks) BEFORE annotation, so gates and dedup see
     redacted text; ``decontam_against=<benchmark Dataset>`` removes docs
@@ -111,9 +121,39 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
     work) or ``"best_quality"`` (keep the member with the HIGHEST quality
     score, ties to min id — what a training-data pipeline usually wants;
     costs one broadcast of the slim (id, quality) rows of the family
-    members only, never the corpus)."""
+    members only, never the corpus).
+
+    ``checkpoint_dir=<path>`` swaps every object-store pin for a
+    per-stage Parquet checkpoint (resume skips completed stages; the
+    kept/removed ledgers are bit-identical in both modes — pytest-pinned).
+    """
     if near_dup_keep not in ("min_id", "best_quality"):
         raise ValueError(f"near_dup_keep: {near_dup_keep!r}")
+    from .checkpoint import CheckpointManager
+    ckpt = CheckpointManager(checkpoint_dir)
+    # one params hash shared by every stage: ANY curation-parameter change
+    # invalidates the whole checkpoint chain (safe over clever — a stale
+    # survivor set silently mixed with new thresholds would be worse)
+    _params = {
+        "text_col": text_col, "id_col": id_col, "min_tokens": min_tokens,
+        "max_tokens": max_tokens, "min_quality": min_quality,
+        "langs": langs, "near_dup": near_dup,
+        "jaccard_threshold": jaccard_threshold,
+        "segment_scrub": segment_scrub, "words_per_seg": words_per_seg,
+        "seg_max_count": seg_max_count, "pii_scrub": pii_scrub,
+        "decontam": decontam_against is not None,
+        "decontam_ngram": decontam_ngram,
+        "max_per_source": max_per_source, "source_col": source_col,
+        "sample_fraction": sample_fraction, "sample_seed": sample_seed,
+        "near_dup_keep": near_dup_keep, "max_nll": max_nll,
+    }
+    _prev = [()]
+
+    def _pin(name, dsx):
+        out = ckpt.stage(name, lambda: dsx, inputs=_prev[0],
+                         params=_params)
+        _prev[0] = (name,)
+        return out
     if pii_scrub:
         from ..stages.pii import redact_pii
         ds = redact_pii(ds, text_col=text_col, out_col=text_col)
@@ -137,8 +177,8 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
         df["_reason"] = reason
         return df
 
-    gated = annotated.map_batches(gate, batch_format="pandas")\
-        .materialize()
+    gated = _pin("gated", annotated.map_batches(gate,
+                                                batch_format="pandas"))
 
     def pass_rows(df: pd.DataFrame) -> pd.DataFrame:
         return df[df["_reason"] == ""].drop(columns=["_reason"])
@@ -150,8 +190,8 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return pa.table({id_col: pa.array(out[id_col]),
                          "reason": pa.array(out["_reason"], pa.string())})
 
-    survivors = gated.map_batches(pass_rows, batch_format="pandas")\
-        .materialize()
+    survivors = _pin("survivors_gate",
+                     gated.map_batches(pass_rows, batch_format="pandas"))
     removed_frames = [gated.map_batches(fail_rows, batch_format="pandas")]
 
     n_contaminated = None
@@ -166,12 +206,13 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
             return pa.table({id_col: bad[id_col].cast(pa.int64()),
                              "reason": pa.array(["contaminated"] * len(bad),
                                                 pa.string())})
-        contam_removed = flags.map_batches(
-            contaminated_ledger, batch_format="pyarrow").materialize()
+        contam_removed = _pin("ledger_contam", flags.map_batches(
+            contaminated_ledger, batch_format="pyarrow"))
         n_contaminated = contam_removed.count()
         removed_frames.append(contam_removed)
-        survivors = _anti_join_ds(survivors, contam_removed, n_contaminated,
-                                  id_col, broadcast_threshold)
+        survivors = _pin("survivors_decontam", _anti_join_ds(
+            survivors, contam_removed, n_contaminated,
+            id_col, broadcast_threshold))
 
     n_high_ppl = None
     if max_nll is not None:
@@ -188,12 +229,13 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
                              "reason": pa.array(
                                  ["high_perplexity"] * len(bad),
                                  pa.string())})
-        ppl_removed = nll.map_batches(
-            high_ppl_ledger, batch_format="pyarrow").materialize()
+        ppl_removed = _pin("ledger_ppl", nll.map_batches(
+            high_ppl_ledger, batch_format="pyarrow"))
         n_high_ppl = ppl_removed.count()
         removed_frames.append(ppl_removed)
-        survivors = _anti_join_ds(survivors, ppl_removed, n_high_ppl,
-                                  id_col, broadcast_threshold)
+        survivors = _pin("survivors_ppl", _anti_join_ds(
+            survivors, ppl_removed, n_high_ppl,
+            id_col, broadcast_threshold))
 
     # exact dup: min id per text hash; emit ONLY the non-representatives
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
@@ -211,20 +253,21 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return out
 
     hashed = survivors.map_batches(add_hash, batch_format="pandas")
-    # ledger stays a DATASET: materialized (small relative to the corpus
-    # per partition, object-store-backed, spillable) but never pulled to
-    # the driver except the bounded broadcast fast path in _anti_join_ds
-    exact_removed = grouped_map(hashed, "_th", exact_losers).materialize()
+    # ledger stays a DATASET: pinned (small relative to the corpus
+    # per partition, object-store- or parquet-backed, spillable) but never
+    # pulled to the driver except the bounded broadcast fast path in
+    # _anti_join_ds
+    exact_removed = _pin("ledger_exact", grouped_map(hashed, "_th",
+                                                     exact_losers))
     n_exact = exact_removed.count()
     removed_frames.append(exact_removed)
-    survivors = _anti_join_ds(survivors, exact_removed, n_exact,
-                              id_col, broadcast_threshold)
+    survivors = _pin("survivors_exact", _anti_join_ds(
+        survivors, exact_removed, n_exact, id_col, broadcast_threshold))
 
     ledger_schema = pa.schema([(id_col, pa.int64()),
                                ("reason", pa.string())])
     near_removed = rd.from_arrow(ledger_schema.empty_table())
     if near_dup:
-        survivors = survivors.materialize()
         pairs = minhash_lsh_dedup(survivors, text_col=text_col,
                                   id_col=id_col,
                                   jaccard_threshold=jaccard_threshold)
@@ -260,8 +303,8 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
                      "reason": pa.array(["near_dup"] * len(out),
                                         pa.string())},
                     schema=ledger_schema)
-            near_removed = grouped_map(
-                fam, "entity_id", q_losers).materialize()
+            near_removed = _pin("ledger_near", grouped_map(
+                fam, "entity_id", q_losers))
         else:
             def losers(t: pa.Table) -> pa.Table:
                 import pyarrow.compute as pc
@@ -273,11 +316,11 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
                                      ["near_dup"] * len(node),
                                      pa.string())},
                                 schema=ledger_schema)
-            near_removed = comp.map_batches(
-                losers, batch_format="pyarrow").materialize()
+            near_removed = _pin("ledger_near", comp.map_batches(
+                losers, batch_format="pyarrow"))
         n_near = near_removed.count()
-        survivors = _anti_join_ds(survivors, near_removed, n_near,
-                                  id_col, broadcast_threshold)
+        survivors = _pin("survivors_near", _anti_join_ds(
+            survivors, near_removed, n_near, id_col, broadcast_threshold))
     removed_frames.append(near_removed)
 
     n_capped = None
@@ -298,12 +341,13 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
             return out
 
         slim = survivors.select_columns([id_col, source_col])
-        cap_removed = grouped_map(slim, source_col, cap_losers)\
-            .materialize()
+        cap_removed = _pin("ledger_cap",
+                           grouped_map(slim, source_col, cap_losers))
         n_capped = cap_removed.count()
         removed_frames.append(cap_removed)
-        survivors = _anti_join_ds(survivors, cap_removed, n_capped,
-                                  id_col, broadcast_threshold)
+        survivors = _pin("survivors_cap", _anti_join_ds(
+            survivors, cap_removed, n_capped, id_col,
+            broadcast_threshold))
 
     n_sampled_out = None
     if sample_fraction is not None:
@@ -322,12 +366,13 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
             out["reason"] = "sampled_out"
             return typed_or_empty(out)
 
-        samp_removed = survivors.map_batches(
-            bern_split, batch_format="pandas").materialize()
+        samp_removed = _pin("ledger_sample", survivors.map_batches(
+            bern_split, batch_format="pandas"))
         n_sampled_out = samp_removed.count()
         removed_frames.append(samp_removed)
-        survivors = _anti_join_ds(survivors, samp_removed, n_sampled_out,
-                                  id_col, broadcast_threshold)
+        survivors = _pin("survivors_sample", _anti_join_ds(
+            survivors, samp_removed, n_sampled_out, id_col,
+            broadcast_threshold))
 
     n_segments_removed = None
     if segment_scrub:
@@ -336,19 +381,21 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
         # — rewrites text, never drops doc rows)
         from ..stages.dedup import segment_dedup
         from ray.data.aggregate import Sum
-        survivors = segment_dedup(
+        survivors = _pin("survivors_segscrub", segment_dedup(
             survivors, text_col=text_col, id_col=id_col,
             words_per_seg=words_per_seg, max_count=seg_max_count,
             broadcast_threshold=broadcast_threshold,
-            input_partitions=None, replace_text=True).materialize()
+            input_partitions=None, replace_text=True))
         agg = survivors.aggregate(Sum("n_removed", alias_name="s"))
         n_segments_removed = int(agg["s"] or 0)
 
     removed = removed_frames[0]
     for f in removed_frames[1:]:
         removed = removed.union(f)
-    kept = survivors.materialize()
-    removed = removed.materialize()
+    # survivors is already pinned by the last stage that touched it
+    # (survivors_exact at minimum — exact dedup is unconditional)
+    kept = survivors
+    removed = _pin("removed", removed)
     n_in = ds.count()
     stats = {"input": n_in, "kept": kept.count(),
              "removed": removed.count()}
@@ -362,4 +409,6 @@ def curate_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
         stats["source_capped"] = n_capped
     if n_sampled_out is not None:
         stats["sampled_out"] = n_sampled_out
+    if checkpoint_dir is not None:
+        stats["lineage"] = ckpt.metrics()
     return {"kept": kept, "removed": removed, "stats": stats}

@@ -31,6 +31,48 @@ from .join import hash_join
 __all__ = ["connected_components", "expand_index", "attach_entity_ids"]
 
 
+_HM = np.uint64(0x9E3779B97F4A7C15)      # odd → bijective mod 2^64
+
+
+def _rowhash_utf8(arr) -> np.ndarray:
+    """Per-row 64-bit polynomial hash of a string column computed DIRECTLY
+    on the Arrow buffers (offsets + UTF-8 data): h(row) = Σ (byte+1)·M^pos
+    mixed with the row length — fully vectorized over the flat byte
+    buffer, zero Python-object materialization."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.cast(pa.large_string())     # int64 offsets, uniform path
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], np.int64,
+                        count=n + 1 + arr.offset)[arr.offset:]
+    data = np.frombuffer(bufs[2], np.uint8)
+    lo, hi = int(off[0]), int(off[-1])
+    starts, ends = off[:-1] - lo, off[1:] - lo
+    lens = ends - starts
+    npos = hi - lo
+    with np.errstate(over="ignore"):
+        if npos:
+            seg = data[lo:hi].astype(np.uint64)
+            max_len = int(lens.max())
+            ptab = np.full(max(max_len, 1), _HM, np.uint64)
+            ptab[0] = np.uint64(1)
+            ptab = np.cumprod(ptab)       # M^k mod 2^64 (wraps)
+            pos_in_row = np.arange(npos, dtype=np.int64) - np.repeat(
+                starts, lens)
+            w = (seg + np.uint64(1)) * ptab[pos_in_row]
+            csum = np.zeros(npos + 1, np.uint64)
+            np.cumsum(w, out=csum[1:])
+            raw = csum[ends] - csum[starts]
+        else:
+            raw = np.zeros(n, np.uint64)
+        h = (raw ^ lens.astype(np.uint64)) * _HM
+        h ^= h >> np.uint64(29)
+    return h
+
+
 def _sym_edges(ds_links, id_from: str, id_to: str):
     """links -> symmetric (src, dst) edge dataset (both directions)."""
     def sym(t: pa.Table) -> pa.Table:
@@ -166,17 +208,19 @@ def connected_components(ds_links, *, id_from: str = "conv_id_from",
 
     def _signature(ds) -> int:
         """Order-independent content hash of the (node,label) table: one
-        cheap streaming pass (per-batch vectorized FNV + driver sum mod
+        cheap streaming pass (per-batch vectorized hash + driver sum mod
         2^64) — labels move monotonically downward, so signature equality
         ⇔ fixpoint (up to a ~2^-64 collision that would cost one early
         stop; the alternative exact check is a full extra shuffle per
-        iteration)."""
-        from .textstats import fnv1a_64
-
+        iteration). Rows hash straight off the Arrow UTF-8 buffers
+        (_rowhash_utf8) — no per-value Python materialization (the old
+        ``to_pylist()`` walked every id twice per iteration)."""
         def batch_sig(t: pa.Table) -> pa.Table:
-            h = fnv1a_64(t["node"].to_pylist()) ^ fnv1a_64(t["label"].to_pylist())
-            # mix to decorrelate, then wrap-sum per batch
+            hn = _rowhash_utf8(t["node"])
+            hl = _rowhash_utf8(t["label"])
             with np.errstate(over="ignore"):
+                h = hn ^ ((hl << np.uint64(1)) | (hl >> np.uint64(63)))
+                # mix to decorrelate, then wrap-sum per batch
                 h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
             s = int(h.sum(dtype=np.uint64))
             return pa.table({"sig": pa.array([s & 0x7FFFFFFFFFFFFFFF],

@@ -42,10 +42,19 @@ def json_scalar(ds, col: str, field: str, out_col: str,
         s = df[col].astype("string")
         got = s.str.extract(pat, expand=False)
         # fallback: rows that mention the field but did not match the
-        # scalar pattern (escaped strings, nested objects, spacing quirks)
-        miss = got.isna() & s.notna() & s.str.contains(f'"{field}"',
-                                                       regex=False)
+        # scalar pattern (escaped strings, spacing quirks), PLUS any row
+        # holding a nested object — the regex would otherwise match the
+        # field at any depth, where JSON-path $.field must see only the
+        # top level ('{"outer": {"k": 5}}' -> null, not 5).
+        nested = s.str.count(r"\{") > 1
+        miss = s.notna() & (nested
+                            | (got.isna()
+                               & s.str.contains(f'"{field}"', regex=False)))
         if miss.any():
+            # object dtype: slow() may return non-string scalars (ints,
+            # floats) that a pandas StringArray would reject on mask
+            got = got.astype(object).where(got.notna(), None)
+
             def slow(v):
                 try:
                     x = json.loads(v)

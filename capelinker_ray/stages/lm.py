@@ -59,12 +59,22 @@ def _batch_tri_codes(texts) -> tuple:
 
 
 def trigram_nll(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                out_col: str = "nll", input_partitions="auto"):
+                out_col: str = "nll", input_partitions="auto",
+                min_count: int = 1):
     """Dataset[(id_col, n_tri, out_col)] — per-document mean negative log
     probability under the corpus's own add-one-smoothed trigram LM.
     Documents with fewer than 3 characters (or null text) are omitted.
     High ``nll`` = improbable character sequences = gibberish/boilerplate
-    candidates."""
+    candidates.
+
+    Driver-memory bound: the broadcast model holds the DISTINCT OBSERVED
+    trigrams (not |alphabet|³ — for CJK/multilingual corpora observed
+    trigrams grow with corpus size). ``min_count > 1`` prunes rarer
+    trigrams from the table before the driver collect (context sums are
+    computed BEFORE pruning, so surviving probabilities are unchanged);
+    pruned trigrams score through the unseen-code path — add-one
+    smoothing already defines their mass — capping driver memory at the
+    head of the Zipf curve."""
     from .dedup import _widen
     from .grouped import grouped_map
     ds = _widen(ds, input_partitions)
@@ -98,6 +108,11 @@ def trigram_nll(ds, *, text_col: str = "text", id_col: str = "doc_id",
     ctx_uniq, ctx_inv = np.unique(ctx_codes_all, return_inverse=True)
     ctx_counts = np.bincount(ctx_inv, weights=counts).astype(np.int64)
     v = int(len(np.unique(codes % _B)))          # distinct third chars
+    if min_count > 1:
+        # prune AFTER context sums so surviving P(c3|c1c2) are unchanged;
+        # dropped trigrams fall through the unseen-code path below.
+        keep_tri = counts >= min_count
+        codes, counts = codes[keep_tri], counts[keep_tri]
     model_ref = ray.put((codes, counts, ctx_uniq, ctx_counts, v))
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
@@ -108,8 +123,22 @@ def trigram_nll(ds, *, text_col: str = "text", id_col: str = "doc_id",
             return pd.DataFrame({id_col: pd.Series(dtype=object),
                                  "n_tri": pd.Series(dtype=np.int64),
                                  out_col: pd.Series(dtype=np.float64)})
-        tn = cnts[np.searchsorted(cds, tcodes)]      # every code exists
-        cm = cc[np.searchsorted(cu, tcodes // _B)]
+        # guarded lookups: codes unseen at train time (pruned via
+        # min_count, or text the model never saw) get count 0 — add-one
+        # smoothing already defines their probability; unseen contexts
+        # get mass 0 the same way.  An unguarded searchsorted would index
+        # out of bounds or read a neighbor's count.
+        ti = np.searchsorted(cds, tcodes)
+        t_ok = (ti < len(cds))
+        t_ok[t_ok] &= cds[ti[t_ok]] == tcodes[t_ok]
+        tn = np.zeros(len(tcodes), np.int64)
+        tn[t_ok] = cnts[ti[t_ok]]
+        ctx = tcodes // _B
+        ci = np.searchsorted(cu, ctx)
+        c_ok = (ci < len(cu))
+        c_ok[c_ok] &= cu[ci[c_ok]] == ctx[c_ok]
+        cm = np.zeros(len(tcodes), np.int64)
+        cm[c_ok] = cc[ci[c_ok]]
         logp = np.log((tn + 1.0) / (cm + float(vv)))
         n_docs = len(df)
         n_tri = np.bincount(doc_idx, minlength=n_docs)

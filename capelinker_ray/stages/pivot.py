@@ -38,6 +38,13 @@ def pivot_counts(ds, *, index: str, pivot: str, values: list | None = None,
             f"a wide layout beyond {_MAX_PIVOT_VALUES} columns is a "
             "different query — aggregate long instead")
     vals = [str(v) for v in values]
+    if len(set(vals)) != len(vals):
+        # e.g. int 1 vs str "1" in a mixed-type pivot column — the wide
+        # layout would carry duplicate labels and double-count on merge
+        dupes = sorted({v for v in vals if vals.count(v) > 1})
+        raise ValueError(
+            f"pivot values stringify to duplicate column labels {dupes}; "
+            "cast the pivot column to one type first")
     vset = list(values)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

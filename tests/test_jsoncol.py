@@ -28,11 +28,17 @@ def test_json_scalar_string_and_fallback(ray_session):
     assert out["n"].tolist() == ["alice", 'es"caped', None, None]
 
 
-def test_json_scalar_fallback_numeric_spacing(ray_session):
-    # a value the regex misses only if formatting is exotic — json.loads
-    # fallback still recovers it (field mentioned but nested deeper)
-    df = pd.DataFrame({"j": ['{"outer": {"k": 5}, "k": 9}']})
+def test_json_scalar_nested_top_level_semantics(ray_session):
+    # JSON-path $.k semantics: nested payloads go through json.loads, so
+    # the TOP-LEVEL field wins and a field buried in a sub-object is null
+    # (matching DuckDB json_extract in the props_stats oracle).
+    df = pd.DataFrame({"j": [
+        '{"outer": {"k": 5}, "k": 9}',   # top-level 9, not inner 5
+        '{"outer": {"k": 5}}',           # only nested -> null
+        '{"k": 7}',                      # flat fast path unchanged
+    ]})
     out = json_scalar(rd.from_pandas(df), "j", "k", "k").to_pandas()
-    # top-level k wins in the fallback; fast path may catch the inner 5
-    # first — pin the actual contract: SOME scalar k is extracted
-    assert out["k"].iloc[0] in (5.0, 9.0)
+    v = out["k"].tolist()
+    assert v[0] == 9.0
+    assert np.isnan(v[1])
+    assert v[2] == 7.0
