@@ -952,11 +952,82 @@ def segment_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
         batch_format="pandas")
 
 
+def _lfmis_keep(M: np.ndarray) -> np.ndarray:
+    """Kept-mask of the greedy first-fit scan over rows 0..n-1, where
+    ``M[j, i]`` (strict lower triangle) marks a conflict between row j and
+    earlier row i: kept[j] ⇔ no conflict with any earlier KEPT row (the
+    lexicographically-first maximal independent set).
+
+    Vectorized ROUND elimination instead of a per-row Python loop: each
+    round decides every row whose earlier conflicts are all settled —
+    rows with a kept conflict are removed, rows with no undecided
+    conflict are kept. The lowest undecided row always decides, so the
+    loop terminates in ≤ n rounds; near-dup conflict graphs are star-like
+    and settle in 2-3 vectorized bool passes."""
+    n = M.shape[0]
+    undecided = np.ones(n, bool)
+    kept = np.zeros(n, bool)
+    while undecided.any():
+        kept_conf = (M & kept[None, :]).any(axis=1)
+        und_conf = (M & undecided[None, :]).any(axis=1)
+        newly_removed = undecided & kept_conf
+        newly_kept = undecided & ~kept_conf & ~und_conf
+        kept |= newly_kept
+        undecided &= ~(newly_removed | newly_kept)
+    return kept
+
+
+def _greedy_semantic_scan(ids: np.ndarray, V: np.ndarray,
+                          threshold: float, chunk: int = 2048):
+    """Greedy earlier-id-kept scan over one cluster's id-sorted rows —
+    fully vectorized (triangular-mask rounds, no per-row Python).
+    Returns (removed_ids, rep_ids, cosines): one entry per removed row,
+    rep = the EARLIEST kept row with cosine >= threshold. Memory is
+    O(|kept| x d + chunk²), never cluster x cluster."""
+    out_ids, out_kept, out_cos = [], [], []
+    kept_rows: list = []                     # global indices of kept rows
+    n = len(ids)
+    for lo in range(0, n, chunk):
+        C = V[lo:lo + chunk]
+        m = len(C)
+        if kept_rows:
+            P = C @ V[kept_rows].T >= threshold
+            prev_any = P.any(axis=1)
+        else:
+            P = np.zeros((m, 0), bool)
+            prev_any = np.zeros(m, bool)
+        # rows hit by an earlier-chunk kept row are removed outright —
+        # every earlier-chunk row precedes every row of this chunk
+        if prev_any.any():
+            first = np.argmax(P[prev_any], axis=1)
+            for j, f in zip(np.nonzero(prev_any)[0], first):
+                g = kept_rows[int(f)]
+                out_ids.append(ids[lo + j])
+                out_kept.append(ids[g])
+                out_cos.append(round(float(V[lo + j] @ V[g]), 6))
+        # survivors resolve among themselves with the triangular scan
+        surv = np.nonzero(~prev_any)[0]
+        if len(surv):
+            S = V[lo + surv] @ V[lo + surv].T
+            M = (S >= threshold) & np.tri(len(surv), k=-1, dtype=bool)
+            km = _lfmis_keep(M)
+            hit = M & km[None, :]
+            rem = np.nonzero(~km)[0]
+            first = np.argmax(hit[rem], axis=1)
+            for j, f in zip(rem, first):
+                out_ids.append(ids[lo + surv[j]])
+                out_kept.append(ids[lo + surv[f]])
+                out_cos.append(round(float(S[j, f]), 6))
+            kept_rows.extend(int(lo + s) for s in surv[km])
+    return out_ids, out_kept, out_cos
+
+
 def semantic_dedup(ds, *, vec_col: str = "embedding",
                    id_col: str = "doc_id", threshold: float = 0.95,
                    n_clusters: int | str = "auto",
                    sample_size: int = 2048, seed: int = 7,
-                   input_partitions="auto"):
+                   input_partitions="auto",
+                   max_cluster_rows: int | None = 200_000):
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     k-means-cluster the embedding space, then WITHIN each cluster drop
     every row whose cosine to an earlier-id kept row is >= ``threshold``
@@ -965,55 +1036,144 @@ def semantic_dedup(ds, *, vec_col: str = "embedding",
     Scale shape: centroids from a seeded driver sample
     (simsearch.kmeans_centroids, broadcast once); one cluster-key
     grouped_map shuffle of slim (id, vector) rows; inside a partition the
-    greedy keep scan is CHUNKED — each 2048-row block is compared against
-    the kept set by matmul, so memory is O(cluster x d), never the full
-    cluster x cluster similarity matrix. Assumes one cluster fits a
-    partition (~sqrt(N) rows at auto sizing — the same contract as
-    grouped_quantiles / asof_join).
+    greedy keep scan is chunk-vectorized (_greedy_semantic_scan) — memory
+    O(cluster x d), never cluster x cluster, and zero per-row Python.
+
+    Clusters larger than ``max_cluster_rows`` (hot-key protection — a
+    cluster must fit one shuffle partition) are SPLIT deterministically
+    into splitmix64(id)-salted sub-blocks: pass 1 greedy-dedups every
+    sub-block in parallel, pass 2 re-dedups the union of the sub-blocks'
+    kept rows per cluster (the bigram.py grid-salting shape). Exact-greedy
+    parity note: every removed row was >= threshold to its named rep at
+    removal time, and pass-1 reps that pass 2 removes are REMAPPED to
+    pass-2 survivors, so ``kept_id`` always names a surviving doc; a row
+    whose pass-1 rep is later removed stays removed (the documented,
+    deterministic approximation — the exact global greedy is inherently
+    sequential).
 
     Returns Dataset[(id_col, kept_id, cosine)] — one row per REMOVED
-    document with its surviving representative.
+    document with its surviving representative (cosine = similarity to
+    the row that triggered removal).
     """
     from .simsearch import assign_clusters, kmeans_centroids, _norm_rows
+    from .grouped import grouped_map
     ds = _widen(ds, input_partitions)
     slim = ds.select_columns([id_col, vec_col])
     C = kmeans_centroids(slim, vec_col=vec_col, k=n_clusters,
                          sample_size=sample_size, seed=seed)
     tagged = assign_clusters(slim, C, vec_col=vec_col, out_col="_sc")
 
-    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+    def _dedup_groups(g: pd.DataFrame, key: str,
+                      packed: bool = False) -> pd.DataFrame:
         out_ids, out_kept, out_cos = [], [], []
-        for _, rows in g.groupby("_sc", sort=False):
+        for _, rows in g.groupby(key, sort=False):
             if len(rows) < 2:
                 continue
             order = np.argsort(rows[id_col].to_numpy(), kind="stable")
             ids = rows[id_col].to_numpy()[order]
-            V = _norm_rows(np.stack(
-                rows[vec_col].to_numpy())[order].astype(np.float64))
-            kept: list = []                       # global row indices kept
-            for lo in range(0, len(ids), 2048):
-                chunk = V[lo:lo + 2048]
-                prev_hit = ((chunk @ V[kept].T) >= threshold) if kept \
-                    else np.zeros((len(chunk), 0), bool)
-                S = chunk @ chunk.T
-                local_kept: list = []             # chunk-local kept indices
-                for j in range(len(chunk)):       # greedy scan: each row's
-                    hit = -1                      # fate depends only on
-                    if prev_hit.shape[1] and prev_hit[j].any():   # earlier
-                        hit = kept[int(prev_hit[j].argmax())]     # KEPT rows
-                    elif local_kept:
-                        m = S[j, local_kept] >= threshold
-                        if m.any():
-                            hit = lo + local_kept[int(np.argmax(m))]
-                    if hit >= 0:
-                        out_ids.append(ids[lo + j])
-                        out_kept.append(ids[hit])
-                        out_cos.append(round(float(V[lo + j] @ V[hit]), 6))
-                    else:
-                        local_kept.append(j)
-                kept.extend(lo + j for j in local_kept)
-        return pd.DataFrame({id_col: out_ids, "kept_id": out_kept,
+            if packed:          # already normalized at pack time
+                V = _unpack_rows(rows["_vb"], np.float64)[order]
+            else:
+                V = _norm_rows(np.stack(
+                    rows[vec_col].to_numpy())[order].astype(np.float64))
+            i, k, c = _greedy_semantic_scan(ids, V, threshold)
+            out_ids.extend(i)
+            out_kept.extend(k)
+            out_cos.extend(c)
+        dt = g[id_col].dtype        # dtype-stable even for empty frames
+        return pd.DataFrame({id_col: pd.Series(out_ids, dtype=dt),
+                             "kept_id": pd.Series(out_kept, dtype=dt),
                              "cosine": np.asarray(out_cos, np.float64)})
 
-    from .grouped import grouped_map
-    return grouped_map(tagged, "_sc", dedup_part)
+    if max_cluster_rows is None:
+        return grouped_map(tagged, "_sc",
+                           lambda g: _dedup_groups(g, "_sc"))
+
+    tagged = tagged.materialize()      # sizes pass + dedup pass share it
+    # cluster sizes: per-batch partial counts -> tiny driver merge (≤ k
+    # rows per block) — no shuffle, no tensor-column movement
+    def partial_sizes(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["_sc"].value_counts()
+        return pd.DataFrame({"_sc": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+    parts = tagged.select_columns(["_sc"]).map_batches(
+        partial_sizes, batch_format="pandas").to_pandas()
+    sizes = parts.groupby("_sc")["n"].sum()
+    hot = sizes[sizes > max_cluster_rows]
+    n_sub = {int(sc): int(np.ceil(n / max_cluster_rows))
+             for sc, n in hot.items()}
+    if not n_sub:
+        return grouped_map(tagged, "_sc",
+                           lambda g: _dedup_groups(g, "_sc"))
+
+    import ray
+    sub_ref = ray.put(n_sub)
+
+    def salt_pack(df: pd.DataFrame) -> pa.Table:
+        """Slim shuffle payload: (id, _sc, _sck, packed normalized
+        vector) — fixed-size binary crosses shuffles/joins safely and
+        cheaply (Ray's tensor-extension blocks break on slicing)."""
+        from .bcast import cached_get
+        subs = cached_get(sub_ref)
+        sc = df["_sc"].to_numpy(np.int64)
+        m = np.array([subs.get(int(s), 1) for s in sc], np.int64)
+        if pd.api.types.is_integer_dtype(df[id_col]):
+            h = _splitmix64(df[id_col].to_numpy(np.int64).view(np.uint64))
+        else:
+            from .textstats import fnv1a_64
+            h = _splitmix64(fnv1a_64(df[id_col].astype(str).tolist()))
+        sck = sc * np.int64(1 << 20) + (h % m.astype(np.uint64))\
+            .astype(np.int64)
+        V = _norm_rows(np.stack(
+            df[vec_col].to_numpy()).astype(np.float64))
+        return pa.table({id_col: pa.array(df[id_col].to_numpy()),
+                         "_sc": pa.array(sc),
+                         "_sck": pa.array(sck),
+                         "_vb": _pack_rows(V)})
+
+    salted = tagged.map_batches(salt_pack,
+                                batch_format="pandas").materialize()
+    removed1 = grouped_map(
+        salted, "_sck",
+        lambda g: _dedup_groups(g, "_sck", packed=True)).materialize()
+
+    # pass 2: the hot clusters' surviving rows, re-deduped whole. Each hot
+    # cluster's survivors are ~1/threshold-density of its rows; if a
+    # cluster's SURVIVORS still exceed the cap the partition carries them
+    # (one level of salting; document over recurse).
+    from .join import hash_join
+
+    def only_hot(t: pa.Table) -> pa.Table:
+        # arrow filter: an empty result keeps the _vb binary type (a
+        # pandas round-trip would retype empty object columns as string)
+        import pyarrow.compute as pc
+        from .bcast import cached_get
+        subs = cached_get(sub_ref)
+        return t.filter(pc.is_in(
+            t["_sc"], value_set=pa.array(list(subs), pa.int64())))
+    hot_rows = salted.map_batches(only_hot, batch_format="pyarrow")
+    kept1_hot = hash_join(hot_rows, removed1, on=id_col, how="anti")
+    removed2 = grouped_map(
+        kept1_hot, "_sc",
+        lambda g: _dedup_groups(g, "_sc", packed=True)).materialize()
+
+    # remap pass-1 reps that pass 2 removed -> their pass-2 survivor
+    # (chain depth is exactly 2: pass-2 reps are final survivors)
+    remap = removed2.map_batches(
+        lambda t: pa.table({"kept_id": t[id_col],
+                            "_rk": t["kept_id"]}),
+        batch_format="pyarrow")
+    j = hash_join(removed1, remap, on="kept_id", how="left")
+
+    def fix_rep(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["kept_id"] = out["_rk"].where(out["_rk"].notna(),
+                                          out["kept_id"])
+        if pd.api.types.is_integer_dtype(out[id_col]):
+            # left-join nulls floated the column; restore the id dtype
+            out["kept_id"] = out["kept_id"].astype(out[id_col].dtype)
+        return out[[id_col, "kept_id", "cosine"]]
+
+    fixed1 = j.map_batches(fix_rep, batch_format="pandas")
+    return fixed1.union(removed2.select_columns(
+        [id_col, "kept_id", "cosine"]))

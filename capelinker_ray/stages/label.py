@@ -28,12 +28,41 @@ def export_label_batches(ds_records, out_path: str, *,
                          seed: int = 0, attr_cols=None,
                          sort_features=("first_textdist", "second_textdist")):
     """Sample ``n_blocks`` blocks -> candidate pairs + features -> review
-    order -> partitioned Parquet at ``out_path``. Returns the pair count."""
-    keys = sorted(k for k in ds_records.unique(block_col) if k is not None)
-    rng = np.random.default_rng(seed)
-    take = min(n_blocks, len(keys))
-    sampled = set(rng.choice(np.asarray(keys, dtype=object), size=take,
-                             replace=False).tolist())
+    order -> partitioned Parquet at ``out_path``. Returns the pair count.
+
+    Block selection = the ``n_blocks`` distinct keys with the SMALLEST
+    splitmix64(hash(key) ^ seed) — a uniform deterministic sample computed
+    as per-batch distinct + per-batch top-k (≤ n_blocks slim rows leave
+    each batch) and one tiny driver merge. The distinct-key table is NEVER
+    collected (at 100 TB it is itself huge — the old ``unique()`` pulled
+    every block key driver-side)."""
+    from .sampling import sample_hash
+    from .textstats import fnv1a_64
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[[block_col]].dropna().drop_duplicates()
+        if not len(u):
+            from .grouped import typed_or_empty
+            return typed_or_empty(pd.DataFrame(
+                {block_col: pd.Series(dtype=object),
+                 "_h": pd.Series(dtype=np.uint64)}))
+        keys_np = u[block_col].to_numpy()
+        if pd.api.types.is_integer_dtype(u[block_col]):
+            h = sample_hash(keys_np.astype(np.int64), seed)
+        else:
+            h = sample_hash(
+                fnv1a_64([str(k) for k in keys_np]).view(np.int64), seed)
+        order = np.lexsort((keys_np, h))[:n_blocks]
+        return pd.DataFrame({block_col: keys_np[order], "_h": h[order]})
+
+    cand_keys = (ds_records.select_columns([block_col])
+                 .map_batches(block_topk, batch_format="pandas")
+                 .to_pandas())
+    cand_keys = cand_keys.drop_duplicates(block_col)
+    order = np.lexsort((cand_keys[block_col].to_numpy(),
+                        cand_keys["_h"].to_numpy()))
+    take = min(n_blocks, len(cand_keys))
+    sampled = set(cand_keys[block_col].to_numpy()[order[:take]].tolist())
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         return df[df[block_col].isin(sampled)]

@@ -273,6 +273,70 @@ def test_semantic_dedup_removes_planted_duplicates(ray_session):
     assert (out["cosine"] >= 0.999).all()
 
 
+def test_semantic_greedy_scan_matches_bruteforce():
+    # the vectorized triangular-round scan must equal the sequential
+    # reference greedy exactly (ids, reps, cosines) — including across
+    # chunk boundaries (chunk=16 forces many)
+    from capelinker_ray.kernels import strdist  # noqa: F401 (import check)
+    from capelinker_ray.stages.dedup import _greedy_semantic_scan
+    from capelinker_ray.stages.simsearch import _norm_rows
+    rng = np.random.default_rng(44)
+    base = rng.normal(size=(30, 8))
+    vecs = [base[i % 30] + rng.normal(scale=0.002, size=8)
+            for i in range(120)]
+    ids = np.arange(120, dtype=np.int64)
+    V = _norm_rows(np.stack(vecs).astype(np.float64))
+    thr = 0.99
+
+    # sequential reference greedy
+    kept, ref = [], []
+    for j in range(len(ids)):
+        hit = next((k for k in kept if V[j] @ V[k] >= thr), -1)
+        if hit >= 0:
+            ref.append((ids[j], ids[hit], round(float(V[j] @ V[hit]), 6)))
+        else:
+            kept.append(j)
+
+    got_i, got_k, got_c = _greedy_semantic_scan(ids, V, thr, chunk=16)
+    assert list(zip(got_i, got_k, got_c)) == ref
+    assert len(ref) > 50          # the scan actually removed dups
+
+
+def test_semantic_dedup_cluster_split_parity(ray_session):
+    # forced-tiny max_cluster_rows exercises the salted sub-block +
+    # cross-pass path: planted star-shaped duplicate families must
+    # collapse identically to the unsplit path, and every kept_id must
+    # be a surviving doc (reps remapped through pass 2)
+    from capelinker_ray.stages.dedup import semantic_dedup
+    rng = np.random.default_rng(21)
+    base = rng.normal(size=(25, 12))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 10, v))
+        if i % 3 == 0:
+            rows.append((i * 10 + 1, v + rng.normal(scale=1e-5, size=12)))
+            rows.append((i * 10 + 2, v + rng.normal(scale=1e-5, size=12)))
+    df = pd.DataFrame({"doc_id": [r[0] for r in rows],
+                       "embedding": [r[1] for r in rows]})
+    whole = (semantic_dedup(rd.from_pandas(df), threshold=0.999,
+                            n_clusters=4, max_cluster_rows=None)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    split = (semantic_dedup(rd.from_pandas(df), threshold=0.999,
+                            n_clusters=4, max_cluster_rows=5)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # same docs removed, same survivors (star families: parity exact)
+    assert whole["doc_id"].tolist() == split["doc_id"].tolist()
+    # representatives always survive in BOTH modes
+    for out in (whole, split):
+        assert not set(out["kept_id"]) & set(out["doc_id"])
+    # deterministic across repartitioning in split mode
+    split2 = (semantic_dedup(rd.from_pandas(df).repartition(7),
+                             threshold=0.999, n_clusters=4,
+                             max_cluster_rows=5)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(split.reset_index(drop=True), split2)
+
+
 def test_semantic_dedup_deterministic(ray_session):
     from capelinker_ray.stages.dedup import semantic_dedup
     rng = np.random.default_rng(3)

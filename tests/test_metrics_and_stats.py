@@ -102,3 +102,28 @@ def test_label_export(ray_session, tmp_path):
     assert {"conv_id_from", "conv_id_to", "block_key",
             "first_textdist"} <= set(out.columns)
     assert out["block_key"].nunique() <= 10
+
+
+def test_label_export_high_cardinality_deterministic(ray_session, tmp_path):
+    # the hash-top-k block sampler must stay deterministic and bounded
+    # with MANY distinct block keys spread over many partitions (no
+    # driver collect of the distinct-key table)
+    from capelinker_ray import synth
+    from capelinker_ray.stages.conv_records import build_conv_records
+    from capelinker_ray.stages.label import export_label_batches
+    from capelinker_ray.stages.normalize import normalize_turns
+
+    turns, _ = synth.gen_corpus(n_entities=150, seed=8)
+    records = build_conv_records(
+        normalize_turns(rd.from_arrow(turns))).materialize()
+    assert records.to_pandas()["block_key"].nunique() > 60
+    n1 = export_label_batches(records.repartition(13),
+                              str(tmp_path / "a"), n_blocks=7, seed=3)
+    n2 = export_label_batches(records.repartition(2),
+                              str(tmp_path / "b"), n_blocks=7, seed=3)
+    a = rd.read_parquet(str(tmp_path / "a")).to_pandas()
+    b = rd.read_parquet(str(tmp_path / "b")).to_pandas()
+    # identical block selection regardless of partitioning
+    assert sorted(a["block_key"].unique()) == sorted(b["block_key"].unique())
+    assert a["block_key"].nunique() <= 7
+    assert n1 == n2 > 0
