@@ -65,11 +65,17 @@ def _pin_link_schema(ds, with_rank: bool):
     return rd.from_arrow(pa.table(cols))
 
 
-def _score_select(pairs, model, minimum_confidence, linktype, concurrency):
-    scored = score_pairs(
-        pairs.select_columns(
-            ["conv_id_from", "conv_id_to"] + TRANSCRIPT_FEATURES),
-        model, concurrency=concurrency)
+def _score_select(pairs, model, minimum_confidence, linktype, concurrency,
+                  score_fn=None):
+    if score_fn is not None:
+        # rule mode: pred computed directly from the pair attr columns
+        # (SQL-expressible — the driver's value-exact oracle path)
+        scored = pairs.map_batches(score_fn, batch_format="pandas")
+    else:
+        scored = score_pairs(
+            pairs.select_columns(
+                ["conv_id_from", "conv_id_to"] + TRANSCRIPT_FEATURES),
+            model, concurrency=concurrency)
     return select_links(scored, id_from="conv_id_from",
                         id_to="conv_id_to", pred_col="pred",
                         minimum_confidence=minimum_confidence,
@@ -84,7 +90,9 @@ def assign_to_entities(new_turns, base_records, base_entities, *,
                        max_block_pairs: int = DEFAULT_MAX_BLOCK_PAIRS,
                        link_within_batch: bool = True,
                        input_partitions: int | str | None = "auto",
-                       checkpoint_dir: str | None = None) -> dict:
+                       checkpoint_dir: str | None = None,
+                       score_fn=None, attr_cols: list[str] | None = None,
+                       ) -> dict:
     """Attach a batch of new transcripts to an existing entity table.
 
     ``base_records``: conv records of the linked corpus (a prior
@@ -98,6 +106,13 @@ def assign_to_entities(new_turns, base_records, base_entities, *,
     function's parameters, not the content of the base datasets. Without a
     root, each stage is pinned via ``materialize()`` so the conv-record
     build runs once, not once per consumer.
+
+    ``score_fn`` switches the pair scorer from the GBT actor pool to a
+    deterministic rule: a pandas batch fn over the candidate pairs (with
+    ``attr_cols`` _from/_to attributes) returning
+    ``(conv_id_from, conv_id_to, pred)``; rows it scores NaN are dropped
+    before ranking. Rule mode keeps the whole assignment SQL-expressible
+    (the ``incremental_assign_rule`` oracle pins it against DuckDB).
 
     Returns dict of Datasets: ``records`` (new conv records),
     ``links_new_base``, ``links_within`` (empty when
@@ -124,20 +139,25 @@ def assign_to_entities(new_turns, base_records, base_entities, *,
         inputs=("new_turns",), params={"prefix_len": block_prefix_len})
 
     scorer_pool = (1, max(8, default_partitions() // 2))
+    if attr_cols is None:
+        attr_cols = PAIR_ATTR_COLS
     pair_params = {"blocktype": blocktype, "maxdist": maxdist,
                    "max_block_pairs": max_block_pairs, "model": model,
-                   "minimum_confidence": minimum_confidence}
+                   "minimum_confidence": minimum_confidence,
+                   "rule_scored": score_fn is not None,
+                   "attr_cols": tuple(attr_cols)}
 
     # -- new vs base: rank-1 per NEW conversation above confidence --------
     def build_links_nb():
         nb_pairs = candidates(
             records, base_records, block_col="block_key", id_col="conv_id",
-            blocktype=blocktype, maxdist=maxdist, attr_cols=PAIR_ATTR_COLS,
+            blocktype=blocktype, maxdist=maxdist, attr_cols=attr_cols,
             max_block_pairs=max_block_pairs, keep_unmatched=False)
-        nb_pairs = add_pair_features(
-            nb_pairs.repartition(4 * default_partitions()))
+        if score_fn is None:
+            nb_pairs = add_pair_features(
+                nb_pairs.repartition(4 * default_partitions()))
         return _score_select(nb_pairs, model, minimum_confidence,
-                             "many:one", scorer_pool)
+                             "many:one", scorer_pool, score_fn)
 
     links_nb = _pin_link_schema(
         ck.stage("inc_links_nb", build_links_nb,
@@ -156,12 +176,13 @@ def assign_to_entities(new_turns, base_records, base_entities, *,
             ww_pairs = candidates(
                 records, None, block_col="block_key", id_col="conv_id",
                 blocktype=blocktype, maxdist=maxdist,
-                attr_cols=PAIR_ATTR_COLS, max_block_pairs=max_block_pairs,
+                attr_cols=attr_cols, max_block_pairs=max_block_pairs,
                 keep_unmatched=False)
-            ww_pairs = add_pair_features(
-                ww_pairs.repartition(4 * default_partitions()))
+            if score_fn is None:
+                ww_pairs = add_pair_features(
+                    ww_pairs.repartition(4 * default_partitions()))
             return _score_select(ww_pairs, model, minimum_confidence,
-                                 "threshold", scorer_pool)
+                                 "threshold", scorer_pool, score_fn)
 
         links_ww = _pin_link_schema(
             ck.stage("inc_links_ww", build_links_ww,

@@ -662,6 +662,174 @@ def q_incremental_assign(sf_dir: str):
     return res["assignments"]
 
 
+def _inc_rule_split(new_side: bool):
+    """Deterministic SQL-friendly batch split on the synthetic conv_id
+    layout ``d{doc:07d}_{c}``: new batch = the corrupted copy of doc%4==0
+    (exercises base adoption), BOTH copies of doc%8==2 (within-batch CC +
+    minted entities), and the singleton of doc%8==5 (minted singleton)."""
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.grouped import typed_or_empty
+        d = df["conv_id"].str.slice(1, 8).astype(np.int64)
+        c = df["conv_id"].str.slice(9, 10).astype(np.int64)
+        m = (((d % 4 == 0) & (c == 1)) | (d % 8 == 2)
+             | ((d % 8 == 5) & (c == 0)))
+        return typed_or_empty(df[m if new_side else ~m])
+    return fn
+
+
+def _jw_rule_pred(df: pd.DataFrame) -> pd.DataFrame:
+    """Rule scorer for incremental_assign_rule: DuckDB-parity JW on the
+    normalized first-turn text; empty/null sides score NaN (dropped)."""
+    f, g = df["first_text_norm_from"], df["first_text_norm_to"]
+    ok = (f.notna() & g.notna()
+          & (f.fillna("").str.len() > 0) & (g.fillna("").str.len() > 0))
+    sim = np.full(len(df), np.nan)
+    if ok.any():
+        sim[ok.to_numpy()] = np.round(
+            jaro_winkler_sim(f[ok].to_numpy(object), g[ok].to_numpy(object),
+                             p=0.1, bt=0.7, int_transpositions=True), 6)
+    out = df[["conv_id_from", "conv_id_to"]].copy()
+    out["pred"] = sim
+    return out
+
+
+def q_incremental_assign_rule(sf_dir: str):
+    """Rule-scored incremental linkage (verdict r3 #4): the same
+    pipelines/incremental.py composition — frozen base entities, rank-1
+    many:one base adoption, within-batch threshold links + CC, min-entity
+    adoption / min-conv minting — but with the SQL-expressible JW rule
+    (the entity_clusters_rule formula) in place of the GBT scorer, so the
+    whole assignment is value-exact against DuckDB."""
+    from ..stages.join import hash_join
+    from .incremental import assign_to_entities
+    path = ensure_transcripts(sf_dir)
+    turns = rd.read_parquet(path)
+    base = turns.map_batches(_inc_rule_split(False), batch_format="pandas")
+    new = turns.map_batches(_inc_rule_split(True), batch_format="pandas")
+
+    base_records = build_conv_records(normalize_turns(base)).materialize()
+    # frozen base entity table: equality blocks, JW >= 0.92, CC, plus
+    # singleton entities (entity_id = own conv_id) for unlinked base convs
+    bpairs = candidates(base_records, None, block_col="block_key",
+                        id_col="conv_id", blocktype="equality",
+                        attr_cols=["first_text_norm"], keep_unmatched=False)
+
+    def bthr(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.grouped import typed_or_empty
+        s = _jw_rule_pred(df)
+        return typed_or_empty(
+            s[s["pred"] >= 0.92][["conv_id_from", "conv_id_to"]])
+    cc = connected_components(bpairs.map_batches(bthr, batch_format="pandas"),
+                              id_from="conv_id_from", id_to="conv_id_to")
+    joined = hash_join(base_records.select_columns(["conv_id"]), cc,
+                       on="conv_id", right_on="node", how="left")
+
+    def fill_ent(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"conv_id": pd.Series(dtype=object),
+                                 "entity_id": pd.Series(dtype=object)})
+        return pd.DataFrame({
+            "conv_id": df["conv_id"],
+            "entity_id": df["entity_id"].where(df["entity_id"].notna(),
+                                               df["conv_id"])})
+    base_ents = joined.map_batches(fill_ent, batch_format="pandas")
+
+    res = assign_to_entities(new, base_records, base_ents,
+                             minimum_confidence=0.8, blocktype="equality",
+                             score_fn=_jw_rule_pred,
+                             attr_cols=["first_text_norm"])
+    return res["assignments"]
+
+
+def sql_incremental_assign_rule(path: str) -> str:
+    new_pred = ("(CAST(substr(conv_id, 2, 7) AS BIGINT) % 4 = 0 "
+                "AND CAST(substr(conv_id, 10, 1) AS BIGINT) = 1) "
+                "OR CAST(substr(conv_id, 2, 7) AS BIGINT) % 8 = 2 "
+                "OR (CAST(substr(conv_id, 2, 7) AS BIGINT) % 8 = 5 "
+                "AND CAST(substr(conv_id, 10, 1) AS BIGINT) = 0)")
+    return f"""WITH RECURSIVE {_sql_recs(path)},
+newrecs AS (SELECT * FROM recs WHERE {new_pred}),
+baserecs AS (SELECT * FROM recs WHERE NOT ({new_pred})),
+-- frozen base entities: JW >= 0.92 links -> connected components + singletons
+bpairs AS (
+  SELECT a.conv_id AS conv_id_from, b.conv_id AS conv_id_to,
+         a.first_text_norm AS f_from, b.first_text_norm AS f_to
+  FROM baserecs a JOIN baserecs b
+    ON a.block_key = b.block_key AND a.conv_id < b.conv_id
+),
+blinks AS (
+  SELECT conv_id_from, conv_id_to FROM bpairs
+  WHERE {_SQL_PAIR_FILTER} AND {_SQL_PRED} >= 0.92
+),
+bedges AS (
+  SELECT conv_id_from AS u, conv_id_to AS v FROM blinks
+  UNION ALL SELECT conv_id_to, conv_id_from FROM blinks
+),
+bwalk(node, label) AS (
+  SELECT u, u FROM bedges
+  UNION SELECT e.v, w.label FROM bwalk w JOIN bedges e ON e.u = w.node
+),
+bcc AS (SELECT node, min(label) AS ent FROM bwalk GROUP BY node),
+base_ent AS (
+  SELECT r.conv_id, coalesce(b.ent, r.conv_id) AS entity_id
+  FROM baserecs r LEFT JOIN bcc b ON b.node = r.conv_id
+),
+-- new vs base: JW-scored pairs, rank-1 per new conv above confidence
+nb AS (
+  SELECT n.conv_id AS conv_id_from, b.conv_id AS conv_id_to,
+         n.first_text_norm AS f_from, b.first_text_norm AS f_to
+  FROM newrecs n JOIN baserecs b ON n.block_key = b.block_key
+),
+nbscored AS (
+  SELECT conv_id_from, conv_id_to, {_SQL_PRED} AS pred FROM nb
+  WHERE {_SQL_PAIR_FILTER}
+),
+nbsel AS (
+  SELECT conv_id_from, conv_id_to FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id_from ORDER BY pred DESC, conv_id_to) AS rn
+    FROM nbscored)
+  WHERE rn = 1 AND pred > 0.8
+),
+matched AS (
+  SELECT s.conv_id_from, e.entity_id
+  FROM nbsel s JOIN base_ent e ON s.conv_id_to = e.conv_id
+),
+-- within-batch link graph at the same threshold -> components
+ww AS (
+  SELECT a.conv_id AS conv_id_from, b.conv_id AS conv_id_to,
+         a.first_text_norm AS f_from, b.first_text_norm AS f_to
+  FROM newrecs a JOIN newrecs b
+    ON a.block_key = b.block_key AND a.conv_id < b.conv_id
+),
+wlinks AS (
+  SELECT conv_id_from, conv_id_to FROM ww
+  WHERE {_SQL_PAIR_FILTER} AND {_SQL_PRED} > 0.8
+),
+wedges AS (
+  SELECT conv_id_from AS u, conv_id_to AS v FROM wlinks
+  UNION ALL SELECT conv_id_to, conv_id_from FROM wlinks
+),
+wwalk(node, label) AS (
+  SELECT u, u FROM wedges
+  UNION SELECT e.v, w.label FROM wwalk w JOIN wedges e ON e.u = w.node
+),
+wcc AS (SELECT node, min(label) AS comp FROM wwalk GROUP BY node),
+compmap AS (
+  SELECT r.conv_id, coalesce(c.comp, r.conv_id) AS comp_id
+  FROM newrecs r LEFT JOIN wcc c ON c.node = r.conv_id
+),
+compent AS (
+  SELECT cm.comp_id, min(m.entity_id) AS base_entity
+  FROM matched m JOIN compmap cm ON m.conv_id_from = cm.conv_id
+  GROUP BY cm.comp_id
+)
+SELECT cm.conv_id,
+       coalesce(ce.base_entity, cm.comp_id) AS entity_id,
+       ce.base_entity IS NOT NULL AS matched
+FROM compmap cm LEFT JOIN compent ce USING (comp_id)"""
+
+
 def q_group_count(sf_dir: str):
     """namefreq analog (SURVEY §2.5): per-key count joined back broadcast."""
     from ..stages.corpus_stats import add_group_count
@@ -2076,6 +2244,7 @@ def build_queries() -> dict:
         # rows-only (no SQL oracle): model scoring / sketches / stubs
         "flagship_entities": q_flagship_entities,
         "incremental_assign": q_incremental_assign,
+        "incremental_assign_rule": q_incremental_assign_rule,
         "semantic_dedup": q_semantic_dedup,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
@@ -2122,6 +2291,7 @@ def build_oracle_sql() -> dict:
         "pair_features": sql_pair_features(path),
         "selection_one_to_one": sql_selection_one_to_one(path),
         "entity_clusters_rule": sql_entity_clusters_rule(path),
+        "incremental_assign_rule": sql_incremental_assign_rule(path),
         "dedup_exact": sql_dedup_exact(_ORACLE_SF_DIR),
         "doc_token_stats": sql_doc_token_stats(_ORACLE_SF_DIR),
         "events_sessionize": sql_events_sessionize(_ORACLE_SF_DIR),

@@ -97,3 +97,28 @@ def test_assign_checkpoint_resume_identical(ray_session, tmp_path):
     a2 = (r2["assignments"].to_pandas()
           .sort_values("conv_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a1, a2)
+
+
+def test_incremental_assign_rule_matches_duckdb(ray_session):
+    # the SQL-expressible rule mode (score_fn JW) must be value-exact vs
+    # the DuckDB twin on the sf0.001 derived transcripts — a local copy of
+    # the driver's correctness gate for this query
+    import duckdb
+    import numpy as np
+    from capelinker_ray.pipelines.queries import (
+        ensure_transcripts, q_incremental_assign_rule,
+        sql_incremental_assign_rule)
+
+    sf = "/root/testdata/sf0.001"
+    mine = (q_incremental_assign_rule(sf).to_pandas()
+            .sort_values("conv_id").reset_index(drop=True))
+    sql = sql_incremental_assign_rule(ensure_transcripts(sf))
+    oracle = (duckdb.connect().execute(sql).fetchdf()
+              .sort_values("conv_id").reset_index(drop=True))
+    assert len(mine) > 10
+    # exercises all three assignment paths
+    assert mine["matched"].any() and (~mine["matched"]).any()
+    mine["matched"] = mine["matched"].astype(np.bool_)
+    oracle["matched"] = oracle["matched"].astype(np.bool_)
+    pd.testing.assert_frame_equal(mine[sorted(mine.columns)],
+                                  oracle[sorted(oracle.columns)])
