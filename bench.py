@@ -47,6 +47,15 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
     # flagship timer)
     rd.range(10_000).map_batches(lambda b: b).count()
 
+    stage_walls: dict[str, dict] = {}
+
+    def walls(out) -> dict:
+        """Per-stage wall seconds from the checkpoint-manager lineage
+        records (BENCH evidence: ambient-load swings are attributable
+        stage-by-stage without rerunning)."""
+        return {r["stage"]: r["wall_seconds"] for r in out["metrics"]
+                if isinstance(r, dict) and "wall_seconds" in r}
+
     t0 = time.monotonic()
     turns = rd.read_parquet(path)
     out = link_transcripts(turns, checkpoint_dir=None, sort_output=True)
@@ -54,6 +63,7 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
     n_ents = out["entities"].count()
     n_turns = out["turns_out"].count()
     timings["flagship_linkage"] = round(time.monotonic() - t0, 3)
+    stage_walls["flagship_linkage"] = walls(out)
     counters["pairs_scored"] = n_pairs
     counters["entities"] = n_ents
     counters["turns_out"] = n_turns
@@ -68,6 +78,7 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
     counters["bigram_global_pairs"] = out_bg["pairs"].count()
     counters["bigram_global_entities"] = out_bg["entities"].count()
     timings["flagship_bigram_global"] = round(time.monotonic() - t0, 3)
+    stage_walls["flagship_bigram_global"] = walls(out_bg)
 
     t0 = time.monotonic()
     counters["minhash_pairs"] = q_minhash_dedup(sf_dir).count()
@@ -109,7 +120,8 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
     timings["doc_curation"] = round(time.monotonic() - t0, 3)
 
     ray.shutdown()
-    return {"timings": timings, "counters": counters}
+    return {"timings": timings, "counters": counters,
+            "stage_walls": stage_walls}
 
 
 SCALING_DIR = os.environ.get("GRAFT_SCALING_DIR", "/tmp/capelinker_scaling")
@@ -215,6 +227,7 @@ def main() -> int:
         "unit": "sec",
         "queries": res["timings"],
         "counters": res["counters"],
+        "stage_walls": res["stage_walls"],
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }))

@@ -104,8 +104,19 @@ class CheckpointManager:
         h = self._effective_hash(name, params, inputs)
         self._hashes[name] = h
         if not self.root:
+            t0 = time.monotonic()
             ds = build()
-            return ds if stream else ds.materialize()
+            if not stream:
+                ds = ds.materialize()
+            # lineage record in pin mode too (bench stage_walls evidence);
+            # rows only when the stage was driven (count on a materialized
+            # dataset is metadata, on a lazy one it would execute it)
+            self.records.append({
+                "stage": name, "ordinal": self._ordinal,
+                "inputs": list(inputs), "param_hash": h,
+                "rows": None if stream else ds.count(),
+                "wall_seconds": round(time.monotonic() - t0, 3)})
+            return ds
         path = os.path.join(self.root, name)
         if self.done(name):
             with open(self._marker(name)) as f:
@@ -119,6 +130,12 @@ class CheckpointManager:
             shutil.rmtree(path)
         t0 = time.monotonic()
         ds = build()
+        # strip per-block pandas schema metadata before the write: parquet
+        # files carrying a b'pandas' metadata dict make every downstream
+        # schema-unify attempt log "Failed to hash the schemas" (pa.Schema
+        # with dict metadata is unhashable) — clean files, clean reads
+        ds = ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                            batch_format="pyarrow", batch_size=None)
         # write_parquet drives the streaming execution; one file per block
         ds.write_parquet(path)
         if not os.path.isdir(path) or not any(

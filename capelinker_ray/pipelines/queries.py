@@ -35,6 +35,7 @@ from ..stages.selection import select_links
 from ..stages.simsearch import brute_force_topk
 from ..stages.textstats import add_lang_id, add_quality_score, add_token_counts
 from ..pipelines.linkage import PAIR_ATTR_COLS, link_transcripts
+from ..sources.io import read_parquet_clean as _rpc
 
 ORACLE_DIR = "/tmp/capelinker_oracle"
 
@@ -61,7 +62,7 @@ def ensure_transcripts(sf_dir: str) -> str:
 
 
 def _read_turns(sf_dir: str):
-    return rd.read_parquet(ensure_transcripts(sf_dir))
+    return _rpc(ensure_transcripts(sf_dir))
 
 
 # SQL fragment: normalize text exactly like stages/normalize.py
@@ -283,7 +284,7 @@ SELECT node AS conv_id, min(label) AS entity_id FROM walk GROUP BY node"""
 
 def q_dedup_exact(sf_dir: str):
     from ..stages.grouped import grouped_map
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 
     def agg(df: pd.DataFrame) -> pd.DataFrame:
@@ -302,7 +303,7 @@ def sql_dedup_exact(sf_dir: str) -> str:
 
 
 def q_doc_token_stats(sf_dir: str):
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     out = add_token_counts(docs)
     return out.select_columns(["doc_id", "n_ws_tokens", "n_bpe_tokens"])
@@ -317,7 +318,7 @@ FROM documents"""
 
 
 def q_events_sessionize(sf_dir: str):
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = _rpc(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "event_id"])
     from ..stages.grouped import grouped_map
     sess = sessionize(ev, gap_minutes=30.0)
@@ -356,7 +357,7 @@ _ANN_NQ = 8
 
 def q_ann_topk(sf_dir: str):
     import pyarrow.parquet as pq
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _rpc(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
@@ -391,7 +392,7 @@ FROM r WHERE rk <= {_ANN_K}"""
 
 
 def q_lineitem_agg(sf_dir: str):
-    li = rd.read_parquet(
+    li = _rpc(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"])
@@ -405,11 +406,12 @@ def q_lineitem_agg(sf_dir: str):
                      n_rows=("l_quantity", "size"))
                 .reset_index())
 
-    partials = li.map_batches(partial, batch_format="pandas")
-    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_disc_price", alias_name="sum_disc_price"),
-        Sum("n_rows", alias_name="n_rows"))
+    # partials merge in ONE task (stages/agg.py): the 6-key rollup is
+    # bounded by keys x blocks, never by lineitem size — no sort shuffle
+    from ..stages.agg import small_group_sum
+    agg = small_group_sum(li.map_batches(partial, batch_format="pandas"),
+                          ["l_returnflag", "l_linestatus"],
+                          ["sum_qty", "sum_disc_price", "n_rows"])
 
     def rnd(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -437,16 +439,20 @@ def q_customers_no_orders(sf_dir: str):
     side moves one row per distinct customer per batch, not one per order.
     """
     import pyarrow.compute as pc
+    from ..sources.io import adaptive_partitions
     from ..stages.join import hash_join
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = _rpc(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name", "c_acctbal"])
-    orders = rd.read_parquet(
+    orders = _rpc(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderpriority"],
         filter=pc.field("o_orderpriority") == "1-URGENT",
     ).drop_columns(["o_orderpriority"])
     out = hash_join(cust, orders, on="c_custkey", right_on="o_custkey",
-                    how="anti")
+                    how="anti",
+                    num_partitions=adaptive_partitions(
+                        f"{sf_dir}/customer.parquet",
+                        f"{sf_dir}/orders.parquet"))
 
     def rnd(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -467,15 +473,19 @@ def q_nation_revenue(sf_dir: str):
     """Multi-way star join + grouped rollup (TPC-H Q5 flavor): orders ⋈
     customer (hash shuffle join) ⋈ nation (broadcast — 25 rows), partial
     revenue aggregation inside map_batches before the tiny final groupby."""
+    from ..sources.io import adaptive_partitions
     from ..stages.join import broadcast_join, hash_join
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = _rpc(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = _rpc(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_nationkey"])
     nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
                              columns=["n_nationkey", "n_name"])
     oc = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
-                   how="inner")
+                   how="inner",
+                   num_partitions=adaptive_partitions(
+                       f"{sf_dir}/orders.parquet",
+                       f"{sf_dir}/customer.parquet"))
     ocn = broadcast_join(oc, nation, on="c_nationkey",
                          right_on="n_nationkey", how="inner")
 
@@ -485,10 +495,10 @@ def q_nation_revenue(sf_dir: str):
                      n_orders=("o_totalprice", "size"))
                 .reset_index())
 
-    agg = (ocn.map_batches(partial, batch_format="pandas")
-           .groupby("n_name")
-           .aggregate(Sum("revenue", alias_name="revenue"),
-                      Sum("n_orders", alias_name="n_orders")))
+    # 25-nation rollup: one-task partials merge, no sort-shuffle barrier
+    from ..stages.agg import small_group_sum
+    agg = small_group_sum(ocn.map_batches(partial, batch_format="pandas"),
+                          "n_name", ["revenue", "n_orders"])
 
     def rnd(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -511,23 +521,25 @@ def q_nation_coverage(sf_dir: str):
     vs nations with rich suppliers — either side may be missing
     (hash_join how='outer' retains both, SQL FULL OUTER semantics)."""
     import pyarrow.compute as pc
+    from ..stages.agg import small_group_sum
     from ..stages.join import hash_join
 
     def counts(table, key, bal, thr, out_name):
-        ds = rd.read_parquet(f"{sf_dir}/{table}.parquet",
+        ds = _rpc(f"{sf_dir}/{table}.parquet",
                              columns=[key, bal],
                              filter=pc.field(bal) > thr)
 
         def part(df: pd.DataFrame) -> pd.DataFrame:
             return (df.groupby(key, sort=False)
                     .agg(**{out_name: (bal, "size")}).reset_index())
-        return (ds.map_batches(part, batch_format="pandas")
-                .groupby(key).aggregate(Sum(out_name, alias_name=out_name)))
+        # 25-nation rollup: one-task partials merge (stages/agg.py)
+        return small_group_sum(ds.map_batches(part, batch_format="pandas"),
+                               key, [out_name])
 
     a = counts("customer", "c_nationkey", "c_acctbal", 9700.0, "n_cust")
     b = counts("supplier", "s_nationkey", "s_acctbal", 6000.0, "n_supp")
     out = hash_join(a, b, on="c_nationkey", right_on="s_nationkey",
-                    how="outer")
+                    how="outer", num_partitions=8)
 
     def proj(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -555,7 +567,7 @@ def q_distinct_users(sf_dir: str):
     so a per-partition dedupe is globally exact and only tiny per-partition
     counts reach the final groupby."""
     from ..stages.grouped import grouped_map
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = _rpc(f"{sf_dir}/events.parquet",
                          columns=["event_type", "user_id"])
     local = ev.map_batches(lambda df: df.drop_duplicates(),
                            batch_format="pandas")
@@ -590,7 +602,7 @@ def q_props_stats(sf_dir: str):
     ``k`` field out of the JSON ``props`` column with the vectorized
     regex fast path, then a partial-agg rollup per event_type."""
     from ..stages.jsoncol import json_scalar
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = _rpc(f"{sf_dir}/events.parquet",
                          columns=["event_type", "props"])
     ex = json_scalar(ev, "props", "k", "k", kind="int")
 
@@ -624,10 +636,15 @@ def q_events_pivot(sf_dir: str):
     """Long → wide pivot (data.table dcast analog): per-user event counts,
     one column per event type. Batches collapse locally to the wide layout
     before one small groupby merge (stages/pivot.py)."""
+    from ..sources.io import adaptive_partitions
     from ..stages.pivot import pivot_counts
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "event_type"])
-    return pivot_counts(ev, index="user_id", pivot="event_type")
+    # materialize the 2-column projection: values discovery + the partial
+    # pass share one read instead of re-scanning the parquet
+    ev = _rpc(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"]).materialize()
+    return pivot_counts(ev, index="user_id", pivot="event_type",
+                        num_partitions=adaptive_partitions(
+                            f"{sf_dir}/events.parquet"))
 
 
 def sql_events_pivot(sf_dir: str) -> str:
@@ -646,7 +663,7 @@ def q_incremental_assign(sf_dir: str):
     from ..stages.textstats import fnv1a_64
     from .incremental import assign_to_entities
     path = ensure_transcripts(sf_dir)
-    turns = rd.read_parquet(path)
+    turns = _rpc(path)
 
     def split(new_side: bool):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -703,7 +720,7 @@ def q_incremental_assign_rule(sf_dir: str):
     from ..stages.join import hash_join
     from .incremental import assign_to_entities
     path = ensure_transcripts(sf_dir)
-    turns = rd.read_parquet(path)
+    turns = _rpc(path)
     base = turns.map_batches(_inc_rule_split(False), batch_format="pandas")
     new = turns.map_batches(_inc_rule_split(True), batch_format="pandas")
 
@@ -833,7 +850,7 @@ FROM compmap cm LEFT JOIN compent ce USING (comp_id)"""
 def q_group_count(sf_dir: str):
     """namefreq analog (SURVEY §2.5): per-key count joined back broadcast."""
     from ..stages.corpus_stats import add_group_count
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "lang"])
     out = add_group_count(docs, "lang", "lang_freq")
 
@@ -853,7 +870,7 @@ def sql_group_count(sf_dir: str) -> str:
 def q_normalise_column(sf_dir: str):
     """min-max normalise (util.R:169-175) over lineitem quantity."""
     from ..stages.corpus_stats import normalise_column
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = _rpc(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_linenumber", "l_quantity"])
     out = normalise_column(li, "l_quantity", "q_norm")
 
@@ -879,7 +896,7 @@ def q_numeric_band(sf_dir: str):
     """numeric blocktype (candidates.R:74-81) as a band join on supplier
     account balance: keep pairs with gk similarity > 1-maxdist."""
     from ..stages.blocking import numeric_candidates
-    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+    sup = _rpc(f"{sf_dir}/supplier.parquet",
                           columns=["s_suppkey", "s_acctbal"])
     out = numeric_candidates(sup, sup, value_col="s_acctbal",
                              id_col="s_suppkey", sigma=_BAND_SIGMA,
@@ -907,7 +924,7 @@ WHERE exp(-abs(a.s_acctbal - b.s_acctbal) / ({_BAND_SIGMA} * {_BAND_SIGMA})) > {
 def q_embedding_dup(sf_dir: str):
     """embedding-cosine near-dup pairs (exact single-block oracle mode)."""
     from ..stages.dedup import embedding_dup_pairs
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _rpc(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     out = embedding_dup_pairs(emb, threshold=0.4, exact_block=True)
 
@@ -925,7 +942,7 @@ def q_semantic_dedup(sf_dir: str):
     table (stages/dedup.py:semantic_dedup — k-means iterative, so
     rows-only: no SQL oracle)."""
     from ..stages.dedup import semantic_dedup
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _rpc(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     return semantic_dedup(emb, id_col="vec_id", threshold=0.4)
 
@@ -1051,13 +1068,13 @@ def q_flagship_entities(sf_dir: str):
 
 
 def q_minhash_dedup(sf_dir: str):
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return minhash_lsh_dedup(docs, jaccard_threshold=0.5)
 
 
 def q_simhash(sf_dir: str):
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return simhash_signatures(docs).select_columns(["doc_id", "simhash"])
 
@@ -1066,7 +1083,7 @@ def q_simhash_pairs(sf_dir: str):
     """SimHash near-dup PAIRS: banded chunk LSH + exact Hamming verify
     (pigeonhole-exact recall for hamming <= 6 with 8 bands)."""
     from ..stages.dedup import simhash_dup_pairs
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return simhash_dup_pairs(docs, max_hamming=6, bands=8)
 
@@ -1220,7 +1237,7 @@ def q_ngram_dedup(sf_dir: str):
     path; the unblocked-at-scale path adds a MinHash-LSH prefilter and is
     pytest-covered)."""
     from ..stages.dedup import ngram_jaccard_pairs
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     out = ngram_jaccard_pairs(docs, n=5, threshold=0.5)
 
@@ -1255,7 +1272,7 @@ def q_segment_dedup(sf_dir: str):
     whose global occurrence count exceeds 2, rebuild docs in order
     (stages/dedup.py:segment_dedup)."""
     from ..stages.dedup import segment_dedup
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return segment_dedup(docs, words_per_seg=20, max_count=2)
 
@@ -1293,7 +1310,7 @@ def q_repetition_stats(sf_dir: str):
     """Gopher-style word-repetition signals
     (stages/textstats.py:add_repetition_stats)."""
     from ..stages.textstats import add_repetition_stats
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return add_repetition_stats(docs).select_columns(
         ["doc_id", "dup_word_frac", "top_word_frac", "top_bigram_frac"])
@@ -1338,7 +1355,7 @@ def q_pii_redact(sf_dir: str):
     counted and masked. The SQL oracle applies the SAME augmentation and
     the same RE2-subset patterns."""
     from ..stages.pii import add_pii_stats, redact_pii
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 
     def aug(df: pd.DataFrame) -> pd.DataFrame:
@@ -1384,7 +1401,7 @@ def q_decontaminate(sf_dir: str):
     word 8-gram with the 'benchmark' slice (doc_id % 7 == 0) are flagged;
     the benchmark n-gram hash set is broadcast, the corpus side streams."""
     from ..stages.decontam import decontaminate
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 
     def keep_bench(df: pd.DataFrame) -> pd.DataFrame:
@@ -1426,7 +1443,7 @@ def q_vocab_counts(sf_dir: str):
     """Corpus vocabulary with partial per-batch aggregation
     (stages/corpus_stats.py:vocab_counts)."""
     from ..stages.corpus_stats import vocab_counts
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return vocab_counts(docs, min_count=5)
 
@@ -1447,7 +1464,7 @@ def q_heavy_hitters(sf_dir: str):
     (stages/sketch.py:heavy_hitters) — value-exact despite the bounded
     sketch because pass 2 recounts the survivors."""
     from ..stages.sketch import heavy_hitters
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return heavy_hitters(docs, "text", phi=_HH_PHI, tokenize=True)
 
@@ -1476,7 +1493,7 @@ def q_bm25_topk(sf_dir: str):
     """BM25 keyword search, global top-k with deterministic tie-break
     (stages/search.py:bm25_topk)."""
     from ..stages.search import bm25_topk
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
 
@@ -1527,7 +1544,7 @@ def q_window_agg(sf_dir: str):
     """Tumbling per-(user, hour) aggregate with in-batch partial
     aggregation (stages/events.py:tumbling_window_agg)."""
     from ..stages.events import tumbling_window_agg
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = _rpc(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"])
     out = tumbling_window_agg(ev, window_minutes=60.0)
 
@@ -1552,7 +1569,7 @@ def q_hopping_window(sf_dir: str):
     """Sliding per-(event_type, 60-min window hopping every 15) aggregate
     with bounded vectorized fan-out (stages/events.py:hopping_window_agg)."""
     from ..stages.events import hopping_window_agg
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = _rpc(f"{sf_dir}/events.parquet",
                          columns=["event_type", "ts", "value"])
     out = hopping_window_agg(ev, window_minutes=60.0, hop_minutes=15.0)
 
@@ -1585,7 +1602,7 @@ def q_user_running_total(sf_dir: str):
     (stages/scan.py:grouped_running_total — PARTITION BY window sum with
     no global scan)."""
     from ..stages.scan import grouped_running_total
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = _rpc(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "value"])
     out = grouped_running_total(ev, "user_id", "value",
                                 order_by=["ts", "event_id"])
@@ -1611,7 +1628,7 @@ def q_user_rolling_mean(sf_dir: str):
     (stages/scan.py:grouped_rolling_mean — ROWS BETWEEN 3 PRECEDING AND
     CURRENT ROW)."""
     from ..stages.scan import grouped_rolling_mean
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = _rpc(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "value"])
     out = grouped_rolling_mean(ev, "user_id", "value",
                                order_by=["ts", "event_id"], window=4)
@@ -1635,7 +1652,7 @@ def q_event_percent_rank(sf_dir: str):
     """percent_rank() OVER (PARTITION BY event_type ORDER BY value)
     (stages/scan.py:grouped_percent_rank — min-rank ties, (r-1)/(n-1))."""
     from ..stages.scan import grouped_percent_rank
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = _rpc(f"{sf_dir}/events.parquet",
                          columns=["event_id", "event_type", "value"])
     out = grouped_percent_rank(ev, "event_type", "value")
 
@@ -1659,7 +1676,7 @@ def q_grouped_quantiles(sf_dir: str):
     (stages/scan.py:grouped_quantiles — quantile_disc parity within each
     group, vectorized rank pick across all groups of a partition)."""
     from ..stages.scan import grouped_quantiles
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["lang", "n_chars"])
     out = grouped_quantiles(docs, "lang", "n_chars", qs=(0.25, 0.5, 0.75))
 
@@ -1683,7 +1700,7 @@ def q_stratified_sample(sf_dir: str):
     """Cap every source at 20 docs, deterministic smallest-(hash,id) keep
     (stages/sampling.py — the 'no domain may dominate' curation op)."""
     from ..stages.sampling import stratified_sample
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "source", "lang"])
     return stratified_sample(docs, "source", "doc_id", 20, seed=7)
 
@@ -1692,7 +1709,7 @@ def q_bernoulli_sample(sf_dir: str):
     """Deterministic ~25% global sample keyed on doc_id
     (stages/sampling.py — shuffle-free)."""
     from ..stages.sampling import bernoulli_sample
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "n_chars"])
     return bernoulli_sample(docs, "doc_id", 0.25, seed=11)
 
@@ -1724,9 +1741,9 @@ def sql_bernoulli_sample(sf_dir: str) -> str:
 def _setop_sides(sf_dir: str):
     import pyarrow.compute as pc
     docs = f"{sf_dir}/documents.parquet"
-    long_side = rd.read_parquet(docs, columns=["source", "lang", "n_chars"],
+    long_side = _rpc(docs, columns=["source", "lang", "n_chars"],
                                 filter=pc.field("n_chars") >= 200)
-    short_side = rd.read_parquet(docs, columns=["source", "lang", "n_chars"],
+    short_side = _rpc(docs, columns=["source", "lang", "n_chars"],
                                  filter=pc.field("n_chars") < 200)
     cols = ["source", "lang"]
     return (long_side.select_columns(cols), short_side.select_columns(cols),
@@ -1766,7 +1783,7 @@ def q_trigram_nll(sf_dir: str):
     mean negative log prob under the corpus's own add-one-smoothed
     character-trigram model."""
     from ..stages.lm import trigram_nll
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return trigram_nll(docs)
 
@@ -1800,7 +1817,7 @@ def q_grouped_split(sf_dir: str):
     in the same split (stages/sampling.py:grouped_split, splitmix64 twin
     -> value-exact SQL oracle)."""
     from ..stages.sampling import grouped_split
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = _rpc(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id"])
     return grouped_split(ev, "user_id", test_frac=0.25, seed=5)
 
@@ -1821,7 +1838,7 @@ def q_weighted_sample(sf_dir: str):
     length-weighted subset op of a curation pipeline. Deterministic via
     the splitmix64 twin, so the SQL oracle is value-exact."""
     from ..stages.sampling import weighted_sample_topk
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "n_chars"])
     return weighted_sample_topk(docs, "doc_id", "n_chars", k=100, seed=13)
 
@@ -1838,7 +1855,7 @@ def sql_weighted_sample(sf_dir: str) -> str:
 
 
 def q_lang_quality(sf_dir: str):
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "lang"])
     out = add_quality_score(add_lang_id(docs))
     out = out.select_columns(["doc_id", "lang", "lang_pred", "quality"])
@@ -1925,7 +1942,7 @@ def q_asof_join(sf_dir: str):
     even event's value (DuckDB ASOF JOIN parity)."""
     from ..stages.events import asof_join
     from ..stages.grouped import grouped_map
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = _rpc(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "value"])
 
     def odd(df: pd.DataFrame) -> pd.DataFrame:
@@ -1972,7 +1989,7 @@ def q_pack_shards(sf_dir: str):
     (stages/scan.py): contiguous ~50k-char training shards in doc_id
     order, plus the inclusive running total."""
     from ..stages.scan import pack_by_budget
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "n_chars"])
     out = pack_by_budget(docs, "n_chars", 50_000, "doc_id")
     return out.select_columns(["doc_id", "running_total", "shard_id"])
@@ -1992,7 +2009,7 @@ def q_top_per_lang(sf_dir: str):
     """Top 10 docs per language by n_chars (grouped top-k,
     stages/sampling.py:top_k_per_group; ties by doc_id)."""
     from ..stages.sampling import top_k_per_group
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "lang", "n_chars"])
     return top_k_per_group(docs, "lang", "n_chars", "doc_id", 10)
 
@@ -2011,7 +2028,7 @@ def q_exact_quantiles(sf_dir: str):
     the approximate sketch in sketch_stats. Binary-exact q values only
     (0.25/0.5/0.75) so ceil(q*n) can't diverge between float stacks."""
     from ..stages.scan import exact_quantiles
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "n_chars"])
     return exact_quantiles(docs, "n_chars", qs=(0.25, 0.5, 0.75))
 
@@ -2030,7 +2047,7 @@ def q_curation_capped(sf_dir: str):
     annotate -> token/quality/lang gates -> exact dedup -> per-source cap
     (stages/sampling.py, near_dup off). Returns (doc_id, reason)."""
     from ..pipelines.curate import curate_documents
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "lang", "source"])
     out = curate_documents(docs, min_tokens=15, max_tokens=85,
                            min_quality=0.315, langs=["en", "nl"],
@@ -2072,7 +2089,7 @@ def q_doc_curation(sf_dir: str):
     -> near-dup family collapse. Returns the removal ledger (doc_id,
     reason); model-free but minhash-based, so rows-only."""
     from ..pipelines.curate import curate_documents
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     out = curate_documents(docs, min_tokens=5, min_quality=0.2,
                            jaccard_threshold=0.6)
@@ -2188,7 +2205,7 @@ def q_sketch_stats(sf_dir: str):
     histogram quantiles of quantity (approximate by design — rows-only;
     accuracy is pytest-pinned against exact answers)."""
     from ..stages.sketch import approx_distinct, approx_quantiles
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = _rpc(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_quantity"])
     li = li.materialize()
     n_orders = approx_distinct(li, "l_orderkey")

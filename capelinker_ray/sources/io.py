@@ -17,7 +17,68 @@ import ray.data as rd
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 __all__ = ["TRANSCRIPT_COLUMNS", "read_transcripts", "read_table",
-           "read_labeled_pairs", "read_jsonl", "write_partitioned"]
+           "read_labeled_pairs", "read_jsonl", "write_partitioned",
+           "adaptive_partitions", "read_parquet_clean"]
+
+
+def _clean_schema(path: str):
+    """Footer schema of ``path`` (file or directory) with the pandas
+    metadata dict stripped — pa.Schema carrying metadata is UNHASHABLE and
+    makes Ray's schema-dedup log a warning per unify."""
+    import os
+
+    import pyarrow.parquet as pq
+    p = path
+    if os.path.isdir(path):
+        files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        if not files:
+            return None
+        p = os.path.join(path, files[0])
+    try:
+        return pq.read_schema(p).remove_metadata()
+    except Exception:
+        return None
+
+
+def read_parquet_clean(path: str, *, columns: list[str] | None = None,
+                       **kwargs):
+    """``read_parquet`` that pins a metadata-free schema: blocks hash
+    cleanly in Ray's schema unification (no 'Failed to hash the schemas'
+    warning from pandas-written inputs), and every block carries one
+    canonical schema."""
+    if "schema" not in kwargs:
+        sch = _clean_schema(path)
+        if sch is not None and columns:
+            # the pinned schema must match the PROJECTED batch layout
+            idxs = [sch.get_field_index(c) for c in columns]
+            if all(i >= 0 for i in idxs):
+                import pyarrow as pa
+                sch = pa.schema([sch.field(i) for i in idxs])
+            else:
+                sch = None
+        if sch is not None:
+            kwargs["schema"] = sch
+    return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+def adaptive_partitions(*paths: str, bytes_per_partition: int = 64 << 20,
+                        lo: int = 8, hi: int = 512) -> int:
+    """Shuffle width sized to the INPUT BYTES (compressed on disk) rather
+    than only the cluster width: a KB-sized dimension join stops paying a
+    2x-CPU-wide barrier's fixed cost, a 100-TB input widens to ``hi``.
+    Use for hash_join / grouped_map ``num_partitions`` when the inputs are
+    files whose sizes are known up front."""
+    import os
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f))
+                             for f in files)
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    import math
+    return max(lo, min(int(math.ceil(total / bytes_per_partition)), hi))
 
 
 def read_jsonl(path: str, columns: list[str] | None = None, **kwargs):

@@ -74,9 +74,21 @@ def typed_or_empty(df: pd.DataFrame):
     return df
 
 
+# engine-wide shuffle strategy for grouped_map: "sort" (default) is the
+# repartition + sort-shuffle path; "hash" routes through Ray's
+# hash-shuffle groupby (ONE exchange, reduce width pinned by
+# num_partitions directly) — semantically identical (206-test parity) but
+# it spawns a fresh aggregator-actor pool per operator, a measured
+# ~1.5 s fixed setup on this box that outweighs the saved barrier until
+# shuffles carry several million rows. Flip per-call via ``shuffle=`` for
+# genuinely large exchanges.
+GROUPED_SHUFFLE = "sort"
+
+
 def grouped_map(ds, keys: str | list[str], fn, *,
                 num_partitions: int | None = None,
-                batch_format: str = "pandas"):
+                batch_format: str = "pandas",
+                shuffle: str | None = None):
     """Apply ``fn(frame)`` to coarse hash partitions of complete key-groups.
 
     ``fn`` receives a pandas DataFrame containing every row of each key in
@@ -88,6 +100,8 @@ def grouped_map(ds, keys: str | list[str], fn, *,
     keys = [keys] if isinstance(keys, str) else list(keys)
     if num_partitions is None:
         num_partitions = default_partitions()
+    if shuffle is None:
+        shuffle = GROUPED_SHUFFLE
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         # assign = shallow copy (new frame, shared immutable column
@@ -104,11 +118,15 @@ def grouped_map(ds, keys: str | list[str], fn, *,
         return out
 
     parted = ds.map_batches(add_part, batch_format="pandas")
-    # reduce-task parallelism for the sort shuffle tracks the INPUT block
-    # count: a single-block input (one small parquet file) would funnel all
-    # num_partitions coarse groups through ONE sequential reduce task.
-    # Repartitioning pins reduce width to num_partitions regardless of how
-    # the input was laid out (at cluster scale pass num_partitions ≈ 2-4×
-    # total cores).
+    if shuffle == "hash":
+        # ONE hash exchange: reduce width = num_partitions by construction,
+        # no repartition round, no sort of the partition column
+        return parted.groupby(_PART, num_partitions=num_partitions)\
+            .map_groups(run, batch_format=batch_format)
+    # legacy sort path. Reduce-task parallelism for the sort shuffle tracks
+    # the INPUT block count: a single-block input (one small parquet file)
+    # would funnel all num_partitions coarse groups through ONE sequential
+    # reduce task. Repartitioning pins reduce width to num_partitions
+    # regardless of input layout.
     parted = parted.repartition(num_partitions)
     return parted.groupby(_PART).map_groups(run, batch_format=batch_format)

@@ -25,13 +25,17 @@ _MAX_PIVOT_VALUES = 10_000
 
 
 def pivot_counts(ds, *, index: str, pivot: str, values: list | None = None,
-                 sum_col: str | None = None):
+                 sum_col: str | None = None,
+                 num_partitions: int | None = None):
     """Wide table of per-``index`` counts (or sums of ``sum_col``) split by
     ``pivot`` value. Output columns: ``index`` + one int64/float64 column
     per pivot value (missing combinations are 0)."""
     if values is None:
-        distinct = ds.groupby(pivot).count().take_all()
-        values = sorted(r[pivot] for r in distinct if r[pivot] is not None)
+        # per-batch distinct + one-task merge (stages/agg.py): the pivot
+        # column is low-cardinality BY CONTRACT, so a sort-shuffle native
+        # groupby for discovery is pure fixed cost
+        from .agg import distinct_small
+        values = distinct_small(ds, pivot)
     if len(values) > _MAX_PIVOT_VALUES:
         raise ValueError(
             f"pivot column {pivot!r} has {len(values)} distinct values; "
@@ -76,4 +80,5 @@ def pivot_counts(ds, *, index: str, pivot: str, values: list | None = None,
         return out
 
     from .grouped import grouped_map
-    return grouped_map(partials, index, merge)
+    return grouped_map(partials, index, merge,
+                       num_partitions=num_partitions)
