@@ -282,6 +282,44 @@ walk(node, label) AS (
 SELECT node AS conv_id, min(label) AS entity_id FROM walk GROUP BY node"""
 
 
+def q_candidates_stringdist(sf_dir: str):
+    """'string distance' blocking (SURVEY §2.3, candidates.R:65-73): within
+    equality blocks keep pairs with JW distance < maxdist; score = the
+    DISTANCE, matches = kept-pair count per from-record.
+    ``jw_variant='duckdb'`` pins the classic-Winkler convention so the SQL
+    twin is value-exact (the reference default stays R-stringdist parity)."""
+    recs = build_conv_records(normalize_turns(_read_turns(sf_dir)))
+    pairs = candidates(recs, None, block_col="block_key", id_col="conv_id",
+                       blocktype="stringdist",
+                       blockvariable="first_text_norm", maxdist=0.3,
+                       keep_unmatched=False, jw_variant="duckdb",
+                       attr_cols=[])
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["conv_id_from", "conv_id_to", "block_key"]].copy()
+        out["score"] = df["score"].round(6)
+        out["matches"] = df["matches"].astype(np.float64)
+        return out
+    return pairs.map_batches(proj, batch_format="pandas")
+
+
+def sql_candidates_stringdist(path: str) -> str:
+    jw = "jaro_winkler_similarity(a.first_text_norm, b.first_text_norm)"
+    return f"""WITH {_sql_recs(path)},
+pairs AS (
+  SELECT a.conv_id AS conv_id_from, b.conv_id AS conv_id_to,
+         a.block_key AS block_key,
+         round(1 - {jw}, 6) AS score
+  FROM recs a JOIN recs b
+    ON a.block_key = b.block_key AND a.conv_id < b.conv_id
+  WHERE a.first_text_norm IS NOT NULL AND b.first_text_norm IS NOT NULL
+    AND 1 - {jw} < 0.3
+)
+SELECT conv_id_from, conv_id_to, block_key, score,
+       CAST(count(*) OVER (PARTITION BY conv_id_from) AS DOUBLE) AS matches
+FROM pairs"""
+
+
 def q_dedup_exact(sf_dir: str):
     from ..stages.grouped import grouped_map
     docs = _rpc(f"{sf_dir}/documents.parquet",
@@ -845,6 +883,43 @@ SELECT cm.conv_id,
        coalesce(ce.base_entity, cm.comp_id) AS entity_id,
        ce.base_entity IS NOT NULL AS matched
 FROM compmap cm LEFT JOIN compent ce USING (comp_id)"""
+
+
+def q_interval_join(sf_dir: str):
+    """Point-in-interval range join (stages/events.py interval_join — an
+    operator Ray Data has no primitive for): each event joined to every
+    ±5-minute window around a same-user HIGH-VALUE event (value > 220).
+    Runs the bucketed hot-key mode (10-minute buckets: intervals replicate
+    to every bucket they span, each match found once in the point's
+    bucket)."""
+    from ..stages.events import interval_join
+    ev = _rpc(f"{sf_dir}/events.parquet",
+              columns=["event_id", "user_id", "ts", "value"])
+    pts = ev.select_columns(["event_id", "user_id", "ts"])
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.grouped import typed_or_empty
+        hot = df[df["value"] > 220.0]
+        return typed_or_empty(pd.DataFrame({
+            "hot_event_id": hot["event_id"].to_numpy(),
+            "user_id": hot["user_id"].to_numpy(),
+            "start": hot["ts"] - pd.Timedelta(minutes=5),
+            "end": hot["ts"] + pd.Timedelta(minutes=5)}))
+    iv = ev.map_batches(windows, batch_format="pandas")
+    out = interval_join(pts, iv, by="user_id", ts_col="ts",
+                        start_col="start", end_col="end",
+                        bucket_minutes=10.0)
+    return out.select_columns(["event_id", "user_id", "hot_event_id"])
+
+
+def sql_interval_join(sf_dir: str) -> str:
+    return """WITH hot AS (
+  SELECT event_id AS hot_event_id, user_id, ts FROM events
+  WHERE value > 220.0
+)
+SELECT e.event_id, e.user_id, h.hot_event_id
+FROM events e JOIN hot h ON e.user_id = h.user_id
+ AND e.ts BETWEEN h.ts - INTERVAL 5 MINUTE AND h.ts + INTERVAL 5 MINUTE"""
 
 
 def q_group_count(sf_dir: str):
@@ -2235,6 +2310,7 @@ def build_queries() -> dict:
         "conv_records": q_conv_records,
         "block_sizes": q_block_sizes,
         "candidates_equality": q_candidates_equality,
+        "candidates_stringdist": q_candidates_stringdist,
         "pair_features": q_pair_features,
         "selection_one_to_one": q_selection_one_to_one,
         "entity_clusters_rule": q_entity_clusters_rule,
@@ -2256,6 +2332,7 @@ def build_queries() -> dict:
         "bigram_candidates": q_bigram_candidates,
         "idf_bigram_candidates": q_idf_bigram_candidates,
         "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
         # simhash / simhash_pairs moved to the oracle-checked column in r3
         # (FNV-over-codepoints recursive-CTE SQL above); the rest below are
         # rows-only (no SQL oracle): model scoring / sketches / stubs
@@ -2305,6 +2382,7 @@ def build_oracle_sql() -> dict:
         "conv_records": sql_conv_records(path),
         "block_sizes": sql_block_sizes(path),
         "candidates_equality": sql_candidates_equality(path),
+        "candidates_stringdist": sql_candidates_stringdist(path),
         "pair_features": sql_pair_features(path),
         "selection_one_to_one": sql_selection_one_to_one(path),
         "entity_clusters_rule": sql_entity_clusters_rule(path),
@@ -2352,6 +2430,7 @@ def build_oracle_sql() -> dict:
         "exact_quantiles": sql_exact_quantiles(_ORACLE_SF_DIR),
         "top_per_lang": sql_top_per_lang(_ORACLE_SF_DIR),
         "asof_join": sql_asof_join(_ORACLE_SF_DIR),
+        "interval_join": sql_interval_join(_ORACLE_SF_DIR),
         "simhash": sql_simhash(_ORACLE_SF_DIR),
         "simhash_pairs": sql_simhash_pairs(_ORACLE_SF_DIR),
         "minhash_dedup": sql_minhash_dedup(_ORACLE_SF_DIR),

@@ -532,11 +532,15 @@ def bigram_candidates(ds_from, ds_to=None, *, blockvariable: str,
         cref = ray.put(cseries)
 
         def add_matches(df: pd.DataFrame) -> pd.DataFrame:
+            # positional indexer lookup (the broadcast_join idiom,
+            # join.py) — one hashed get_indexer per batch instead of a
+            # per-value Series.map
             from .bcast import cached_get
-            df = df.copy()
-            df["matches"] = (df["id_from"].map(cached_get(cref))
-                             .astype(np.float64))
-            return df
+            cs = cached_get(cref)
+            pos = cs.index.get_indexer(df["id_from"].to_numpy())
+            vals = cs.to_numpy()[np.where(pos >= 0, pos, 0)]
+            return df.assign(
+                matches=np.where(pos >= 0, vals, np.nan).astype(np.float64))
 
         out = norm.map_batches(add_matches, batch_format="pandas")
         if keep_unmatched:

@@ -162,9 +162,20 @@ def _norm_pair_dtypes(df: pd.DataFrame, attr_cols, id_from_col, id_to_col) -> pd
     return df
 
 
+# the two public Jaro-Winkler conventions (kernels/strdist.py): the
+# reference's R-stringdist parity (boost always applied, half
+# transpositions) vs the classic Winkler / DuckDB variant (boost threshold
+# 0.7, integer transpositions) — selectable so SQL oracles can pin the
+# stringdist blocker value-exactly
+_JW_VARIANTS = {
+    "reference": dict(p=0.1, bt=0.0, int_transpositions=False),
+    "duckdb": dict(p=0.1, bt=0.7, int_transpositions=True),
+}
+
+
 def _pairs_fn(block_col: str, id_col: str, blocktype: str, maxdist: float,
               attr_cols: list[str], keep_unmatched: bool, self_link: bool,
-              p_jw: float = 0.1, idf: bool = False):
+              jw_variant: str = "reference", idf: bool = False):
     maxsim = 1.0 - maxdist
     id_from_col = f"{id_col}_from"
     id_to_col = f"{id_col}_to"
@@ -196,7 +207,8 @@ def _pairs_fn(block_col: str, id_col: str, blocktype: str, maxdist: float,
             bt = tdf["_blockvar"].to_numpy(object)
             fi_all = np.repeat(np.arange(nf), nt)
             ti_all = np.tile(np.arange(nt), nf)
-            d = 1.0 - jaro_winkler_sim(bf[fi_all], bt[ti_all], p=p_jw)
+            d = 1.0 - jaro_winkler_sim(bf[fi_all], bt[ti_all],
+                                       **_JW_VARIANTS[jw_variant])
             keep = d < maxdist
             fi, ti, score = fi_all[keep], ti_all[keep], d[keep]
         else:
@@ -329,7 +341,8 @@ def candidates(ds_from, ds_to=None, *, block_col: str | None = "block_key",
                blockvariable: str | None = None, maxdist: float = 0.15,
                attr_cols: list[str] | None = None,
                max_block_pairs: int = DEFAULT_MAX_BLOCK_PAIRS,
-               keep_unmatched: bool = True, idf: bool = False):
+               keep_unmatched: bool = True, idf: bool = False,
+               jw_variant: str = "reference"):
     """Dataset[records] (+ optional to-side) -> Dataset[candidate pairs].
 
     ``ds_to=None`` runs the self-link (dedup) variant with ``id_from <
@@ -398,7 +411,8 @@ def candidates(ds_from, ds_to=None, *, block_col: str | None = "block_key",
 
     from .grouped import grouped_map
     fn = _pairs_fn(block_col, id_col, blocktype, maxdist, attr_cols,
-                   keep_unmatched, self_link, idf=idf)
+                   keep_unmatched, self_link, jw_variant=jw_variant,
+                   idf=idf)
     pairs = grouped_map(salted, [block_col, "_salt"], fn)
     if blocktype in ("bigram", "stringdist"):
         pairs = pairs.drop_columns(["_blockvar_from", "_blockvar_to"])

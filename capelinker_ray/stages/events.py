@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 __all__ = ["sessionize", "session_stats", "tumbling_window_agg",
-           "hopping_window_agg", "asof_join"]
+           "hopping_window_agg", "asof_join", "interval_join"]
 
 
 def _ts_us(s: pd.Series) -> np.ndarray:
@@ -310,6 +310,136 @@ def asof_join(left, right, *, by: str, ts_col: str = "ts",
         if len(l_na):
             out = pd.concat([out, l_na], ignore_index=True)
         return out.reindex(columns=out_cols)
+
+    return grouped_map(tagged, group_key, join_partition,
+                       num_partitions=num_partitions)
+
+
+def interval_join(points, intervals, *, by: str, ts_col: str = "ts",
+                  start_col: str = "start", end_col: str = "end",
+                  suffix: str = "_iv", num_partitions: int | None = None,
+                  bucket_minutes: float | None = None,
+                  max_span_buckets: int = 4096):
+    """Per-key point-in-interval join (SQL range join): one output row per
+    (point, interval) pair with the same ``by`` key and
+    ``start <= ts <= end`` (both ends inclusive). Inner semantics —
+    unmatched points drop. An operator Ray Data has no primitive for;
+    DuckDB expresses it as ``JOIN ... ON key AND ts BETWEEN start AND end``.
+
+    Distributed shape: tagged union of the two sides, ONE co-partitioning
+    shuffle, vectorized pandas merge + mask per coarse partition. The
+    default assumes one key's rows fit a partition (the grouped_map
+    contract shared by asof_join / grouped_quantiles).
+
+    ``bucket_minutes`` is the HOT-KEY scale path: rows co-partition by
+    ``(key, time-bucket)`` — each point lands in exactly ONE bucket while
+    each interval is REPLICATED to every bucket it overlaps (fan-out
+    bounded by ``max_span_buckets``; intervals spanning more raise), so a
+    key's rows split across partitions and every match is still found
+    exactly once (in the point's bucket). Output identical to the
+    unbucketed mode (pytest-pinned).
+    """
+    import pyarrow as pa
+
+    from .grouped import grouped_map, typed_or_empty
+
+    pcols = [c for c in points.schema().names if c not in (by,)]
+    ivcols = [c for c in intervals.schema().names
+              if c not in (by, start_col, end_col)]
+    iv_out = {c: c + suffix if c in pcols or c == ts_col else c
+              for c in ivcols}
+
+    def _types(ds):
+        s = ds.schema()
+        return {n: (t if isinstance(t, pa.DataType) else pa.string())
+                for n, t in zip(s.names, s.types)}
+
+    ptypes, itypes = _types(points), _types(intervals)
+    fields = ([(by, ptypes[by])] + [(c, ptypes[c]) for c in pcols]
+              + [(start_col, itypes[start_col]),
+                 (end_col, itypes[end_col])]
+              + [(iv_out[c], itypes[c]) for c in ivcols]
+              + [("_side", pa.int8())])
+    schema = pa.schema(fields)
+    names = [f[0] for f in fields]
+
+    def tag(side: int, src_map: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            arrays = []
+            for c, typ in fields[:-1]:
+                s = src_map.get(c, c)
+                arrays.append(t[s].cast(typ) if s in t.column_names
+                              else pa.nulls(n, typ))
+            arrays.append(pa.array(np.full(n, side, np.int8)))
+            return pa.table(dict(zip(names, arrays)), schema=schema)
+        return fn
+
+    tagged = (points.map_batches(
+                  tag(0, {start_col: None, end_col: None}),
+                  batch_format="pyarrow")
+              .union(intervals.map_batches(
+                  tag(1, {v: k for k, v in iv_out.items()}),
+                  batch_format="pyarrow")))
+
+    out_cols = [by] + pcols + [start_col, end_col] \
+        + [iv_out[c] for c in ivcols]
+    group_key: list | str = by
+
+    if bucket_minutes is not None:
+        bucket_us = np.int64(bucket_minutes * 60e6)
+
+        def add_bucket(df: pd.DataFrame):
+            pts = df["_side"] == 0
+            p = df[pts]
+            iv = df[~pts]
+            frames = []
+            if len(p):
+                pb = p.assign(
+                    _bucket=(_ts_us(p[ts_col]) // bucket_us)
+                    .astype(np.int64))
+                frames.append(pb)
+            if len(iv):
+                b0 = _ts_us(iv[start_col]) // bucket_us
+                b1 = _ts_us(iv[end_col]) // bucket_us
+                span = (b1 - b0 + 1).astype(np.int64)
+                if (span > max_span_buckets).any():
+                    raise ValueError(
+                        f"interval spans > {max_span_buckets} buckets; "
+                        "raise bucket_minutes or max_span_buckets")
+                rep = iv.loc[iv.index.repeat(span)].reset_index(drop=True)
+                offs = np.concatenate(
+                    [np.arange(s) for s in span]) if len(span) else \
+                    np.array([], np.int64)
+                rep["_bucket"] = np.repeat(b0, span) + offs
+                frames.append(rep)
+            if not frames:
+                out = df.assign(_bucket=np.array([], np.int64))
+                return typed_or_empty(out)
+            return pd.concat(frames, ignore_index=True)
+
+        tagged = tagged.map_batches(add_bucket, batch_format="pandas")
+        group_key = [by, "_bucket"]
+
+    # the tagged union promotes int columns to float (each side's rows are
+    # null on the other side's columns); the inner join leaves no nulls,
+    # so restore the declared integer/bool dtypes on the way out
+    int_cols = {c: t for c, t in fields[:-1]
+                if pa.types.is_integer(t) or pa.types.is_boolean(t)}
+
+    def join_partition(g: pd.DataFrame) -> pd.DataFrame:
+        on = [by] if isinstance(group_key, str) else list(group_key)
+        pts = g["_side"] == 0
+        p = g.loc[pts, on + pcols]
+        iv = g.loc[~pts, on + [start_col, end_col]
+                   + [iv_out[c] for c in ivcols]]
+        m = p.merge(iv, on=on, how="inner")
+        m = m[(m[start_col] <= m[ts_col]) & (m[ts_col] <= m[end_col])]
+        m = m.reindex(columns=out_cols)
+        for c, t in int_cols.items():
+            if c in m.columns and m[c].notna().all():
+                m[c] = m[c].astype(t.to_pandas_dtype())
+        return typed_or_empty(m)
 
     return grouped_map(tagged, group_key, join_partition,
                        num_partitions=num_partitions)

@@ -172,3 +172,63 @@ def test_hopping_window_rejects_nondivisible_hop(ray_session):
     with pytest.raises(ValueError):
         hopping_window_agg(rd.from_pandas(df), window_minutes=60,
                            hop_minutes=25)
+
+
+def test_interval_join_bucketed_matches_unbucketed(ray_session):
+    # the hot-key bucketed mode (interval replication across spanned
+    # buckets) must produce EXACTLY the unbucketed co-partition result,
+    # including intervals spanning many buckets and ties at both ends
+    from capelinker_ray.stages.events import interval_join
+    rng = np.random.default_rng(17)
+    n = 800
+    pts = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 12, n).astype(np.int64),
+        "ts": pd.Timestamp("2024-03-01")
+        + pd.to_timedelta(rng.integers(0, 72 * 3600, n), unit="s"),
+    })
+    m = 60
+    starts = (pd.Timestamp("2024-03-01")
+              + pd.to_timedelta(rng.integers(0, 70 * 3600, m), unit="s"))
+    iv = pd.DataFrame({
+        "iv_id": np.arange(m, dtype=np.int64),
+        "user_id": rng.integers(0, 12, m).astype(np.int64),
+        "start": starts,
+        # spans from minutes to many hours (many 10-min buckets)
+        "end": starts + pd.to_timedelta(rng.integers(60, 8 * 3600, m),
+                                        unit="s"),
+    })
+
+    def run(bucket):
+        out = interval_join(
+            rd.from_pandas(pts).repartition(7),
+            rd.from_pandas(iv).repartition(3),
+            by="user_id", ts_col="ts", start_col="start", end_col="end",
+            bucket_minutes=bucket)
+        return (out.to_pandas()[["event_id", "iv_id"]]
+                .sort_values(["event_id", "iv_id"]).reset_index(drop=True))
+
+    plain = run(None)
+    bucketed = run(10.0)
+    pd.testing.assert_frame_equal(plain, bucketed)
+    # sanity vs a pandas reference join
+    ref = pts.merge(iv, on="user_id")
+    ref = ref[(ref["start"] <= ref["ts"]) & (ref["ts"] <= ref["end"])]
+    ref = (ref[["event_id", "iv_id"]]
+           .sort_values(["event_id", "iv_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(plain, ref)
+    assert len(ref) > 100
+
+
+def test_interval_join_span_guard(ray_session):
+    from capelinker_ray.stages.events import interval_join
+    import pytest
+    pts = pd.DataFrame({"event_id": [1], "user_id": [0],
+                        "ts": [pd.Timestamp("2024-01-05")]})
+    iv = pd.DataFrame({"iv_id": [1], "user_id": [0],
+                       "start": [pd.Timestamp("2024-01-01")],
+                       "end": [pd.Timestamp("2024-12-31")]})
+    with pytest.raises(Exception, match="span"):
+        interval_join(rd.from_pandas(pts), rd.from_pandas(iv),
+                      by="user_id", bucket_minutes=1.0,
+                      max_span_buckets=100).count()
