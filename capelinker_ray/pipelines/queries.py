@@ -1381,6 +1381,111 @@ SELECT doc_id,
 FROM sel GROUP BY doc_id"""
 
 
+_DS_WIN = 8      # dup_spans sliding-window width (words)
+_DS_MIN_DOCS = 2
+
+
+def q_dup_spans(sf_dir: str):
+    """Cross-doc repeated-span detection: merged word spans of sliding
+    8-word windows appearing in >=2 distinct docs (stages/dedup.py:
+    dup_spans — the hash stand-in for Lee et al. 2022 suffix-array
+    substring dedup)."""
+    from ..stages.dedup import dup_spans
+    docs = _rpc(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text"])
+    return dup_spans(docs, win=_DS_WIN, min_docs=_DS_MIN_DOCS)
+
+
+def sql_dup_spans(sf_dir: str) -> str:
+    w, k = _DS_WIN, _DS_WIN - 1
+    return f"""WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(words) - {k})) AS i,
+         unnest([array_to_string(words[j:(j + {k})], ' ')
+                 FOR j IN generate_series(1, len(words) - {k})]) AS wtext
+  FROM w WHERE len(words) >= {w}
+),
+hot AS (
+  SELECT wtext FROM (SELECT DISTINCT doc_id, wtext FROM wins)
+  GROUP BY wtext HAVING count(*) >= {_DS_MIN_DOCS}
+),
+f AS (SELECT doc_id, i FROM wins JOIN hot USING (wtext)),
+g AS (
+  SELECT doc_id, i,
+         CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                   OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > {w}
+              THEN 1 ELSE 0 END AS brk
+  FROM f
+),
+isl AS (
+  SELECT doc_id, i,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS gid
+  FROM g
+)
+SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+       CAST(max(i) + {k} AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, gid"""
+
+
+def q_dedup_lines(sf_dir: str):
+    """Within-doc duplicate-"line" removal, keep-first, order-preserving
+    (stages/dedup.py:dedup_lines). The test corpus is single-line word
+    soup, so this instance runs the operator with sep=' ' — same split /
+    keep-first / ordered-rejoin machinery a newline corpus exercises."""
+    from ..stages.dedup import dedup_lines
+    docs = _rpc(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text"])
+    return dedup_lines(docs, sep=" ")
+
+
+def sql_dedup_lines(sf_dir: str) -> str:
+    return """WITH l AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(parts))) AS pos,
+         unnest(parts) AS line
+  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS parts
+        FROM documents)
+),
+r AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+  FROM l
+)
+SELECT doc_id,
+       coalesce(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
+                '') AS text_clean,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed
+FROM r GROUP BY doc_id"""
+
+
+def q_pair_counts(sf_dir: str):
+    """BPE-style adjacent token-pair counts with per-batch partial
+    aggregation (stages/corpus_stats.py:pair_counts)."""
+    from ..stages.corpus_stats import pair_counts
+    docs = _rpc(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text"])
+    return pair_counts(docs, min_count=5)
+
+
+def sql_pair_counts(sf_dir: str) -> str:
+    return """WITH w AS (
+  SELECT string_split(coalesce(text, ''), ' ') AS words FROM documents
+),
+p AS (
+  SELECT unnest(words[1:len(words) - 1]) AS left_tok,
+         unnest(words[2:len(words)]) AS right_tok
+  FROM w WHERE len(words) >= 2
+)
+SELECT left_tok, right_tok, CAST(count(*) AS BIGINT) AS n
+FROM p WHERE left_tok <> '' AND right_tok <> ''
+GROUP BY left_tok, right_tok HAVING count(*) >= 5"""
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style word-repetition signals
     (stages/textstats.py:add_repetition_stats)."""
@@ -2345,6 +2450,9 @@ def build_queries() -> dict:
         "simhash_pairs": q_simhash_pairs,
         "ngram_dedup": q_ngram_dedup,
         "segment_dedup": q_segment_dedup,
+        "dup_spans": q_dup_spans,
+        "dedup_lines": q_dedup_lines,
+        "pair_counts": q_pair_counts,
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
@@ -2406,6 +2514,9 @@ def build_oracle_sql() -> dict:
         "idf_bigram_candidates": sql_idf_bigram_candidates(path),
         "ngram_dedup": sql_ngram_dedup(_ORACLE_SF_DIR),
         "segment_dedup": sql_segment_dedup(_ORACLE_SF_DIR),
+        "dup_spans": sql_dup_spans(_ORACLE_SF_DIR),
+        "dedup_lines": sql_dedup_lines(_ORACLE_SF_DIR),
+        "pair_counts": sql_pair_counts(_ORACLE_SF_DIR),
         "repetition_stats": sql_repetition_stats(_ORACLE_SF_DIR),
         "pii_redact": sql_pii_redact(_ORACLE_SF_DIR),
         "decontaminate": sql_decontaminate(_ORACLE_SF_DIR),

@@ -191,3 +191,48 @@ def add_group_uniqueness(ds, group_col: str, str_col: str,
         return pd.concat(frames, ignore_index=True)
 
     return grouped_map(ds, group_col, per_partition)
+
+
+def pair_counts(ds, text_col: str = "text", min_count: int = 5):
+    """Corpus-wide ADJACENT token-pair counts — the counting pass of BPE /
+    WordPiece tokenizer training and collocation mining: Dataset[
+    (left_tok, right_tok, n)] for every pair (token[i], token[i+1]) whose
+    global count reaches ``min_count``. Single-space split, empty tokens
+    (from repeated spaces) excluded, pairs never cross a document
+    boundary.
+
+    Scale shape mirrors ``vocab_counts``: each batch collapses to its own
+    distinct pairs via one vectorized two-key groupby (C hash), so the
+    only shuffle moves (pair, partial_n) rows — Zipf keeps partials tiny.
+    One merge pass per hash partition, ``min_count`` filter applied after
+    the global sum."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df[text_col].where(df[text_col].notna(), "").str.split(" ")
+        lens = words.str.len().to_numpy(np.int64)
+        empty = pd.DataFrame({"left_tok": pd.Series(dtype=object),
+                              "right_tok": pd.Series(dtype=object),
+                              "n": pd.Series(dtype=np.int64)})
+        if not len(df) or int(lens.sum()) == 0:
+            return empty
+        flat = np.concatenate([np.asarray(w, dtype=object) for w in words])
+        doc_of = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+        same = doc_of[:-1] == doc_of[1:]
+        left, right = flat[:-1][same], flat[1:][same]
+        ok = (left != "") & (right != "")
+        if not ok.any():
+            return empty
+        out = (pd.DataFrame({"left_tok": left[ok], "right_tok": right[ok]})
+               .groupby(["left_tok", "right_tok"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    from .grouped import grouped_map
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        tot = (df.groupby(["left_tok", "right_tok"], sort=False)["n"]
+               .sum().reset_index())
+        return tot[tot["n"] >= min_count]
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return grouped_map(partials, ["left_tok", "right_tok"], combine)

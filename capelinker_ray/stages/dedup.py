@@ -1177,3 +1177,204 @@ def semantic_dedup(ds, *, vec_col: str = "embedding",
     fixed1 = j.map_batches(fix_rep, batch_format="pandas")
     return fixed1.union(removed2.select_columns(
         [id_col, "kept_id", "cosine"]))
+
+
+# ---------------------------------------------------------------------------
+# repeated-span detection (exact-substring dedup, Lee et al. ACL 2022
+# "Deduplicating Training Data Makes Language Models Better") and
+# within-document line dedup
+# ---------------------------------------------------------------------------
+
+def _batch_windows(texts, win: int, stride: int = 1):
+    """Sliding ``win``-word windows (stride ``stride``) over a batch of
+    docs, vectorized: window texts are built by ``win-1`` elementwise
+    object-array concatenations over the flat word array — no per-window
+    Python ``join``. Splits on SINGLE spaces (``string_split(text, ' ')``
+    parity). Returns ``(doc_idx, word_start, windows)`` with one entry per
+    window; ``word_start`` is the 0-based word index of the window's first
+    word inside its doc. Docs shorter than ``win`` words emit nothing."""
+    s = pd.Series(texts, dtype=object)
+    words = s.where(s.notna(), "").str.split(" ")
+    lens = words.str.len().to_numpy(np.int64)
+    n = len(s)
+    if not n or int(lens.sum()) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, object))
+    flat = np.concatenate([np.asarray(w, dtype=object) for w in words])
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    doc_starts = np.cumsum(lens) - lens
+    pos = np.arange(len(flat), dtype=np.int64) - doc_starts[doc_of]
+    # a window starting at flat index p is valid iff its last word is
+    # still inside the same doc and its doc-local position hits the stride
+    last = pos + win - 1
+    valid = (last < lens[doc_of]) & (pos % stride == 0)
+    starts = np.flatnonzero(valid)
+    if not len(starts):
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, object))
+    out = flat[starts]
+    for k in range(1, win):
+        out = out + " "
+        out = out + flat[starts + k]
+    return doc_of[starts], pos[starts], out
+
+
+def _merge_spans(doc_of, starts, win: int):
+    """Merge overlapping-or-touching equal-length word intervals
+    ``[start, start+win)`` into islands, vectorized. Inputs must be sorted
+    by (doc, start) — ``_batch_windows`` emits them that way. Returns
+    ``(island_doc, span_start, span_end, n_windows)`` with INCLUSIVE
+    0-based word spans."""
+    if not len(starts):
+        z = np.empty(0, np.int64)
+        return z, z, z, z
+    new = np.ones(len(starts), bool)
+    new[1:] = (doc_of[1:] != doc_of[:-1]) | (starts[1:] - starts[:-1] > win)
+    gid = np.cumsum(new) - 1
+    first = np.flatnonzero(new)
+    n_win = np.bincount(gid).astype(np.int64)
+    last = first + n_win - 1
+    return (doc_of[first], starts[first],
+            starts[last] + np.int64(win - 1), n_win)
+
+
+def dup_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
+              win: int = 8, stride: int = 1, min_docs: int = 2,
+              broadcast_threshold: int = 5_000_000,
+              input_partitions="auto"):
+    """Cross-document repeated-SPAN detection: every sliding ``win``-word
+    window whose exact text occurs in >= ``min_docs`` DISTINCT documents
+    is flagged, and per document the flagged windows are merged into
+    maximal word spans — the hash-based stand-in for suffix-array exact
+    substring dedup (Lee et al. 2022); downstream removal is a stateless
+    map over the span table. Unlike ``segment_dedup`` (tumbling windows,
+    global occurrence count) this slides stride-``stride`` and counts
+    DISTINCT docs, so a span repeated 100x inside one doc does not flag.
+
+    Scale shape: pass 1 dedupes windows WITHIN each batch's docs before
+    counting, so the single ``groupby(window)`` shuffle moves one row per
+    (distinct window, batch) — the per-position explosion never crosses
+    the wire. ``stride > 1`` subsamples positions (recall/cost dial: a
+    duplicated run longer than ``win + stride - 1`` words is still hit).
+    Below ``broadcast_threshold`` duplicated windows the hot set ships
+    once via ``ray.put`` and pass 2 is a stateless shuffle-free map;
+    above it, a slim ``(id, start, window)`` explode + hash join +
+    per-doc ``grouped_map`` island merge takes over.
+
+    Returns Dataset[(id_col, span_start, span_end, n_windows)] with
+    1-based INCLUSIVE word spans (SQL list-indexing convention).
+    """
+    import ray
+
+    ds = _widen(ds, input_partitions)
+
+    def partial_docs(df: pd.DataFrame) -> pd.DataFrame:
+        doc_of, _, wins = _batch_windows(df[text_col].tolist(), win, stride)
+        if not len(wins):
+            return pd.DataFrame({"w": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        tab = pd.DataFrame({"d": doc_of, "w": wins})
+        uniq = tab.drop_duplicates()          # <=1 count per (doc, window)
+        vc = uniq["w"].value_counts()
+        return pd.DataFrame({"w": vc.index.to_numpy(object),
+                             "n": vc.to_numpy(np.int64)})
+
+    from .grouped import grouped_map
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("w", sort=False)["n"].sum().reset_index()
+        return tot[tot["n"] >= min_docs][["w"]]
+
+    hot_ds = grouped_map(
+        ds.map_batches(partial_docs, batch_format="pandas"), "w", combine)
+
+    if hot_ds.count() <= broadcast_threshold:
+        hot_pd = hot_ds.to_pandas()
+        # an all-empty Dataset drops its pandas column names
+        ref = ray.put(set(hot_pd["w"]) if "w" in hot_pd.columns else set())
+
+        def detect(df: pd.DataFrame) -> pd.DataFrame:
+            from .bcast import cached_get
+            doc_of, pos, wins = _batch_windows(
+                df[text_col].tolist(), win, stride)
+            hot = cached_get(ref)
+            m = pd.Series(wins).isin(hot).to_numpy() if len(wins) else \
+                np.empty(0, bool)
+            d, s0, s1, nw = _merge_spans(doc_of[m], pos[m], win)
+            return pd.DataFrame({
+                id_col: df[id_col].to_numpy()[d],
+                "span_start": s0 + np.int64(1),
+                "span_end": s1 + np.int64(1),
+                "n_windows": nw})
+        return ds.map_batches(detect, batch_format="pandas")
+
+    # distributed fallback: slim explode + hash join + per-doc island merge
+    from .join import hash_join
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        doc_of, pos, wins = _batch_windows(df[text_col].tolist(), win,
+                                           stride)
+        return pd.DataFrame({id_col: df[id_col].to_numpy()[doc_of],
+                             "pos": pos, "w": wins})
+
+    ex = ds.map_batches(explode, batch_format="pandas")
+    marked = hot_ds.map_batches(
+        lambda df: df.assign(_hot=np.ones(len(df), np.int8)),
+        batch_format="pandas")
+    flagged = hash_join(ex, marked, on="w", how="inner")
+
+    def merge_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([id_col, "pos"], kind="stable")
+        codes, uniq = pd.factorize(part[id_col], sort=False)
+        d, s0, s1, nw = _merge_spans(codes.astype(np.int64),
+                                     part["pos"].to_numpy(np.int64), win)
+        return pd.DataFrame({id_col: np.asarray(uniq)[d],
+                             "span_start": s0 + np.int64(1),
+                             "span_end": s1 + np.int64(1),
+                             "n_windows": nw})
+
+    return grouped_map(flagged, id_col, merge_part)
+
+
+def dedup_lines(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                sep: str = "\n"):
+    """WITHIN-document duplicate-line removal: split ``text_col`` on
+    ``sep``, drop every line that already appeared earlier in the SAME
+    document (exact match, first occurrence kept), rejoin in original
+    order — the per-doc half of boilerplate scrubbing (``segment_dedup``
+    handles the cross-doc half). ``sep`` is generic: newline for real web
+    corpora, any token for structured text.
+
+    Entirely shuffle-free: one stateless vectorized ``map_batches`` (the
+    keep-first mask is a per-(doc, line) ``DataFrame.duplicated`` in C).
+
+    Returns Dataset[(id_col, text_clean, n_lines, n_removed)].
+    """
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].where(df[text_col].notna(), "")
+        parts = s.str.split(sep)
+        lens = parts.str.len().to_numpy(np.int64)
+        n = len(df)
+        if not n or int(lens.sum()) == 0:
+            return pd.DataFrame({id_col: df[id_col],
+                                 "text_clean": pd.Series(dtype=object),
+                                 "n_lines": pd.Series(dtype=np.int64),
+                                 "n_removed": pd.Series(dtype=np.int64)})
+        flat = np.concatenate([np.asarray(p, dtype=object) for p in parts])
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        dup = pd.DataFrame({"d": doc_of, "l": flat}).duplicated(
+            ["d", "l"]).to_numpy()
+        keep = ~dup
+        kd, kl = doc_of[keep], flat[keep]
+        bounds = np.searchsorted(kd, np.arange(n + 1))
+        clean = np.fromiter(
+            (sep.join(kl[bounds[i]:bounds[i + 1]]) for i in range(n)),
+            dtype=object, count=n)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "text_clean": clean,
+            "n_lines": np.bincount(doc_of, minlength=n).astype(np.int64),
+            "n_removed": np.bincount(doc_of[dup],
+                                     minlength=n).astype(np.int64)})
+
+    return ds.map_batches(scrub, batch_format="pandas")

@@ -354,3 +354,112 @@ def test_semantic_dedup_deterministic(ray_session):
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert len(a) >= 15    # the planted perturbation pairs collapse
+
+
+# ---------------------------------------------------------------------------
+# dup_spans (repeated-span detection) / dedup_lines (within-doc)
+# ---------------------------------------------------------------------------
+
+def _span_docs():
+    boiler = " ".join(f"b{i}" for i in range(10))      # 10 shared words
+    return pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            f"a0 a1 {boiler} a2 a3",                   # span at words 3-12
+            f"c0 c1 c2 c3 {boiler}",                   # span at words 5-14
+            "d0 d1 d2 d3 d4 d5 d6 d7 d8 d9 d10",       # no dup
+            "",                                        # empty doc
+        ],
+    })
+
+
+def test_dup_spans_merges_windows(ray_session):
+    from capelinker_ray.stages.dedup import dup_spans
+    out = (dup_spans(rd.from_pandas(_span_docs()), win=8, min_docs=2)
+           .to_pandas().sort_values(["doc_id", "span_start"])
+           .reset_index(drop=True))
+    # 10 shared words, win=8 -> 3 sliding windows per doc, one island
+    assert list(out["doc_id"]) == [0, 1]
+    assert out.loc[0, ["span_start", "span_end", "n_windows"]].tolist() \
+        == [3, 12, 3]
+    assert out.loc[1, ["span_start", "span_end", "n_windows"]].tolist() \
+        == [5, 14, 3]
+
+
+def test_dup_spans_within_doc_repeat_not_flagged(ray_session):
+    """min_docs counts DISTINCT docs: a window repeated only inside one
+    doc never flags."""
+    from capelinker_ray.stages.dedup import dup_spans
+    rep = " ".join(f"r{i}" for i in range(8))
+    df = pd.DataFrame({"doc_id": [0, 1],
+                       "text": [f"{rep} x0 x1 {rep}",
+                                "y0 y1 y2 y3 y4 y5 y6 y7 y8"]})
+    out = dup_spans(rd.from_pandas(df), win=8, min_docs=2).to_pandas()
+    assert len(out) == 0
+
+
+def test_dup_spans_fallback_path_identical(ray_session):
+    from capelinker_ray.stages.dedup import dup_spans
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(8, 50)))
+             for _ in range(50)]
+    texts += [texts[0], texts[3]]                     # cross-doc dups
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    kw = dict(win=6, min_docs=2)
+    cols = ["doc_id", "span_start", "span_end", "n_windows"]
+    a = (dup_spans(rd.from_pandas(df), **kw).to_pandas()[cols]
+         .sort_values(cols).reset_index(drop=True))
+    b = (dup_spans(rd.from_pandas(df), broadcast_threshold=0, **kw)
+         .to_pandas()[cols].sort_values(cols).reset_index(drop=True))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_dup_spans_stride_subsamples(ray_session):
+    """stride=2 halves the window positions; a long duplicated run is
+    still detected when it sits at stride-aligned positions in both docs
+    (recall dial — positions are doc-local, so misaligned copies can be
+    missed; stride=1 is the exact setting)."""
+    from capelinker_ray.stages.dedup import dup_spans
+    boiler = " ".join(f"b{i}" for i in range(16))
+    df = pd.DataFrame({"doc_id": [0, 1],
+                       "text": [f"{boiler} u0 u1", f"{boiler} v0"]})
+    out = (dup_spans(rd.from_pandas(df), win=8, stride=2, min_docs=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == [0, 1]
+    # strided boiler starts 0,2,4,6,8 in both docs -> one island, words
+    # 1..16 (1-based inclusive)
+    assert out.loc[0, ["span_start", "span_end", "n_windows"]].tolist() \
+        == [1, 16, 5]
+    assert out.loc[1, ["span_start", "span_end"]].tolist() == [1, 16]
+
+    # misaligned copy (offset 1 vs stride 2): documented recall miss
+    df2 = pd.DataFrame({"doc_id": [0, 1],
+                        "text": [f"{boiler} u0 u1", f"v0 {boiler}"]})
+    miss = dup_spans(rd.from_pandas(df2), win=8, stride=2,
+                     min_docs=2).to_pandas()
+    assert len(miss) == 0
+
+
+def test_dedup_lines_keep_first_ordered(ray_session):
+    from capelinker_ray.stages.dedup import dedup_lines
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a\nb\na\nc\nb", "x\nx\nx", ""],
+    })
+    out = (dedup_lines(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "text_clean"] == "a\nb\nc"
+    assert out.loc[0, "n_lines"] == 5 and out.loc[0, "n_removed"] == 2
+    assert out.loc[1, "text_clean"] == "x" and out.loc[1, "n_removed"] == 2
+    # '' splits to one empty line, kept
+    assert out.loc[2, "text_clean"] == "" and out.loc[2, "n_lines"] == 1
+
+
+def test_dedup_lines_custom_sep_words(ray_session):
+    from capelinker_ray.stages.dedup import dedup_lines
+    df = pd.DataFrame({"doc_id": [0], "text": ["a b a c b a"]})
+    out = dedup_lines(rd.from_pandas(df), sep=" ").to_pandas()
+    assert out.loc[0, "text_clean"] == "a b c"
+    assert out.loc[0, "n_removed"] == 3

@@ -79,3 +79,22 @@ def test_repetition_stats_hand_example(ray_session):
     # '' -> one empty word: fully "repeated" by the n=1 degenerate case
     assert np.isclose(out.loc[3, "top_word_frac"], 1.0)
     assert np.isclose(out.loc[3, "dup_word_frac"], 0.0)
+
+
+def test_pair_counts_adjacent_within_doc(ray_session):
+    import ray.data as rd
+    from capelinker_ray.stages.corpus_stats import pair_counts
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        # pair (a,b) x3 across docs; (b,a) x2; boundary never pairs:
+        # doc0 ends 'z', doc1 starts 'a' -> (z,a) must NOT count
+        "text": ["a b a b z", "a b", "b a  b a"],
+    })
+    out = (pair_counts(rd.from_pandas(df), min_count=2).to_pandas()
+           .sort_values(["left_tok", "right_tok"]).reset_index(drop=True))
+    got = {(r.left_tok, r.right_tok): r.n for r in out.itertuples()}
+    assert got[("a", "b")] == 3
+    assert got[("b", "a")] == 3          # doc0 has one, doc2 has two
+    assert ("z", "a") not in got
+    # the double space in doc2 makes ('b','') / ('','b') pairs -> excluded
+    assert all(l != "" and r != "" for l, r in got)
