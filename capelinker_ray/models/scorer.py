@@ -62,9 +62,59 @@ class MatchScorer:
         return t.append_column("pred", pa.array(pred, pa.float64()))
 
 
-def score_pairs(ds_pairs, model: str, concurrency=(1, 8),
-                batch_size: int | None = None, num_cpus: float = 1.0):
-    """Dataset[pairs+features] -> + ``pred`` column via an actor pool."""
+def _artifact_nbytes(model) -> int | None:
+    """Cheap size estimate for the auto actor/task decision: file size for
+    named/path artifacts, ndarray+buffer sum for loaded dicts, None if
+    unknowable (e.g. a registry name that still needs the reference-model
+    import)."""
+    import os
+    if isinstance(model, dict):
+        total = 0
+        stack = [model]
+        while stack:
+            o = stack.pop()
+            if isinstance(o, dict):
+                stack.extend(o.values())
+            elif isinstance(o, (list, tuple)):
+                stack.extend(o)
+            elif isinstance(o, np.ndarray):
+                total += o.nbytes
+            elif isinstance(o, (str, bytes)):
+                total += len(o)
+        return total
+    from .registry import artifact_path
+    p = model if os.path.exists(str(model)) else artifact_path(model)
+    return os.path.getsize(p) if os.path.exists(p) else None
+
+
+def score_pairs(ds_pairs, model, concurrency=(1, 8),
+                batch_size: int | None = None, num_cpus: float = 1.0,
+                mode: str = "auto",
+                actor_threshold_bytes: int = 32 << 20):
+    """Dataset[pairs+features] -> + ``pred`` column.
+
+    ``mode="actor"``: the classic actor pool (load-once per actor) — the
+    right shape when artifact deserialization is expensive (large
+    ensembles, external models). ``mode="task"``: a plain stateless
+    ``map_batches`` function that resolves the artifact through the
+    per-worker-process registry cache — load-once-per-PROCESS semantics
+    with ZERO pool spin-up, reusing the already-warm Ray worker pool
+    (measured: the (1,16) actor pool costs ~6 s of cold-start on a 4k-pair
+    run whose model loads in <1 ms). ``mode="auto"`` picks task for
+    artifacts under ``actor_threshold_bytes`` and actor otherwise."""
+    if mode == "auto":
+        size = _artifact_nbytes(model)
+        mode = ("task" if size is not None
+                and size <= actor_threshold_bytes else "actor")
+    if mode == "task":
+        def score_batch(t: pa.Table) -> pa.Table:
+            art = resolve_artifact(model)      # per-process registry cache
+            X = feature_matrix(t, art["feature_names"])
+            pred = predict_ensemble(art, X)
+            return t.append_column("pred", pa.array(pred, pa.float64()))
+        return ds_pairs.map_batches(score_batch, batch_size=batch_size,
+                                    num_cpus=num_cpus,
+                                    batch_format="pyarrow")
     return ds_pairs.map_batches(
         MatchScorer,
         fn_constructor_kwargs={"model": model},

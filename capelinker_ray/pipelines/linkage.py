@@ -188,16 +188,26 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
             model, concurrency=scorer_concurrency),
         inputs=("candidate_pairs",), params={"model": model}, stream=True)
 
-    links = ck.stage(
-        "links",
+    def build_links():
+        # rank-shuffle width ∝ pair count (pairs is pinned -> count is
+        # metadata-cheap): a few-thousand-pair run stops paying two
+        # cluster-wide sort barriers; 100-TB pair tables widen to the
+        # session default
+        from ..stages.grouped import default_partitions
+        width = max(4, min(-(-pairs.count() // 250_000),
+                           default_partitions()))
         # tie_break pinned: tree scores tie exactly all the time, and the
         # flagship wants one link kept per group — the reference-parity
         # "average" default (drop both) is for predict_links callers
-        lambda: select_links(scored, id_from="conv_id_from",
-                             id_to="conv_id_to", pred_col="pred",
-                             minimum_confidence=minimum_confidence,
-                             linktype=linktype,
-                             tie_break="deterministic"),
+        return select_links(scored, id_from="conv_id_from",
+                            id_to="conv_id_to", pred_col="pred",
+                            minimum_confidence=minimum_confidence,
+                            linktype=linktype,
+                            tie_break="deterministic",
+                            num_partitions=width)
+
+    links = ck.stage(
+        "links", build_links,
         inputs=("scored_pairs",),
         params={"linktype": linktype,
                 "minimum_confidence": minimum_confidence,

@@ -1431,6 +1431,53 @@ SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
 FROM isl GROUP BY doc_id, gid"""
 
 
+def q_dup_span_removal(sf_dir: str):
+    """Detect-then-remove exact-substring dedup: dup_spans feeds
+    remove_spans, rebuilding every doc with its cross-doc duplicated
+    word spans scrubbed (stages/dedup.py:remove_spans)."""
+    from ..stages.dedup import dup_spans, remove_spans
+    docs = _rpc(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text"])
+    spans = dup_spans(docs, win=_DS_WIN, min_docs=_DS_MIN_DOCS)
+    return remove_spans(docs, spans)
+
+
+def sql_dup_span_removal(sf_dir: str) -> str:
+    w, k = _DS_WIN, _DS_WIN - 1
+    return f"""WITH w AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words
+  FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(words) - {k})) AS i,
+         unnest([array_to_string(words[j:(j + {k})], ' ')
+                 FOR j IN generate_series(1, len(words) - {k})]) AS wtext
+  FROM w WHERE len(words) >= {w}
+),
+hot AS (
+  SELECT wtext FROM (SELECT DISTINCT doc_id, wtext FROM wins)
+  GROUP BY wtext HAVING count(*) >= {_DS_MIN_DOCS}
+),
+f AS (SELECT doc_id, i FROM wins JOIN hot USING (wtext)),
+cov AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(i, i + {k})) AS p FROM f
+),
+widx AS (
+  SELECT doc_id, unnest(generate_series(1, len(words))) AS p,
+         unnest(words) AS word
+  FROM w
+)
+SELECT widx.doc_id,
+       coalesce(string_agg(word, ' ' ORDER BY p)
+                FILTER (WHERE cov.p IS NULL), '') AS text_clean,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(count(*) FILTER (WHERE cov.p IS NOT NULL) AS BIGINT)
+           AS n_removed
+FROM widx LEFT JOIN cov USING (doc_id, p)
+GROUP BY widx.doc_id"""
+
+
 def q_dedup_lines(sf_dir: str):
     """Within-doc duplicate-"line" removal, keep-first, order-preserving
     (stages/dedup.py:dedup_lines). The test corpus is single-line word
@@ -2451,6 +2498,7 @@ def build_queries() -> dict:
         "ngram_dedup": q_ngram_dedup,
         "segment_dedup": q_segment_dedup,
         "dup_spans": q_dup_spans,
+        "dup_span_removal": q_dup_span_removal,
         "dedup_lines": q_dedup_lines,
         "pair_counts": q_pair_counts,
         "repetition_stats": q_repetition_stats,
@@ -2515,6 +2563,7 @@ def build_oracle_sql() -> dict:
         "ngram_dedup": sql_ngram_dedup(_ORACLE_SF_DIR),
         "segment_dedup": sql_segment_dedup(_ORACLE_SF_DIR),
         "dup_spans": sql_dup_spans(_ORACLE_SF_DIR),
+        "dup_span_removal": sql_dup_span_removal(_ORACLE_SF_DIR),
         "dedup_lines": sql_dedup_lines(_ORACLE_SF_DIR),
         "pair_counts": sql_pair_counts(_ORACLE_SF_DIR),
         "repetition_stats": sql_repetition_stats(_ORACLE_SF_DIR),

@@ -1378,3 +1378,99 @@ def dedup_lines(ds, *, text_col: str = "text", id_col: str = "doc_id",
                                      minlength=n).astype(np.int64)})
 
     return ds.map_batches(scrub, batch_format="pandas")
+
+
+def remove_spans(docs, spans, *, text_col: str = "text",
+                 id_col: str = "doc_id", start_col: str = "span_start",
+                 end_col: str = "span_end",
+                 num_partitions: int | None = None):
+    """Scrub word spans out of documents: given a span table (1-based
+    INCLUSIVE word intervals per doc — ``dup_spans`` output, or any
+    curated/edited span set), drop every covered word and rebuild each doc
+    in order. ``dup_spans`` + ``remove_spans`` together are the
+    detect-then-remove pair of exact-substring dedup (Lee et al. 2022).
+
+    Distributed shape: tagged union of docs and spans, ONE co-partitioning
+    shuffle on ``id_col``, then a fully vectorized per-partition scrub
+    (span coverage via one diff-array cumsum over the partition's flat
+    word array — overlapping spans handled for free). Docs with no spans
+    pass through untouched; spans pointing past a doc's end are clipped;
+    spans for unknown ids are ignored.
+
+    Returns Dataset[(id_col, text_clean, n_words, n_removed)].
+    """
+    import pyarrow as pa
+
+    from .grouped import grouped_map
+
+    id_type = dict(zip(docs.schema().names, docs.schema().types))[id_col]
+    schema = pa.schema([(id_col, id_type), (text_col, pa.string()),
+                        (start_col, pa.int64()), (end_col, pa.int64()),
+                        ("_side", pa.int8())])
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({id_col: t[id_col].cast(id_type),
+                         text_col: t[text_col],
+                         start_col: pa.nulls(n, pa.int64()),
+                         end_col: pa.nulls(n, pa.int64()),
+                         "_side": pa.array(np.zeros(n, np.int8))},
+                        schema=schema)
+
+    def tag_spans(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({id_col: t[id_col].cast(id_type),
+                         text_col: pa.nulls(n, pa.string()),
+                         start_col: t[start_col].cast(pa.int64()),
+                         end_col: t[end_col].cast(pa.int64()),
+                         "_side": pa.array(np.ones(n, np.int8))},
+                        schema=schema)
+
+    tagged = (docs.select_columns([id_col, text_col])
+              .map_batches(tag_docs, batch_format="pyarrow")
+              .union(spans.select_columns([id_col, start_col, end_col])
+                     .map_batches(tag_spans, batch_format="pyarrow")))
+
+    def scrub_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["_side"] == 0]
+        sp = df[df["_side"] == 1]
+        n = len(d)
+        if not n:
+            return pd.DataFrame({id_col: pd.Series(dtype=object),
+                                 "text_clean": pd.Series(dtype=object),
+                                 "n_words": pd.Series(dtype=np.int64),
+                                 "n_removed": pd.Series(dtype=np.int64)})
+        s = d[text_col].where(d[text_col].notna(), "")
+        parts = s.str.split(" ")
+        lens = parts.str.len().to_numpy(np.int64)
+        flat = np.concatenate([np.asarray(p, dtype=object) for p in parts])
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        doc_starts = np.cumsum(lens) - lens
+        covered = np.zeros(len(flat), bool)
+        if len(sp):
+            di = pd.Index(d[id_col]).get_indexer(sp[id_col])
+            ok = di >= 0                       # spans for unknown ids drop
+            di = di[ok]
+            st = np.maximum(sp[start_col].to_numpy(np.int64)[ok] - 1, 0)
+            en = sp[end_col].to_numpy(np.int64)[ok]     # ->exclusive
+            st = doc_starts[di] + np.minimum(st, lens[di])
+            en = doc_starts[di] + np.minimum(np.maximum(en, 0), lens[di])
+            diff = np.zeros(len(flat) + 1, np.int64)
+            np.add.at(diff, st, 1)
+            np.add.at(diff, en, -1)
+            covered = np.cumsum(diff[:-1]) > 0
+        keep = ~covered
+        kd, kw = doc_of[keep], flat[keep]
+        bounds = np.searchsorted(kd, np.arange(n + 1))
+        clean = np.fromiter(
+            (" ".join(kw[bounds[i]:bounds[i + 1]]) for i in range(n)),
+            dtype=object, count=n)
+        return pd.DataFrame({
+            id_col: d[id_col].to_numpy(),
+            "text_clean": clean,
+            "n_words": lens,
+            "n_removed": np.bincount(doc_of[covered],
+                                     minlength=n).astype(np.int64)})
+
+    return grouped_map(tagged, id_col, scrub_part,
+                       num_partitions=num_partitions)

@@ -463,3 +463,42 @@ def test_dedup_lines_custom_sep_words(ray_session):
     out = dedup_lines(rd.from_pandas(df), sep=" ").to_pandas()
     assert out.loc[0, "text_clean"] == "a b c"
     assert out.loc[0, "n_removed"] == 3
+
+
+def test_remove_spans_scrubs_and_passes_through(ray_session):
+    from capelinker_ray.stages.dedup import remove_spans
+    docs = pd.DataFrame({"doc_id": [0, 1, 2],
+                         "text": ["w0 w1 w2 w3 w4 w5", "x0 x1 x2", ""]})
+    spans = pd.DataFrame({
+        "doc_id": [0, 0, 1],
+        # overlapping spans on doc 0 (2-4 and 4-5 -> words 2..5 covered);
+        # doc 1 span runs past the end -> clipped
+        "span_start": [2, 4, 2],
+        "span_end": [4, 5, 99]})
+    out = (remove_spans(rd.from_pandas(docs), rd.from_pandas(spans))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "text_clean"] == "w0 w5"
+    assert out.loc[0, "n_removed"] == 4
+    assert out.loc[1, "text_clean"] == "x0"
+    assert out.loc[1, "n_removed"] == 2
+    # doc 2 has no spans and empty text: passes through
+    assert out.loc[2, "text_clean"] == "" and out.loc[2, "n_removed"] == 0
+    assert list(out["doc_id"]) == [0, 1, 2]
+
+
+def test_dup_spans_then_remove_roundtrip(ray_session):
+    """Composition: remove_spans(dup_spans(...)) leaves no cross-doc
+    duplicated window behind (scrubbed docs re-scanned -> zero spans)."""
+    from capelinker_ray.stages.dedup import dup_spans, remove_spans
+    boiler = " ".join(f"b{i}" for i in range(12))
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [f"u0 u1 {boiler} u2", f"{boiler} v0 v1 v2 v3 v4 v5 v6 v7",
+                 "solo w0 w1 w2 w3 w4 w5 w6"]})
+    ds = rd.from_pandas(docs)
+    spans = dup_spans(ds, win=8, min_docs=2)
+    clean = remove_spans(ds, spans).to_pandas()
+    again = rd.from_pandas(clean.rename(columns={"text_clean": "text"})
+                           [["doc_id", "text"]])
+    respans = dup_spans(again, win=8, min_docs=2).to_pandas()
+    assert len(respans) == 0
