@@ -1898,6 +1898,94 @@ def sql_event_percent_rank(sf_dir: str) -> str:
 FROM events"""
 
 
+def q_event_gaps(sf_dir: str):
+    """Per-user inter-event gap in seconds: value - LAG(value) window
+    (stages/scan.py:grouped_lag_diff). First event per user (NULL gap)
+    filtered on both sides."""
+    from ..stages.scan import grouped_lag_diff
+    ev = _rpc(f"{sf_dir}/events.parquet",
+              columns=["event_id", "user_id", "ts"])
+    out = grouped_lag_diff(ev, "user_id", "ts",
+                           order_by=["ts", "event_id"], out_col="gap_sec")
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["gap_sec"].notna()]
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype(np.int64),
+            "user_id": df["user_id"].astype(np.int64),
+            "gap_sec": df["gap_sec"].astype(np.float64).round(6)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_event_gaps(sf_dir: str) -> str:
+    return """SELECT event_id, user_id,
+       round((epoch_us(ts) - lag(epoch_us(ts))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 1e6, 6)
+         AS gap_sec
+FROM events
+QUALIFY gap_sec IS NOT NULL"""
+
+
+def q_event_ntile(sf_dir: str):
+    """Global NTILE(7) bucketing by value (stages/scan.py:ntile — 2-pass
+    prefix-scan row number + stateless bucket pass)."""
+    from ..stages.scan import ntile
+    ev = _rpc(f"{sf_dir}/events.parquet",
+              columns=["event_id", "value"])
+    out = ntile(ev, order_by=["value", "event_id"], k=7, out_col="bucket")
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype(np.int64),
+            "bucket": df["bucket"].astype(np.int64)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_event_ntile(sf_dir: str) -> str:
+    return """SELECT event_id,
+       CAST(ntile(7) OVER (ORDER BY value, event_id) AS BIGINT) AS bucket
+FROM events"""
+
+
+def q_lineitem_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) sums with SQL
+    GROUPING_ID parity (stages/agg.py:rollup_sum — finest-level partials,
+    coarser levels derived inside the one merge task)."""
+    from ..stages.agg import rollup_sum
+    li = _rpc(f"{sf_dir}/lineitem.parquet",
+              columns=["l_returnflag", "l_linestatus", "l_quantity",
+                       "l_extendedprice", "l_discount"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            disc_price=df["l_extendedprice"] * (1 - df["l_discount"]))
+
+    out = rollup_sum(li.map_batches(prep, batch_format="pandas"),
+                     ["l_returnflag", "l_linestatus"],
+                     ["l_quantity", "disc_price"], size_col="n_rows")
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"].fillna(""),
+            "l_linestatus": df["l_linestatus"].fillna(""),
+            "sum_qty": df["l_quantity"].round(2),
+            "sum_disc_price": df["disc_price"].round(2),
+            "n_rows": df["n_rows"].astype(np.int64),
+            "grouping_id": df["grouping_id"].astype(np.int64)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_lineitem_rollup(sf_dir: str) -> str:
+    return """SELECT coalesce(l_returnflag, '') AS l_returnflag,
+       coalesce(l_linestatus, '') AS l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+         AS grouping_id
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+
+
 def q_grouped_quantiles(sf_dir: str):
     """Per-language exact discrete quantiles of document length
     (stages/scan.py:grouped_quantiles — quantile_disc parity within each
@@ -2512,6 +2600,9 @@ def build_queries() -> dict:
         "grouped_quantiles": q_grouped_quantiles,
         "user_running_total": q_user_running_total,
         "user_rolling_mean": q_user_rolling_mean,
+        "event_gaps": q_event_gaps,
+        "event_ntile": q_event_ntile,
+        "lineitem_rollup": q_lineitem_rollup,
         "event_percent_rank": q_event_percent_rank,
         "stratified_sample": q_stratified_sample,
         "bernoulli_sample": q_bernoulli_sample,
@@ -2577,6 +2668,9 @@ def build_oracle_sql() -> dict:
         "grouped_quantiles": sql_grouped_quantiles(_ORACLE_SF_DIR),
         "user_running_total": sql_user_running_total(_ORACLE_SF_DIR),
         "user_rolling_mean": sql_user_rolling_mean(_ORACLE_SF_DIR),
+        "event_gaps": sql_event_gaps(_ORACLE_SF_DIR),
+        "event_ntile": sql_event_ntile(_ORACLE_SF_DIR),
+        "lineitem_rollup": sql_lineitem_rollup(_ORACLE_SF_DIR),
         "event_percent_rank": sql_event_percent_rank(_ORACLE_SF_DIR),
         "stratified_sample": sql_stratified_sample(_ORACLE_SF_DIR),
         "bernoulli_sample": sql_bernoulli_sample(_ORACLE_SF_DIR),

@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["small_group_sum", "distinct_small"]
+__all__ = ["small_group_sum", "distinct_small", "rollup_sum"]
 
 _MAX_SMALL_KEYS = 100_000
 
@@ -79,3 +79,60 @@ def distinct_small(ds, col: str) -> list:
         batch_size=None)
     vals = [r[col] for r in merged.take_all()]
     return sorted(v for v in vals if v is not None)
+
+
+def rollup_sum(ds, keys: list[str], sum_cols: list[str], *,
+               size_col: str | None = None):
+    """``GROUP BY ROLLUP(k1, .., km)`` sums: every prefix grouping level
+    from the finest (all keys) up to the grand total, rolled-up key
+    columns NULL, plus a ``grouping_id`` bitmask (SQL ``GROUPING_ID``
+    convention: bit set = key rolled up, first key most significant).
+
+    Distributed shape: the per-batch partials and the ONE merge task of
+    :func:`small_group_sum` computed at the FINEST level only — every
+    coarser level derives from the finest aggregate inside the same merge
+    task (keys x blocks rows, bounded by the low-cardinality contract;
+    raw rows never shuffle and never re-aggregate per level)."""
+    keys = list(keys)
+    m = len(keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, dropna=False)
+        out = g[sum_cols].sum()
+        if size_col is not None:
+            out[size_col] = g.size()
+        out = out.reset_index()
+        if len(out) > _MAX_SMALL_KEYS:
+            raise ValueError(
+                f"rollup_sum saw {len(out)} distinct keys in one batch; "
+                f"rollup requires low-cardinality keys")
+        return out
+
+    cols = sum_cols + ([size_col] if size_col else [])
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        finest = (df.groupby(keys, sort=False, dropna=False)[cols]
+                  .sum().reset_index())
+        frames = []
+        for lvl in range(m, -1, -1):
+            prefix = keys[:lvl]
+            if lvl == m:
+                f = finest.copy()
+            elif prefix:
+                f = (finest.groupby(prefix, sort=False, dropna=False)[cols]
+                     .sum().reset_index())
+            else:
+                f = finest[cols].sum().to_frame().T
+            for kk in keys[lvl:]:
+                f[kk] = None
+            f["grouping_id"] = sum(1 << (m - 1 - i) for i in range(lvl, m))
+            frames.append(f[keys + cols + ["grouping_id"]])
+        out = pd.concat(frames, ignore_index=True)
+        if size_col is not None:
+            out[size_col] = out[size_col].astype(np.int64)
+        out["grouping_id"] = out["grouping_id"].astype(np.int64)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.repartition(1).map_batches(merge, batch_format="pandas",
+                                               batch_size=None)

@@ -31,7 +31,8 @@ import ray.data as rd
 
 __all__ = ["running_total", "grouped_running_total", "pack_by_budget",
            "row_number", "exact_quantiles", "grouped_quantiles",
-           "grouped_rolling_mean", "grouped_percent_rank"]
+           "grouped_rolling_mean", "grouped_percent_rank",
+           "grouped_lag_diff", "ntile"]
 
 
 @ray.remote
@@ -274,3 +275,65 @@ def grouped_quantiles(ds, group_col: str, col: str, qs=(0.25, 0.5, 0.75)):
 
     from .grouped import grouped_map
     return grouped_map(ds, group_col, per_partition)
+
+
+def grouped_lag_diff(ds, key_col: str, value_col: str, order_by,
+                     out_col: str = "lag_diff"):
+    """``value - LAG(value) OVER (PARTITION BY key ORDER BY ...)`` — the
+    inter-event-gap window function (e.g. per-user seconds between
+    consecutive events). First row of each key gets NULL (SQL LAG
+    semantics). Datetime columns diff in SECONDS (float); numeric columns
+    diff in their own units.
+
+    Same shape as the other grouped windows here: ONE co-partitioning
+    shuffle, then a vectorized within-partition sort + grouped diff —
+    no per-group Python loop. Partitioning assumption: one key's rows fit
+    a partition."""
+    import pandas as pd
+
+    order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            df = df.copy()
+            df[out_col] = pd.Series(dtype=np.float64)
+            return df
+        df = df.sort_values([key_col, *order_by], kind="stable").copy()
+        v = df[value_col]
+        if str(v.dtype).startswith("datetime"):
+            # normalize to micros first (ns/us inputs both land here),
+            # then int64 view -> seconds; the diff stays exact
+            v = (v.astype("datetime64[us]").astype("int64")
+                 .astype(np.float64) / 1e6)
+        else:
+            v = v.astype(np.float64)
+        df[out_col] = v.groupby(df[key_col].to_numpy(), sort=False).diff()
+        return df
+
+    from .grouped import grouped_map
+    return grouped_map(ds, key_col, per_partition)
+
+
+def ntile(ds, order_by, k: int, out_col: str = "ntile"):
+    """SQL ``NTILE(k) OVER (ORDER BY ...)``: split the GLOBAL order into k
+    buckets, the first ``n % k`` buckets one row larger. Built on the
+    2-pass prefix scan (global row number — driver sees #blocks scalars,
+    never rows), then one stateless vectorized bucket pass with the three
+    scalars (n, k) broadcast in the closure. ``order_by`` should be a
+    total order (include a unique id) for deterministic output."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ranked = row_number(ds, order_by, out_col="_rn").materialize()
+    n = ranked.count()
+    q, r = divmod(n, k)
+    cut = (q + 1) * r              # rows 0..cut-1 live in the big buckets
+
+    def bucket(t: pa.Table) -> pa.Table:
+        rn0 = t["_rn"].to_numpy(zero_copy_only=False) - 1
+        b = np.where(rn0 < cut,
+                     rn0 // max(q + 1, 1),
+                     r + (rn0 - cut) // max(q, 1))
+        return (t.append_column(out_col, pa.array(b + 1, pa.int64()))
+                .drop_columns(["_rn"]))
+
+    return ranked.map_batches(bucket, batch_format="pyarrow")

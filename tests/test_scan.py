@@ -146,3 +146,57 @@ def test_grouped_percent_rank_matches_sql_semantics(ray_session):
     assert got[("a", 30.0)] == 1.0 and got[("b", 5.0)] == 0.0
     assert got[("c", 1.0)] == 0.0 and got[("c", 2.0)] == 0.5
     assert got[("c", -1)] == 1.0
+
+
+def test_grouped_lag_diff_numeric_and_datetime(ray_session):
+    from capelinker_ray.stages.scan import grouped_lag_diff
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b", "c"],
+        "ord": [1, 2, 3, 1, 2, 1],
+        "v": [10.0, 13.0, 12.0, 5.0, 9.0, 7.0]})
+    out = (grouped_lag_diff(rd.from_pandas(df), "k", "v", order_by="ord")
+           .to_pandas().sort_values(["k", "ord"]).reset_index(drop=True))
+    assert out["lag_diff"].isna().tolist() == [True, False, False,
+                                               True, False, True]
+    assert out["lag_diff"].dropna().tolist() == [3.0, -1.0, 4.0]
+
+    ts = pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:00:02.5",
+                         "2024-01-01 00:01:00"], format="ISO8601")
+    dfd = pd.DataFrame({"k": ["x"] * 3, "ord": [1, 2, 3], "t": ts})
+    outd = (grouped_lag_diff(rd.from_pandas(dfd), "k", "t", order_by="ord")
+            .to_pandas().sort_values("ord"))
+    assert outd["lag_diff"].dropna().tolist() == [2.5, 57.5]   # seconds
+
+
+def test_ntile_bucket_sizes_match_sql(ray_session):
+    from capelinker_ray.stages.scan import ntile
+    # n=10, k=3 -> bucket sizes 4,3,3 (first n%k buckets one larger)
+    df = pd.DataFrame({"id": np.arange(10, dtype=np.int64)})
+    out = (ntile(rd.from_pandas(df).repartition(4), order_by="id", k=3)
+           .to_pandas().sort_values("id"))
+    assert out["ntile"].tolist() == [1]*4 + [2]*3 + [3]*3
+    # n < k: each row its own bucket 1..n
+    small = pd.DataFrame({"id": np.arange(2, dtype=np.int64)})
+    out2 = ntile(rd.from_pandas(small), order_by="id", k=5).to_pandas()
+    assert sorted(out2["ntile"]) == [1, 2]
+
+
+def test_rollup_sum_levels_and_grouping_id(ray_session):
+    from capelinker_ray.stages.agg import rollup_sum
+    df = pd.DataFrame({
+        "a": ["x", "x", "y", "y"],
+        "b": ["p", "q", "p", None],       # NULL key stays its own group
+        "v": [1.0, 2.0, 4.0, 8.0]})
+    out = (rollup_sum(rd.from_pandas(df).repartition(3), ["a", "b"], ["v"],
+                      size_col="n")
+           .to_pandas())
+    fin = out[out["grouping_id"] == 0]
+    assert len(fin) == 4
+    assert fin.set_index(["a", "b"])["v"].to_dict()[("x", "q")] == 2.0
+    # NULL b key survives as a finest-level group (dropna=False)
+    assert fin[fin["b"].isna()]["v"].tolist() == [8.0]
+    lvl1 = out[out["grouping_id"] == 1].set_index("a")["v"].to_dict()
+    assert lvl1 == {"x": 3.0, "y": 12.0}
+    total = out[out["grouping_id"] == 3]
+    assert len(total) == 1 and total["v"].iloc[0] == 15.0
+    assert total["n"].iloc[0] == 4 and total["a"].isna().all()
