@@ -1683,6 +1683,41 @@ WHERE token <> ''
 GROUP BY token HAVING count(*) >= 5"""
 
 
+def q_encode_tokens(sf_dir: str):
+    """Tokenizer encode pass: vocab_counts -> broadcast-vocab token-id
+    stream (stages/corpus_stats.py:encode_tokens — the step before
+    pack_by_budget shard packing)."""
+    from ..stages.corpus_stats import encode_tokens, vocab_counts
+    docs = _rpc(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text"])
+    return encode_tokens(docs, vocab_counts(docs, min_count=5))
+
+
+def sql_encode_tokens(sf_dir: str) -> str:
+    return """WITH w AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(generate_series(1, len(words))) AS pos,
+         unnest(words) AS token
+  FROM w
+),
+v0 AS (
+  SELECT token, count(*) AS n
+  FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token
+        FROM documents)
+  WHERE token <> '' GROUP BY token HAVING count(*) >= 5
+),
+v AS (
+  SELECT token, row_number() OVER (ORDER BY n DESC, token) AS token_id
+  FROM v0
+)
+SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
+       CAST(coalesce(v.token_id, 0) AS BIGINT) AS token_id
+FROM tok t LEFT JOIN v USING (token)"""
+
+
 _HH_PHI = 0.0005
 
 
@@ -2051,6 +2086,31 @@ def sql_bernoulli_sample(sf_dir: str) -> str:
     thr = bernoulli_threshold(0.25)
     return (f"SELECT doc_id, n_chars FROM documents "
             f"WHERE {_sql_sample_hash(11)} < CAST('{thr}' AS UBIGINT)")
+
+
+def q_mixture_sample(sf_dir: str):
+    """Data-mixing resample: per-source keep rates (crawl-like sources
+    downweighted, curated kept whole) via the deterministic splitmix keep
+    (stages/sampling.py:mixture_sample — shuffle-free)."""
+    from ..stages.sampling import mixture_sample
+    docs = _rpc(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "source", "n_chars"])
+    return mixture_sample(docs, "doc_id", "source",
+                          rates={"src0": 0.1, "src1": 0.5, "src2": 1.0},
+                          default_rate=0.3, seed=13)
+
+
+def sql_mixture_sample(sf_dir: str) -> str:
+    from ..stages.sampling import bernoulli_threshold
+    t = {p: bernoulli_threshold(p) for p in (0.1, 0.5, 0.3)}
+    h = _sql_sample_hash(13)
+    return f"""SELECT doc_id, source, n_chars FROM documents
+WHERE CASE source
+        WHEN 'src0' THEN {h} < CAST('{t[0.1]}' AS UBIGINT)
+        WHEN 'src1' THEN {h} < CAST('{t[0.5]}' AS UBIGINT)
+        WHEN 'src2' THEN TRUE
+        ELSE {h} < CAST('{t[0.3]}' AS UBIGINT)
+      END"""
 
 
 def _setop_sides(sf_dir: str):
@@ -2593,6 +2653,7 @@ def build_queries() -> dict:
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
         "vocab_counts": q_vocab_counts,
+        "encode_tokens": q_encode_tokens,
         "heavy_hitters": q_heavy_hitters,
         "bm25_topk": q_bm25_topk,
         "window_agg": q_window_agg,
@@ -2606,6 +2667,7 @@ def build_queries() -> dict:
         "event_percent_rank": q_event_percent_rank,
         "stratified_sample": q_stratified_sample,
         "bernoulli_sample": q_bernoulli_sample,
+        "mixture_sample": q_mixture_sample,
         "weighted_sample": q_weighted_sample,
         "grouped_split": q_grouped_split,
         "trigram_nll": q_trigram_nll,
@@ -2661,6 +2723,7 @@ def build_oracle_sql() -> dict:
         "pii_redact": sql_pii_redact(_ORACLE_SF_DIR),
         "decontaminate": sql_decontaminate(_ORACLE_SF_DIR),
         "vocab_counts": sql_vocab_counts(_ORACLE_SF_DIR),
+        "encode_tokens": sql_encode_tokens(_ORACLE_SF_DIR),
         "heavy_hitters": sql_heavy_hitters(_ORACLE_SF_DIR),
         "bm25_topk": sql_bm25_topk(_ORACLE_SF_DIR),
         "window_agg": sql_window_agg(_ORACLE_SF_DIR),
@@ -2674,6 +2737,7 @@ def build_oracle_sql() -> dict:
         "event_percent_rank": sql_event_percent_rank(_ORACLE_SF_DIR),
         "stratified_sample": sql_stratified_sample(_ORACLE_SF_DIR),
         "bernoulli_sample": sql_bernoulli_sample(_ORACLE_SF_DIR),
+        "mixture_sample": sql_mixture_sample(_ORACLE_SF_DIR),
         "weighted_sample": sql_weighted_sample(_ORACLE_SF_DIR),
         "grouped_split": sql_grouped_split(_ORACLE_SF_DIR),
         "trigram_nll": sql_trigram_nll(_ORACLE_SF_DIR),

@@ -33,7 +33,7 @@ from ray.data.aggregate import Max, Min
 from ..kernels.strdist import jaro_winkler_sim
 
 __all__ = ["add_group_count", "normalise_column", "uniformise_column",
-           "add_group_uniqueness", "vocab_counts"]
+           "add_group_uniqueness", "vocab_counts", "encode_tokens"]
 
 
 def add_group_count(ds, key_col: str, out_col: str = "group_count"):
@@ -236,3 +236,54 @@ def pair_counts(ds, text_col: str = "text", min_count: int = 5):
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return grouped_map(partials, ["left_tok", "right_tok"], combine)
+
+
+def encode_tokens(ds, vocab, *, text_col: str = "text",
+                  id_col: str = "doc_id", unk_id: int = 0):
+    """Corpus -> flat (id, pos, token_id) token-id stream — the tokenizer
+    ENCODE pass that turns curated text into the integer stream training
+    shards are packed from (compose with ``pack_by_budget``).
+
+    ``vocab``: the ``vocab_counts`` output (Dataset or DataFrame of
+    (token, n)). Ids are assigned by (n DESC, token ASC) rank starting at
+    1; out-of-vocabulary tokens (incl. the empty token from repeated
+    spaces / empty docs) get ``unk_id``. Positions are 1-based within each
+    doc (single-space split, the corpus-wide convention here).
+
+    Scale shape: the vocabulary is bounded by the ``min_count`` contract
+    (Zipf: ≤ ~10^6 entries at any corpus size), so it broadcasts ONCE via
+    the shared-plasma ``broadcast_join`` index — the token stream itself
+    never shuffles: explode and id-lookup are stateless per-batch maps."""
+    if hasattr(vocab, "to_pandas"):
+        vocab = vocab.to_pandas()
+    v = vocab.sort_values(["n", "token"], ascending=[False, True],
+                          kind="stable").reset_index(drop=True)
+    v = pd.DataFrame({"token": v["token"],
+                      "token_id": np.arange(1, len(v) + 1, dtype=np.int64)})
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        words = df[text_col].where(df[text_col].notna(), "").str.split(" ")
+        lens = words.str.len().to_numpy(np.int64)
+        total = int(lens.sum())
+        if not total:
+            return pd.DataFrame({id_col: pd.Series(dtype=df[id_col].dtype),
+                                 "pos": pd.Series(dtype=np.int64),
+                                 "token": pd.Series(dtype=object)})
+        flat = np.concatenate([np.asarray(w, dtype=object) for w in words])
+        starts = np.cumsum(lens) - lens
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens) + 1
+        return pd.DataFrame({
+            id_col: np.repeat(df[id_col].to_numpy(), lens),
+            "pos": pos, "token": flat})
+
+    from .join import broadcast_join
+    toks = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pandas")
+    joined = broadcast_join(toks, v, on="token", how="left")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "pos": df["pos"].astype(np.int64),
+            "token_id": df["token_id"].fillna(unk_id).astype(np.int64)})
+    return joined.map_batches(finish, batch_format="pandas")

@@ -30,6 +30,7 @@ import pandas as pd
 from .dedup import _splitmix64
 
 __all__ = ["bernoulli_sample", "stratified_sample", "top_k_per_group",
+           "mixture_sample",
            "weighted_sample_topk", "grouped_split",
            "sample_hash", "seed_mix", "bernoulli_threshold"]
 
@@ -202,3 +203,35 @@ def stratified_sample(ds, key_col: str, id_col: str, n_per_key: int,
 
     return grouped_map(ds, key_col, cap_fn(key_col),
                        num_partitions=num_partitions)
+
+
+def mixture_sample(ds, id_col: str, group_col: str, rates: dict,
+                   default_rate: float = 1.0, seed: int = 0):
+    """Data-MIXING resample: keep a deterministic per-group fraction —
+    ``rates[group]`` for listed groups, ``default_rate`` otherwise (e.g.
+    downweight a crawl source to 10%, keep curated sources whole). The
+    keep decision is the same pure splitmix64(id ^ seed) function as
+    ``bernoulli_sample`` with a per-row threshold looked up from the
+    group, so re-runs and the SQL oracle agree row-for-row, and one
+    document keeps/drops CONSISTENTLY across pipeline stages that reuse
+    the seed. Stateless per-batch filter — no shuffle; the rates dict is
+    tiny (one entry per source) and rides the task closure."""
+    for g, p in rates.items():
+        if not 0.0 <= float(p) <= 1.0:
+            raise ValueError(f"rate for group {g!r} must be in [0, 1]")
+    thr = {g: np.uint64(min(bernoulli_threshold(float(p)), (1 << 64) - 1))
+           for g, p in rates.items()}
+    dflt = np.uint64(min(bernoulli_threshold(float(default_rate)),
+                         (1 << 64) - 1))
+    full = {g: float(p) >= 1.0 for g, p in rates.items()}
+    dflt_full = float(default_rate) >= 1.0
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        from .grouped import typed_or_empty
+        h = sample_hash(df[id_col].to_numpy(np.int64), seed)
+        t = df[group_col].map(thr).fillna(dflt).to_numpy(np.uint64)
+        is_full = (df[group_col].map(full).fillna(dflt_full)
+                   .to_numpy(bool))
+        return typed_or_empty(df[is_full | (h < t)])
+
+    return ds.map_batches(keep, batch_format="pandas")

@@ -127,3 +127,31 @@ def test_label_export_high_cardinality_deterministic(ray_session, tmp_path):
     assert sorted(a["block_key"].unique()) == sorted(b["block_key"].unique())
     assert a["block_key"].nunique() <= 7
     assert n1 == n2 > 0
+
+def test_encode_tokens_ids_unk_and_positions(ray_session):
+    from capelinker_ray.stages.corpus_stats import encode_tokens
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["b a a b b", "a rare b", ""]})
+    # vocab as a plain DataFrame: b(n=4) -> id 1, a(n=3) -> id 2
+    vocab = pd.DataFrame({"token": ["a", "b"], "n": [3, 4]})
+    out = (encode_tokens(rd.from_pandas(docs).repartition(2), vocab)
+           .to_pandas().sort_values(["doc_id", "pos"])
+           .reset_index(drop=True))
+    d0 = out[out["doc_id"] == 0]
+    assert d0["pos"].tolist() == [1, 2, 3, 4, 5]
+    assert d0["token_id"].tolist() == [1, 2, 2, 1, 1]
+    d1 = out[out["doc_id"] == 1]
+    assert d1["token_id"].tolist() == [2, 0, 1]        # OOV 'rare' -> unk
+    d2 = out[out["doc_id"] == 2]                       # empty doc: one unk
+    assert d2["pos"].tolist() == [1] and d2["token_id"].tolist() == [0]
+
+
+def test_encode_tokens_tie_rank_by_token(ray_session):
+    from capelinker_ray.stages.corpus_stats import encode_tokens
+    # equal counts -> lexicographic token order breaks the tie
+    docs = pd.DataFrame({"doc_id": [0], "text": ["z y z y"]})
+    vocab = pd.DataFrame({"token": ["z", "y"], "n": [2, 2]})
+    out = encode_tokens(rd.from_pandas(docs), vocab).to_pandas()
+    got = dict(zip(out["pos"], out["token_id"]))
+    assert got == {1: 2, 2: 1, 3: 2, 4: 1}             # y=1, z=2

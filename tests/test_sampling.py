@@ -152,3 +152,32 @@ def test_grouped_split_leakage_safe_and_deterministic(ray_session):
     m = out.sort_values("v").reset_index(drop=True)
     m2 = out2.sort_values("v").reset_index(drop=True)
     assert (m["split"] == m2["split"]).all()
+
+
+def test_mixture_sample_rates_and_determinism(ray_session):
+    from capelinker_ray.stages.sampling import mixture_sample
+    n = 4000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "src": np.repeat(["a", "b", "c", "d"], n // 4)})
+    ds = rd.from_pandas(df).repartition(5)
+    out = mixture_sample(ds, "id", "src",
+                         rates={"a": 0.0, "b": 0.5, "c": 1.0},
+                         default_rate=0.25, seed=3).to_pandas()
+    by = out.groupby("src").size().to_dict()
+    assert "a" not in by                      # rate 0 drops everything
+    assert by["c"] == n // 4                  # rate 1 keeps everything
+    assert abs(by["b"] / (n // 4) - 0.5) < 0.08
+    assert abs(by.get("d", 0) / (n // 4) - 0.25) < 0.08
+    # deterministic: same (corpus, seed) -> identical keep set
+    out2 = mixture_sample(ds, "id", "src",
+                          rates={"a": 0.0, "b": 0.5, "c": 1.0},
+                          default_rate=0.25, seed=3).to_pandas()
+    assert sorted(out["id"]) == sorted(out2["id"])
+    # consistency with bernoulli_sample at the same seed: a doc kept at
+    # rate p is kept at any higher rate (nested samples)
+    out_hi = mixture_sample(ds, "id", "src", rates={"b": 0.8},
+                            default_rate=1.0, seed=3).to_pandas()
+    b_lo = set(out[out["src"] == "b"]["id"])
+    b_hi = set(out_hi[out_hi["src"] == "b"]["id"])
+    assert b_lo <= b_hi
