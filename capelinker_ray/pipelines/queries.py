@@ -340,6 +340,35 @@ def sql_dedup_exact(sf_dir: str) -> str:
             "CAST(count(*) AS BIGINT) AS n_dups FROM documents GROUP BY text")
 
 
+def q_incremental_dedup(sf_dir: str):
+    """New-batch exact dedup vs a frozen corpus (stages/dedup.py:
+    incremental_dedup — anti join on text, then min-id keep-first within
+    the increment). Split: frozen = doc_id < 250, new = the rest."""
+    import pyarrow.compute as pc
+    from ..stages.dedup import incremental_dedup
+    frozen = _rpc(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "text"],
+                  filter=pc.field("doc_id") < 250)
+    new = _rpc(f"{sf_dir}/documents.parquet",
+               columns=["doc_id", "text"],
+               filter=pc.field("doc_id") >= 250)
+    out = incremental_dedup(new, frozen)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64),
+                             "text": df["text"]})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_incremental_dedup(sf_dir: str) -> str:
+    return """WITH nw AS (SELECT doc_id, text FROM documents
+            WHERE doc_id >= 250)
+SELECT doc_id, text FROM nw n
+WHERE NOT EXISTS (SELECT 1 FROM documents f
+                  WHERE f.doc_id < 250 AND f.text = n.text)
+QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1"""
+
+
 def q_doc_token_stats(sf_dir: str):
     docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
@@ -1718,6 +1747,58 @@ SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
 FROM tok t LEFT JOIN v USING (token)"""
 
 
+_TFIDF_THR = 0.25
+_TFIDF_MAXDF = 100
+
+
+def q_tfidf_pairs(sf_dir: str):
+    """All-pairs tf-idf cosine similarity join (stages/search.py:
+    tfidf_cosine_pairs — inverted-index partial dot products, per-token
+    fan-out capped by the max_df stopword prune)."""
+    from ..stages.search import tfidf_cosine_pairs
+    docs = _rpc(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text"])
+    out = tfidf_cosine_pairs(docs, threshold=_TFIDF_THR,
+                             max_df=_TFIDF_MAXDF)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "id_from": df["id_from"].astype(np.int64),
+            "id_to": df["id_to"].astype(np.int64),
+            "cosine": df["cosine"].round(9)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_tfidf_pairs(sf_dir: str) -> str:
+    return f"""WITH tok AS (
+  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS token
+        FROM documents)
+  WHERE token <> ''
+  GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+w AS (
+  SELECT t.doc_id, t.token,
+         t.cnt * (ln((SELECT count(*) FROM documents))
+                  - ln(CAST(df AS DOUBLE))) AS w, df
+  FROM tok t JOIN dfreq USING (token)
+  WHERE df <= {_TFIDF_MAXDF}
+),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+dot AS (
+  SELECT a.doc_id AS id_from, b.doc_id AS id_to,
+         sum((a.w / na.nrm) * (b.w / nb.nrm)) AS cosine
+  FROM w a JOIN w b USING (token)
+  JOIN nrm na ON na.doc_id = a.doc_id
+  JOIN nrm nb ON nb.doc_id = b.doc_id
+  WHERE a.doc_id < b.doc_id AND a.df >= 2
+  GROUP BY 1, 2
+)
+SELECT id_from, id_to, round(cosine, 9) AS cosine
+FROM dot WHERE cosine >= {_TFIDF_THR}"""
+
+
 _HH_PHI = 0.0005
 
 
@@ -2615,6 +2696,7 @@ def build_queries() -> dict:
         "selection_one_to_one": q_selection_one_to_one,
         "entity_clusters_rule": q_entity_clusters_rule,
         "dedup_exact": q_dedup_exact,
+        "incremental_dedup": q_incremental_dedup,
         "doc_token_stats": q_doc_token_stats,
         "events_sessionize": q_events_sessionize,
         "ann_topk": q_ann_topk,
@@ -2656,6 +2738,7 @@ def build_queries() -> dict:
         "encode_tokens": q_encode_tokens,
         "heavy_hitters": q_heavy_hitters,
         "bm25_topk": q_bm25_topk,
+        "tfidf_pairs": q_tfidf_pairs,
         "window_agg": q_window_agg,
         "hopping_window": q_hopping_window,
         "grouped_quantiles": q_grouped_quantiles,
@@ -2697,6 +2780,7 @@ def build_oracle_sql() -> dict:
         "entity_clusters_rule": sql_entity_clusters_rule(path),
         "incremental_assign_rule": sql_incremental_assign_rule(path),
         "dedup_exact": sql_dedup_exact(_ORACLE_SF_DIR),
+        "incremental_dedup": sql_incremental_dedup(_ORACLE_SF_DIR),
         "doc_token_stats": sql_doc_token_stats(_ORACLE_SF_DIR),
         "events_sessionize": sql_events_sessionize(_ORACLE_SF_DIR),
         "ann_topk": sql_ann_topk(_ORACLE_SF_DIR),
@@ -2726,6 +2810,7 @@ def build_oracle_sql() -> dict:
         "encode_tokens": sql_encode_tokens(_ORACLE_SF_DIR),
         "heavy_hitters": sql_heavy_hitters(_ORACLE_SF_DIR),
         "bm25_topk": sql_bm25_topk(_ORACLE_SF_DIR),
+        "tfidf_pairs": sql_tfidf_pairs(_ORACLE_SF_DIR),
         "window_agg": sql_window_agg(_ORACLE_SF_DIR),
         "hopping_window": sql_hopping_window(_ORACLE_SF_DIR),
         "grouped_quantiles": sql_grouped_quantiles(_ORACLE_SF_DIR),

@@ -25,6 +25,7 @@ __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_dedup",
     "simhash_signatures", "simhash_dup_pairs", "ngram_jaccard_pairs",
     "embedding_dup_pairs", "segment_dedup", "semantic_dedup",
+    "incremental_dedup",
 ]
 
 
@@ -1474,3 +1475,31 @@ def remove_spans(docs, spans, *, text_col: str = "text",
 
     return grouped_map(tagged, id_col, scrub_part,
                        num_partitions=num_partitions)
+
+
+def incremental_dedup(new_ds, frozen_ds, *, key_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Dedup a NEW ingest batch against a FROZEN corpus (the production
+    shape of exact dedup: the crawled increment arrives daily, the
+    already-kept corpus never re-shuffles). Drops new rows whose key
+    already exists in the frozen corpus (distributed ANTI join — the
+    frozen side ships one slim key row per distinct key per batch, the
+    hash_join probe-side dedup), then keeps the min-``id_col`` row per
+    key WITHIN the increment. Output: the surviving new rows, full
+    columns.
+
+    Shuffle currency is ``key_col`` itself — for long documents pass a
+    precomputed 64-bit content-hash column as ``key_col`` (the
+    ``exact_dedup`` convention) so the exchange moves 8-byte keys, not
+    texts."""
+    from .grouped import grouped_map
+    from .join import hash_join
+
+    fresh = hash_join(new_ds, frozen_ds.select_columns([key_col]),
+                      on=key_col, how="anti")
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        idx = df.groupby(key_col, sort=False)[id_col].idxmin()
+        return df.loc[idx]
+
+    return grouped_map(fresh, key_col, keep_first)

@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 import ray
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "tfidf_cosine_pairs"]
 
 
 def _flat_tokens(df: pd.DataFrame, text_col: str):
@@ -124,3 +124,146 @@ def bm25_topk(ds, terms: list[str], *, k: int = 10, text_col: str = "text",
                           batch_size=batch_size)
     # <= k+ties rows per batch -> single tiny merge task
     return cand.repartition(1).map_batches(merge, batch_format="pandas")
+
+
+def tfidf_cosine_pairs(ds, *, text_col: str = "text",
+                       id_col: str = "doc_id", threshold: float = 0.3,
+                       max_df: int = 100):
+    """ALL-PAIRS tf-idf cosine similarity join: every document pair with
+    cosine(tf·idf vectors) ≥ ``threshold`` (Bayardo et al., WWW'07 problem
+    statement). The lexical near-dup complement to the minhash/simhash
+    family — exact scores instead of sketch estimates.
+
+    Weighting: w = tf · ln(N / df); tokens with df > ``max_df`` are
+    STOPWORD-PRUNED from both the dot products and the norms (the
+    documented semantic — the oracle applies the identical prune).
+    ``max_df`` is also the scale bound: a token's posting list is ≤
+    max_df docs, so per-token pair fan-out is ≤ max_df²/2 — the
+    inverted-index shuffle stays linear in corpus size with a hard
+    per-token cap, no salting needed.
+
+    Distributed shape (5 slim shuffles, nothing quadratic in the corpus):
+    per-batch (doc, token, cnt) partials → df per token [shuffle 1] →
+    weights via token hash-join [2] → per-doc norms [3] → per-token
+    partial dot products over normalized weights (vectorized triangle
+    enumeration, singleton tokens dropped) [4] → per-pair sum + threshold
+    filter [5].
+    """
+    import pyarrow as pa
+
+    from .grouped import grouped_map
+    from .join import hash_join
+
+    n_docs = ds.count()
+    if n_docs == 0:
+        return ds  # empty in, empty out (schema-less passthrough)
+
+    tok_schema = pa.schema([(id_col, pa.int64()), ("token", pa.string()),
+                            ("cnt", pa.int64())])
+
+    def tok_counts(df: pd.DataFrame) -> pa.Table:
+        flat, rows, n = _flat_tokens(df, text_col)
+        if not len(flat):
+            return tok_schema.empty_table()
+        ids = df[id_col].to_numpy(np.int64)[rows]
+        key = pd.MultiIndex.from_arrays([ids, flat])
+        codes, uniq = pd.factorize(key, sort=False)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({id_col: uniq.get_level_values(0).to_numpy(np.int64),
+                         "token": np.asarray(uniq.get_level_values(1),
+                                             dtype=object),
+                         "cnt": cnt}, schema=tok_schema)
+
+    tok = ds.map_batches(tok_counts, batch_format="pandas")
+
+    # df per token: tok is already distinct per (doc, token), so the
+    # document frequency is the plain group size of the slim (token) rows
+    def df_count(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("token", sort=False).size().reset_index(name="df")
+        return out
+
+    dfreq = grouped_map(tok.select_columns(["token"]), "token", df_count)
+
+    w = hash_join(tok, dfreq, on="token")
+
+    logn = float(np.log(float(n_docs)))
+
+    def weigh(df: pd.DataFrame) -> pd.DataFrame:
+        from .grouped import typed_or_empty
+        df = df[df["df"] <= max_df].copy()
+        df["w"] = (df["cnt"].to_numpy(np.float64)
+                   * (logn - np.log(df["df"].to_numpy(np.float64))))
+        return typed_or_empty(df[[id_col, "token", "w", "df"]])
+
+    w = w.map_batches(weigh, batch_format="pandas")
+
+    def norm_part(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["w"].to_numpy(np.float64)
+        out = (pd.DataFrame({id_col: df[id_col], "_w2": v * v})
+               .groupby(id_col, sort=False)["_w2"].sum().reset_index())
+        out["nrm"] = np.sqrt(out.pop("_w2").to_numpy(np.float64))
+        return out
+
+    norms = grouped_map(w, id_col, norm_part)
+
+    # only shared tokens (df >= 2) can produce pairs; normalize weights so
+    # the per-pair sum IS the cosine
+    def shared_only(df: pd.DataFrame) -> pd.DataFrame:
+        from .grouped import typed_or_empty
+        return typed_or_empty(df[df["df"] >= 2][[id_col, "token", "w"]])
+
+    wn = hash_join(w.map_batches(shared_only, batch_format="pandas"),
+                   norms, on=id_col)
+
+    part_schema = pa.schema([("id_from", pa.int64()), ("id_to", pa.int64()),
+                             ("part", pa.float64())])
+
+    def token_dots(df: pd.DataFrame) -> pa.Table:
+        """All complete posting lists of one partition: pair indices for
+        every token via group-offset arithmetic — zero per-token Python."""
+        sizes = df.groupby("token", sort=False)["token"].transform("size")
+        df = df[sizes > 1]
+        if not len(df):
+            return part_schema.empty_table()
+        grp = df.groupby("token", sort=False).ngroup().to_numpy()
+        order = np.argsort(grp, kind="stable")
+        df = df.iloc[order]
+        grp = grp[order]
+        ids = df[id_col].to_numpy(np.int64)
+        vals = (df["w"].to_numpy(np.float64)
+                / df["nrm"].to_numpy(np.float64))
+        n_per = np.bincount(grp)
+        starts = np.cumsum(n_per) - n_per
+        n_pairs = n_per * (n_per - 1) // 2
+        tot = int(n_pairs.sum())
+        cum = np.cumsum(n_pairs)
+        offs = cum - n_pairs
+        idx = np.arange(tot, dtype=np.int64)
+        pgrp = np.searchsorted(cum, idx, side="right")
+        wi = idx - offs[pgrp]
+        k = n_per[pgrp]
+        i_ = (k - 2 - np.floor(
+            np.sqrt(-8.0 * wi + 4.0 * k * (k - 1) - 7) / 2.0 - 0.5)
+        ).astype(np.int64)
+        j_ = (wi + i_ + 1 - k * (k - 1) // 2
+              + (k - i_) * ((k - i_) - 1) // 2).astype(np.int64)
+        fi, ti = starts[pgrp] + i_, starts[pgrp] + j_
+        a, b = ids[fi], ids[ti]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pa.table({"id_from": lo, "id_to": hi,
+                         "part": vals[fi] * vals[ti]}, schema=part_schema)
+
+    partials = grouped_map(wn, "token", token_dots)
+
+    out_schema = pa.schema([("id_from", pa.int64()), ("id_to", pa.int64()),
+                            ("cosine", pa.float64())])
+
+    def pair_sum(df: pd.DataFrame) -> pa.Table:
+        s = (df.groupby(["id_from", "id_to"], sort=False)["part"]
+             .sum().reset_index(name="cosine"))
+        s = s[s["cosine"] >= threshold]
+        return pa.Table.from_pandas(s, schema=out_schema,
+                                    preserve_index=False)
+
+    return grouped_map(partials, ["id_from", "id_to"], pair_sum)

@@ -502,3 +502,20 @@ def test_dup_spans_then_remove_roundtrip(ray_session):
                            [["doc_id", "text"]])
     respans = dup_spans(again, win=8, min_docs=2).to_pandas()
     assert len(respans) == 0
+
+
+def test_incremental_dedup_drops_frozen_and_within_batch(ray_session):
+    from capelinker_ray.stages.dedup import incremental_dedup
+    frozen = pd.DataFrame({"doc_id": [0, 1], "text": ["seen", "old"]})
+    new = pd.DataFrame({
+        "doc_id": [10, 11, 12, 13, 14],
+        "text": ["seen",          # already in frozen -> dropped
+                 "fresh",         # kept
+                 "fresh",         # within-batch dup -> dropped (min id)
+                 "old",           # already in frozen -> dropped
+                 "brand"]})       # kept
+    out = (incremental_dedup(rd.from_pandas(new).repartition(3),
+                             rd.from_pandas(frozen))
+           .to_pandas().sort_values("doc_id"))
+    assert out["doc_id"].tolist() == [11, 14]
+    assert out["text"].tolist() == ["fresh", "brand"]

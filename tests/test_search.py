@@ -60,3 +60,67 @@ def test_bm25_empty_and_null_text(ray_session):
     assert list(out["doc_id"]) == [1, 2, 3]
     assert out["score"].iloc[0] > 0
     assert (out["score"].iloc[1:] == 0).all()
+
+
+def _np_tfidf_cosine(texts, max_df):
+    """Ground-truth tf-idf cosine for a tiny corpus."""
+    import collections
+    import math
+    N = len(texts)
+    toks = [collections.Counter(t.split(" ")) for t in texts]
+    for c in toks:
+        c.pop("", None)
+    df = collections.Counter()
+    for c in toks:
+        df.update(c.keys())
+    vecs = []
+    for c in toks:
+        vecs.append({t: n * math.log(N / df[t])
+                     for t, n in c.items() if df[t] <= max_df})
+    norms = [math.sqrt(sum(w * w for w in v.values())) for v in vecs]
+    out = {}
+    for i in range(N):
+        for j in range(i + 1, N):
+            shared = set(vecs[i]) & set(vecs[j])
+            shared = {t for t in shared if df[t] >= 2}
+            if not shared or not norms[i] or not norms[j]:
+                continue
+            d = sum(vecs[i][t] * vecs[j][t] for t in shared)
+            out[(i, j)] = d / (norms[i] * norms[j])
+    return out
+
+
+def test_tfidf_cosine_pairs_matches_ground_truth(ray_session):
+    from capelinker_ray.stages.search import tfidf_cosine_pairs
+    texts = ["apple banana cherry date",
+             "apple banana cherry elderberry",
+             "fig grape melon kiwi",
+             "fig grape melon lime",
+             "solo unique words here only"]
+    docs = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                         "text": texts})
+    got = (tfidf_cosine_pairs(rd.from_pandas(docs).repartition(3),
+                              threshold=0.1, max_df=100)
+           .to_pandas())
+    want = {k: v for k, v in _np_tfidf_cosine(texts, 100).items()
+            if v >= 0.1}
+    gm = {(int(r.id_from), int(r.id_to)): r.cosine
+          for r in got.itertuples()}
+    assert set(gm) == set(want)
+    for k in want:
+        assert abs(gm[k] - want[k]) < 1e-9
+    # the two planted near-dup pairs dominate
+    assert gm[(0, 1)] > 0.4 and gm[(2, 3)] > 0.4
+
+
+def test_tfidf_cosine_pairs_stopword_prune(ray_session):
+    from capelinker_ray.stages.search import tfidf_cosine_pairs
+    # 'the' appears in every doc; with max_df=2 it is pruned so the
+    # only similarity channel left is 'shared'
+    texts = ["the shared one", "the shared two", "the other thing"]
+    docs = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                         "text": texts})
+    got = (tfidf_cosine_pairs(rd.from_pandas(docs), threshold=0.01,
+                              max_df=2).to_pandas())
+    pairs = set(zip(got["id_from"], got["id_to"]))
+    assert pairs == {(0, 1)}
