@@ -369,6 +369,20 @@ WHERE NOT EXISTS (SELECT 1 FROM documents f
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1"""
 
 
+def q_clean_documents(sf_dir: str):
+    """Vectorized document cleaner: lowercase + whitespace collapse + trim
+    (stages/normalize.py:clean_documents)."""
+    from ..stages.normalize import clean_documents
+    docs = _rpc(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text"])
+    return clean_documents(docs).select_columns(["doc_id", "text_clean"])
+
+
+def sql_clean_documents(sf_dir: str) -> str:
+    return ("SELECT doc_id, lower(trim(regexp_replace(coalesce(text, ''), "
+            "'\s+', ' ', 'g'))) AS text_clean FROM documents")
+
+
 def q_doc_token_stats(sf_dir: str):
     docs = _rpc(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
@@ -1747,6 +1761,60 @@ SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
 FROM tok t LEFT JOIN v USING (token)"""
 
 
+def q_price_histogram(sf_dir: str):
+    """Fixed-width 20-bin histogram of order totals (stages/agg.py:
+    histogram — per-batch bincount partials, one merge task)."""
+    from ..stages.agg import histogram
+    orders = _rpc(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    return histogram(orders, "o_totalprice", lo=0.0, hi=500_000.0, bins=20)
+
+
+def sql_price_histogram(sf_dir: str) -> str:
+    w = 500_000.0 / 20
+    return f"""WITH b AS (
+  SELECT CAST(least(greatest(floor(o_totalprice / {w}), 0), 19) AS BIGINT)
+           AS bin
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+g AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
+allb AS (SELECT unnest(generate_series(0, 19)) AS bin)
+SELECT CAST(allb.bin AS BIGINT) AS bin,
+       CAST(allb.bin AS DOUBLE) * {w} AS lo_edge,
+       CAST(coalesce(g.n, 0) AS BIGINT) AS n
+FROM allb LEFT JOIN g USING (bin)"""
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust MAD outlier flag on document length (stages/scan.py:
+    mad_outliers — two exact-quantile passes + a stateless flag pass)."""
+    from ..stages.scan import mad_outliers
+    docs = _rpc(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "n_chars"])
+    flagged, _med, _mad = mad_outliers(docs, "n_chars", k=2.0)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "n_chars": df["n_chars"].astype(np.int64),
+            "is_outlier": df["is_outlier"].astype(np.int64)})
+    return flagged.map_batches(proj, batch_format="pandas")
+
+
+def sql_mad_outliers(sf_dir: str) -> str:
+    return """WITH med AS (
+  SELECT quantile_disc(n_chars, 0.5) AS m FROM documents
+),
+mad AS (
+  SELECT quantile_disc(abs(CAST(n_chars AS DOUBLE) - (SELECT m FROM med)),
+                       0.5) AS d
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(abs(CAST(n_chars AS DOUBLE) - (SELECT m FROM med))
+            > 2.0 * 1.4826 * (SELECT d FROM mad) AS BIGINT) AS is_outlier
+FROM documents"""
+
+
 _TFIDF_THR = 0.25
 _TFIDF_MAXDF = 100
 
@@ -2697,6 +2765,7 @@ def build_queries() -> dict:
         "entity_clusters_rule": q_entity_clusters_rule,
         "dedup_exact": q_dedup_exact,
         "incremental_dedup": q_incremental_dedup,
+        "clean_documents": q_clean_documents,
         "doc_token_stats": q_doc_token_stats,
         "events_sessionize": q_events_sessionize,
         "ann_topk": q_ann_topk,
@@ -2759,6 +2828,8 @@ def build_queries() -> dict:
         "curation_capped": q_curation_capped,
         "pack_shards": q_pack_shards,
         "exact_quantiles": q_exact_quantiles,
+        "price_histogram": q_price_histogram,
+        "mad_outliers": q_mad_outliers,
         "top_per_lang": q_top_per_lang,
         "doc_curation": q_doc_curation,
         "sketch_stats": q_sketch_stats,
@@ -2781,6 +2852,7 @@ def build_oracle_sql() -> dict:
         "incremental_assign_rule": sql_incremental_assign_rule(path),
         "dedup_exact": sql_dedup_exact(_ORACLE_SF_DIR),
         "incremental_dedup": sql_incremental_dedup(_ORACLE_SF_DIR),
+        "clean_documents": sql_clean_documents(_ORACLE_SF_DIR),
         "doc_token_stats": sql_doc_token_stats(_ORACLE_SF_DIR),
         "events_sessionize": sql_events_sessionize(_ORACLE_SF_DIR),
         "ann_topk": sql_ann_topk(_ORACLE_SF_DIR),
@@ -2831,6 +2903,8 @@ def build_oracle_sql() -> dict:
         "curation_capped": sql_curation_capped(_ORACLE_SF_DIR),
         "pack_shards": sql_pack_shards(_ORACLE_SF_DIR),
         "exact_quantiles": sql_exact_quantiles(_ORACLE_SF_DIR),
+        "price_histogram": sql_price_histogram(_ORACLE_SF_DIR),
+        "mad_outliers": sql_mad_outliers(_ORACLE_SF_DIR),
         "top_per_lang": sql_top_per_lang(_ORACLE_SF_DIR),
         "asof_join": sql_asof_join(_ORACLE_SF_DIR),
         "interval_join": sql_interval_join(_ORACLE_SF_DIR),

@@ -21,7 +21,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["small_group_sum", "distinct_small", "rollup_sum"]
+__all__ = ["small_group_sum", "distinct_small", "rollup_sum",
+           "histogram"]
 
 _MAX_SMALL_KEYS = 100_000
 
@@ -132,6 +133,37 @@ def rollup_sum(ds, keys: list[str], sum_cols: list[str], *,
             out[size_col] = out[size_col].astype(np.int64)
         out["grouping_id"] = out["grouping_id"].astype(np.int64)
         return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.repartition(1).map_batches(merge, batch_format="pandas",
+                                               batch_size=None)
+
+
+def histogram(ds, col: str, *, lo: float, hi: float, bins: int):
+    """Fixed-width histogram of ``col`` over [lo, hi): per-batch
+    ``np.bincount`` partials (one int64 vector per batch regardless of
+    rows) merged in ONE task — the exact-counts complement to the
+    mergeable quantile sketch in stages/sketch.py. Values below ``lo``
+    clamp into bin 0, values at/above ``hi`` into the last bin (so the
+    SQL twin is a pure least/greatest/floor expression); nulls are
+    skipped. Returns Dataset[(bin, lo_edge, n)]."""
+    if bins < 1 or not hi > lo:
+        raise ValueError("need bins >= 1 and hi > lo")
+    width = (hi - lo) / bins
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(np.float64)
+        v = v[~np.isnan(v)]
+        b = np.clip(np.floor((v - lo) / width), 0, bins - 1).astype(np.int64)
+        cnt = np.bincount(b, minlength=bins).astype(np.int64)
+        return pd.DataFrame({"bin": np.arange(bins, dtype=np.int64),
+                             "n": cnt})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("bin", sort=True)["n"].sum().reset_index()
+        out["lo_edge"] = lo + out["bin"].to_numpy(np.float64) * width
+        out["n"] = out["n"].astype(np.int64)
+        return out[["bin", "lo_edge", "n"]]
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return partials.repartition(1).map_batches(merge, batch_format="pandas",

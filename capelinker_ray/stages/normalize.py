@@ -50,3 +50,29 @@ def normalize_turns(ds, batch_size: int | None = None):
     """Dataset[transcript turns] -> same + ``text_norm`` column."""
     return ds.map_batches(_normalize_batch, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def clean_documents(ds, *, text_col: str = "text",
+                    out_col: str = "text_clean", lowercase: bool = True,
+                    collapse_ws: bool = True, strip: bool = True,
+                    batch_size: int | None = None):
+    """Document-corpus cleaner (the curation-side analog of
+    ``normalize_turns``): lowercase, collapse whitespace runs (space, tab,
+    newline) to one space, trim — each step optional, all vectorized
+    pyarrow.compute kernels over zero-copy Arrow batches. The original
+    column is preserved; cleaned text lands in ``out_col``. Nulls clean to
+    '' (the corpus-wide empty-text convention)."""
+    import pyarrow as pa
+
+    def clean(batch: pa.Table) -> pa.Table:
+        x = pc.fill_null(batch[text_col].cast(pa.string()), "")
+        if collapse_ws:
+            x = pc.replace_substring_regex(x, r"\s+", " ")
+        if strip:
+            x = pc.utf8_trim_whitespace(x)
+        if lowercase:
+            x = pc.utf8_lower(x)
+        return batch.append_column(out_col, x)
+
+    return ds.map_batches(clean, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -32,7 +32,7 @@ import ray.data as rd
 __all__ = ["running_total", "grouped_running_total", "pack_by_budget",
            "row_number", "exact_quantiles", "grouped_quantiles",
            "grouped_rolling_mean", "grouped_percent_rank",
-           "grouped_lag_diff", "ntile"]
+           "grouped_lag_diff", "ntile", "mad_outliers"]
 
 
 @ray.remote
@@ -337,3 +337,31 @@ def ntile(ds, order_by, k: int, out_col: str = "ntile"):
                 .drop_columns(["_rn"]))
 
     return ranked.map_batches(bucket, batch_format="pyarrow")
+
+
+def mad_outliers(ds, col: str, *, k: float = 3.0, scale: float = 1.4826,
+                 out_col: str = "is_outlier"):
+    """Robust outlier flag: |x - median| > k · scale · MAD, where MAD is
+    the exact discrete median of |x - median| (scale 1.4826 makes MAD a
+    consistent sigma estimate under normality). Two :func:`exact_quantiles`
+    passes (each ships len(qs) rows to the driver, never the data), then
+    one stateless vectorized flag pass — the distribution-free length /
+    score gate for corpus curation. Null values flag False."""
+    med = float(exact_quantiles(ds, col, (0.5,))["value"].iloc[0])
+
+    def absdev(t: pa.Table) -> pa.Table:
+        v = t[col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        return t.append_column("_absdev",
+                               pa.array(np.abs(v - med), pa.float64()))
+
+    dev = ds.map_batches(absdev, batch_format="pyarrow")
+    mad = float(exact_quantiles(dev, "_absdev", (0.5,))["value"].iloc[0])
+    thr = k * scale * mad
+
+    def flag(t: pa.Table) -> pa.Table:
+        v = t[col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        is_out = np.abs(v - med) > thr
+        is_out[np.isnan(v)] = False
+        return t.append_column(out_col, pa.array(is_out, pa.bool_()))
+
+    return ds.map_batches(flag, batch_format="pyarrow"), med, mad

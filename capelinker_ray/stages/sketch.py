@@ -36,7 +36,8 @@ from ray.data.aggregate import Max, Min
 from .textstats import fnv1a_64
 
 __all__ = ["approx_distinct", "approx_distinct_by", "approx_quantiles",
-           "heavy_hitters"]
+           "heavy_hitters",
+           "count_min", "count_min_estimate", "CountMinSketch"]
 
 
 def _hash_column(vals: np.ndarray) -> np.ndarray:
@@ -291,3 +292,72 @@ def approx_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75), *,
         frac = (target - prev) / inbin
         out.append((float(q), lo + (b + frac) * width))
     return pd.DataFrame(out, columns=["q", "value"])
+
+
+class CountMinSketch:
+    """Fixed-size (depth x width) count-min table (Cormode & Muthukrishnan,
+    J.Alg 2005). ``estimate(key)`` over-counts only: true_count <= est <=
+    true_count + eps*TOTAL with prob 1-delta, eps = e/width, delta =
+    e^-depth. Merge = elementwise add (associative), so per-batch partials
+    reduce in one pass."""
+
+    def __init__(self, width: int, depth: int, seed: int, table=None):
+        self.width, self.depth, self.seed = width, depth, seed
+        self.table = (np.zeros((depth, width), np.int64)
+                      if table is None else table)
+
+    def _cols(self, hashed: np.ndarray) -> np.ndarray:
+        """(depth, n) column indices from one base hash per key."""
+        from .dedup import _splitmix64
+        rows = []
+        for d in range(self.depth):
+            c = (0x9E3779B97F4A7C15 * (d + 1) + self.seed) & ((1 << 64) - 1)
+            mix = hashed ^ np.uint64(c)
+            rows.append((_splitmix64(mix) % np.uint64(self.width))
+                        .astype(np.int64))
+        return np.stack(rows)
+
+    def add_hashed(self, hashed: np.ndarray, counts: np.ndarray) -> None:
+        cols = self._cols(hashed)
+        for d in range(self.depth):           # depth is ~4: bounded loop
+            np.add.at(self.table[d], cols[d], counts)
+
+    def estimate_hashed(self, hashed: np.ndarray) -> np.ndarray:
+        cols = self._cols(hashed)
+        ests = np.stack([self.table[d][cols[d]]
+                         for d in range(self.depth)])
+        return ests.min(axis=0)
+
+
+def count_min(ds, col: str, *, width: int = 2048, depth: int = 4,
+              seed: int = 0) -> CountMinSketch:
+    """Corpus-wide Count-Min frequency sketch of ``col`` values: each batch
+    builds a (depth x width) int64 partial (fixed KBs regardless of rows),
+    the partials SUM in one reduce — the point-frequency complement to
+    HyperLogLog (distincts) and Misra-Gries (top items). Use when the
+    distinct-key set is too big even for ``heavy_hitters``' candidate
+    recount and an eps*N over-estimate is acceptable. Nulls are skipped."""
+    shape = (depth, width)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sk = CountMinSketch(width, depth, seed)
+        v = df[col].dropna().to_numpy()
+        if len(v):
+            h = _hash_column(v)
+            # one add per DISTINCT hashed key in the batch
+            uh, cnt = np.unique(h, return_counts=True)
+            sk.add_hashed(uh, cnt.astype(np.int64))
+        return pd.DataFrame({"cell": [sk.table.ravel()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    merged = np.zeros(depth * width, np.int64)
+    for row in parts.iter_rows():             # one KB-sized row per batch
+        merged += np.asarray(row["cell"], np.int64)
+    return CountMinSketch(width, depth, seed, merged.reshape(shape))
+
+
+def count_min_estimate(sk: CountMinSketch, values) -> np.ndarray:
+    """Point-frequency estimates for ``values`` (any dtype the corpus
+    column had) against a built sketch."""
+    v = np.asarray(values, dtype=object)
+    return sk.estimate_hashed(_hash_column(v))

@@ -152,3 +152,13 @@ def test_pivot_counts_sum_mode_and_explicit_values(ray_session):
            .to_pandas().sort_values("u").reset_index(drop=True))
     assert list(out.loc[0, ["a", "b", "z"]]) == [1.5, 2.0, 0.0]
     assert list(out.loc[1, ["a", "b", "z"]]) == [3.0, 0.0, 0.0]
+
+
+def test_clean_documents_ws_case_null(ray_session):
+    from capelinker_ray.stages.normalize import clean_documents
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": ["  Hello\t\tWORLD \n again ", None, "ok"]})
+    out = (clean_documents(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id"))
+    assert out["text_clean"].tolist() == ["hello world again", "", "ok"]
+    assert out["text"].tolist()[0] == "  Hello\t\tWORLD \n again "  # kept

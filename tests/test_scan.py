@@ -200,3 +200,31 @@ def test_rollup_sum_levels_and_grouping_id(ray_session):
     total = out[out["grouping_id"] == 3]
     assert len(total) == 1 and total["v"].iloc[0] == 15.0
     assert total["n"].iloc[0] == 4 and total["a"].isna().all()
+
+
+def test_mad_outliers_flags_planted_extremes(ray_session):
+    from capelinker_ray.stages.scan import mad_outliers
+    rng = np.random.default_rng(5)
+    vals = np.concatenate([rng.normal(100, 5, 500), [1000.0, -500.0]])
+    df = pd.DataFrame({"id": np.arange(len(vals), dtype=np.int64),
+                       "v": vals})
+    out, med, mad = mad_outliers(rd.from_pandas(df).repartition(4), "v",
+                                 k=3.0)
+    res = out.to_pandas()
+    assert 95 < med < 105 and mad > 0
+    flagged = set(res[res["is_outlier"]]["id"])
+    assert {500, 501} <= flagged
+    assert len(flagged) < 20          # the bulk is not flagged
+
+
+def test_histogram_counts_and_clamping(ray_session):
+    from capelinker_ray.stages.agg import histogram
+    df = pd.DataFrame({"v": [-5.0, 0.0, 1.5, 2.5, 9.99, 10.0, 50.0,
+                             np.nan]})
+    out = (histogram(rd.from_pandas(df).repartition(3), "v",
+                     lo=0.0, hi=10.0, bins=5)
+           .to_pandas().sort_values("bin").reset_index(drop=True))
+    assert out["bin"].tolist() == [0, 1, 2, 3, 4]
+    # -5 clamps into bin 0; 10.0 and 50.0 clamp into bin 4; nan skipped
+    assert out["n"].tolist() == [3, 1, 0, 0, 3]
+    assert out["lo_edge"].tolist() == [0.0, 2.0, 4.0, 6.0, 8.0]

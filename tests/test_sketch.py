@@ -141,3 +141,36 @@ def test_approx_distinct_by_matches_global_hll(ray_session):
                .to_pandas()["n_distinct"].iloc[0])
     global_est = approx_distinct(ds, "v", p=12)
     assert int(grouped) == int(global_est)
+
+
+def test_count_min_overestimates_within_bound(ray_session):
+    import math
+    from capelinker_ray.stages.sketch import count_min, count_min_estimate
+    rng = np.random.default_rng(8)
+    # Zipf-ish skew: token i appears ~ 1/i
+    toks = np.concatenate([np.full(2000 // (i + 1), f"t{i}")
+                           for i in range(100)])
+    rng.shuffle(toks)
+    df = pd.DataFrame({"tok": toks})
+    sk = count_min(rd.from_pandas(df).repartition(5), "tok",
+                   width=1024, depth=4, seed=1)
+    true = pd.Series(toks).value_counts()
+    keys = list(true.index[:30])
+    est = count_min_estimate(sk, keys)
+    tr = true[keys].to_numpy()
+    assert (est >= tr).all()                     # one-sided
+    eps_bound = math.e / 1024 * len(toks)
+    assert (est - tr <= eps_bound * 3).all()     # loose eps*N bound
+    # total mass conserved per row
+    assert (sk.table.sum(axis=1) == len(toks)).all()
+
+
+def test_count_min_merge_is_addition(ray_session):
+    from capelinker_ray.stages.sketch import CountMinSketch, count_min
+    a = pd.DataFrame({"tok": ["x"] * 5 + ["y"] * 2})
+    b = pd.DataFrame({"tok": ["x"] * 3 + ["z"] * 4})
+    sa = count_min(rd.from_pandas(a), "tok", width=64, depth=3, seed=2)
+    sb = count_min(rd.from_pandas(b), "tok", width=64, depth=3, seed=2)
+    both = count_min(rd.from_pandas(pd.concat([a, b])), "tok",
+                     width=64, depth=3, seed=2)
+    assert (sa.table + sb.table == both.table).all()
