@@ -550,6 +550,65 @@ def sql_customers_no_orders(sf_dir: str) -> str:
             "ORDER BY c_custkey")
 
 
+def q_bloom_anti(sf_dir: str):
+    """Bloom-prefiltered EXACT anti join (stages/bloom.py): orders whose
+    customer is NOT in the negative-balance set. The broadcast bit array
+    drops the definite-misses (the bulk of the probe) batch-locally; only
+    the maybe sliver pays the hash-anti-join shuffle — false positives
+    cost shuffle bytes, never correctness."""
+    import pyarrow.compute as pc
+    from ..stages.bloom import bloom_anti_join
+    orders = _rpc(f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    debt = _rpc(f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_acctbal"],
+                filter=pc.field("c_acctbal") < 0.0).drop_columns(
+                    ["c_acctbal"])
+    out = bloom_anti_join(orders, debt, on="o_custkey",
+                          right_on="c_custkey", fpp=0.01)
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["o_totalprice"] = df["o_totalprice"].round(2)
+        return df
+    return out.map_batches(rnd, batch_format="pandas")
+
+
+def sql_bloom_anti(sf_dir: str) -> str:
+    return ("SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS "
+            "o_totalprice FROM orders o WHERE NOT EXISTS "
+            "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey "
+            "AND c.c_acctbal < 0)")
+
+
+def q_bloom_semi(sf_dir: str):
+    """Bloom-prefiltered EXACT semi join: orders FROM negative-balance
+    customers — definite-misses dropped batch-locally in one pass."""
+    import pyarrow.compute as pc
+    from ..stages.bloom import bloom_semi_join
+    orders = _rpc(f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    debt = _rpc(f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_acctbal"],
+                filter=pc.field("c_acctbal") < 0.0).drop_columns(
+                    ["c_acctbal"])
+    out = bloom_semi_join(orders, debt, on="o_custkey",
+                          right_on="c_custkey", fpp=0.01)
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["o_totalprice"] = df["o_totalprice"].round(2)
+        return df
+    return out.map_batches(rnd, batch_format="pandas")
+
+
+def sql_bloom_semi(sf_dir: str) -> str:
+    return ("SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS "
+            "o_totalprice FROM orders o WHERE EXISTS "
+            "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey "
+            "AND c.c_acctbal < 0)")
+
+
 def q_nation_revenue(sf_dir: str):
     """Multi-way star join + grouped rollup (TPC-H Q5 flavor): orders ⋈
     customer (hash shuffle join) ⋈ nation (broadcast — 25 rows), partial
@@ -2771,6 +2830,8 @@ def build_queries() -> dict:
         "ann_topk": q_ann_topk,
         "lineitem_agg": q_lineitem_agg,
         "customers_no_orders": q_customers_no_orders,
+        "bloom_anti": q_bloom_anti,
+        "bloom_semi": q_bloom_semi,
         "nation_revenue": q_nation_revenue,
         "distinct_users": q_distinct_users,
         "nation_coverage": q_nation_coverage,
@@ -2858,6 +2919,8 @@ def build_oracle_sql() -> dict:
         "ann_topk": sql_ann_topk(_ORACLE_SF_DIR),
         "lineitem_agg": sql_lineitem_agg(_ORACLE_SF_DIR),
         "customers_no_orders": sql_customers_no_orders(_ORACLE_SF_DIR),
+        "bloom_anti": sql_bloom_anti(_ORACLE_SF_DIR),
+        "bloom_semi": sql_bloom_semi(_ORACLE_SF_DIR),
         "nation_revenue": sql_nation_revenue(_ORACLE_SF_DIR),
         "distinct_users": sql_distinct_users(_ORACLE_SF_DIR),
         "nation_coverage": sql_nation_coverage(_ORACLE_SF_DIR),
