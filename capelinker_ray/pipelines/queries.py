@@ -1874,6 +1874,107 @@ SELECT doc_id, n_chars,
 FROM documents"""
 
 
+def q_latest_events(sf_dir: str):
+    """CDC latest-wins compaction (stages/cdc.py): newest event per
+    (user, type) — one co-partition shuffle, vectorized keep-last."""
+    from ..stages.cdc import compact_latest
+    ev = _rpc(f"{sf_dir}/events.parquet",
+              columns=["event_id", "ts", "user_id", "event_type", "value"])
+    out = compact_latest(ev, ["user_id", "event_type"], "ts",
+                         tiebreak_cols="event_id")
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["value"] = df["value"].round(6)
+        return df[["user_id", "event_type", "event_id", "ts", "value"]]
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_latest_events(sf_dir: str) -> str:
+    return """SELECT user_id, event_type, event_id, ts, round(value, 6) AS value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) = 1"""
+
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel_steps(sf_dir: str):
+    """First-touch conversion funnel view -> click -> purchase
+    (stages/events.py funnel): per-user earliest strictly-ordered
+    completion times + steps_completed."""
+    from ..stages.events import funnel
+    ev = _rpc(f"{sf_dir}/events.parquet",
+              columns=["user_id", "ts", "event_type"])
+    return funnel(ev, _FUNNEL_STEPS)
+
+
+def sql_funnel_steps(sf_dir: str) -> str:
+    s1, s2, s3 = _FUNNEL_STEPS
+    return f"""WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{s1}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+  WHERE e.event_type = '{s2}' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+  WHERE e.event_type = '{s3}' GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CAST(t1 IS NOT NULL AS BIGINT) + CAST(t2 IS NOT NULL AS BIGINT)
+         + CAST(t3 IS NOT NULL AS BIGINT) AS steps_completed,
+       t1, t2, t3
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)"""
+
+
+def q_resample_daily(sf_dir: str):
+    """Per-user daily-grid forward-fill resample (stages/events.py
+    resample_ffill): one shuffle + one grouped ffill, no per-key loop."""
+    from ..stages.events import resample_ffill
+    ev = _rpc(f"{sf_dir}/events.parquet",
+              columns=["user_id", "ts", "value", "event_id"])
+    out = resample_ffill(ev, key_col="user_id", ts_col="ts",
+                         value_col="value", every_s=86400.0,
+                         tiebreak_col="event_id")
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["value"] = df["value"].round(6)
+        return df
+    return out.map_batches(rnd, batch_format="pandas")
+
+
+def sql_resample_daily(sf_dir: str) -> str:
+    return """WITH dedup AS (
+  SELECT user_id, ts, value FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                             ORDER BY event_id DESC) = 1
+),
+bounds AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(min(ts)) / 86400000000) AS BIGINT) AS lo,
+         CAST(floor(epoch_us(max(ts)) / 86400000000) AS BIGINT) AS hi
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT b.user_id,
+         make_timestamp(CAST(g.b AS BIGINT) * 86400000000) AS grid_ts
+  FROM bounds b, LATERAL unnest(generate_series(b.lo, b.hi)) AS g(b)
+)
+SELECT g.user_id, g.grid_ts, round(d.value, 6) AS value
+FROM grid g ASOF LEFT JOIN dedup d
+  ON g.user_id = d.user_id AND g.grid_ts >= d.ts"""
+
+
 _TFIDF_THR = 0.25
 _TFIDF_MAXDF = 100
 
@@ -2827,6 +2928,9 @@ def build_queries() -> dict:
         "clean_documents": q_clean_documents,
         "doc_token_stats": q_doc_token_stats,
         "events_sessionize": q_events_sessionize,
+        "latest_events": q_latest_events,
+        "funnel_steps": q_funnel_steps,
+        "resample_daily": q_resample_daily,
         "ann_topk": q_ann_topk,
         "lineitem_agg": q_lineitem_agg,
         "customers_no_orders": q_customers_no_orders,
@@ -2916,6 +3020,9 @@ def build_oracle_sql() -> dict:
         "clean_documents": sql_clean_documents(_ORACLE_SF_DIR),
         "doc_token_stats": sql_doc_token_stats(_ORACLE_SF_DIR),
         "events_sessionize": sql_events_sessionize(_ORACLE_SF_DIR),
+        "latest_events": sql_latest_events(_ORACLE_SF_DIR),
+        "funnel_steps": sql_funnel_steps(_ORACLE_SF_DIR),
+        "resample_daily": sql_resample_daily(_ORACLE_SF_DIR),
         "ann_topk": sql_ann_topk(_ORACLE_SF_DIR),
         "lineitem_agg": sql_lineitem_agg(_ORACLE_SF_DIR),
         "customers_no_orders": sql_customers_no_orders(_ORACLE_SF_DIR),

@@ -19,7 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 __all__ = ["sessionize", "session_stats", "tumbling_window_agg",
-           "hopping_window_agg", "asof_join", "interval_join"]
+           "hopping_window_agg", "asof_join", "interval_join",
+           "funnel", "resample_ffill"]
 
 
 def _ts_us(s: pd.Series) -> np.ndarray:
@@ -442,4 +443,132 @@ def interval_join(points, intervals, *, by: str, ts_col: str = "ts",
         return typed_or_empty(m)
 
     return grouped_map(tagged, group_key, join_partition,
+                       num_partitions=num_partitions)
+
+
+def funnel(ds, steps, *, user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type",
+           num_partitions: int | None = None):
+    """Ordered-sequence (funnel) match per user: the earliest completion
+    of ``steps[0]`` then ``steps[1]`` STRICTLY after it, and so on — the
+    classic first-touch conversion funnel. Emits one row per user with
+    ``steps_completed`` and the timestamp of each completed step
+    (``t1..tk``, null once the funnel stalls).
+
+    ONE co-partitioning shuffle by user; inside each coarse partition a
+    bounded loop over the k steps, each step one vectorized
+    filter + groupby-min + aligned compare across ALL users of the
+    partition — no per-user Python. SQL twin: k chained
+    min-after-previous CTEs (see ``sql_funnel`` in pipelines/queries.py).
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("need at least one funnel step")
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        users = pd.Index(df[user_col].unique(), name=user_col)
+        cols: dict = {}
+        if not len(df):
+            out = pd.DataFrame({user_col: df[user_col]})
+            out["steps_completed"] = pd.Series(dtype=np.int64)
+            for i in range(len(steps)):
+                out[f"t{i + 1}"] = pd.Series(dtype="datetime64[us]")
+            return out
+        ts = pd.to_datetime(df[ts_col]).astype("datetime64[us]")
+        # prev: per-user ts of the previous step (NaT = user dropped out);
+        # step 0 compares against -inf, i.e. the plain per-user min
+        prev = pd.Series(pd.NaT, index=users, dtype="datetime64[us]")
+        for i, step in enumerate(steps):
+            mask = (df[type_col] == step).to_numpy()
+            sub_u = df[user_col].to_numpy()[mask]
+            sub_t = ts.to_numpy()[mask]
+            if i > 0:
+                bar = prev.reindex(sub_u).to_numpy()
+                ok = ~pd.isna(bar) & (sub_t > bar)
+                sub_u, sub_t = sub_u[ok], sub_t[ok]
+            t_i = (pd.Series(sub_t)
+                   .groupby(sub_u, sort=False).min()
+                   .reindex(users))
+            cols[f"t{i + 1}"] = t_i
+            prev = t_i
+        out = pd.DataFrame(index=users).reset_index()
+        done = np.zeros(len(users), dtype=np.int64)
+        for i in range(len(steps)):
+            out[f"t{i + 1}"] = cols[f"t{i + 1}"].to_numpy()
+            done += (~pd.isna(out[f"t{i + 1}"])).to_numpy()
+        out.insert(1, "steps_completed", done)
+        return out
+
+    from .grouped import grouped_map
+    return grouped_map(ds, user_col, per_partition,
+                       num_partitions=num_partitions)
+
+
+def resample_ffill(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                   value_col: str = "value", every_s: float = 86400.0,
+                   tiebreak_col: str | None = None,
+                   num_partitions: int | None = None):
+    """Per-key regular-grid resample with forward fill: for every key,
+    grid points at epoch-aligned multiples of ``every_s`` spanning the
+    key's [min ts, max ts], each carrying the LAST observed value at or
+    before the grid instant — the gap-fill step before any per-entity
+    time-series modeling. Multiple observations at one (key, ts) are
+    collapsed to the ``tiebreak_col``-max row first (deterministic).
+
+    ONE co-partitioning shuffle; within a partition the events and the
+    generated grid rows are merged with one stable sort + one grouped
+    ``ffill`` — fully vectorized across all keys, no per-key Python loop.
+    SQL twin: per-key generate_series + ASOF JOIN.
+    """
+    every_us = np.int64(round(every_s * 1e6))
+    if every_us <= 0:
+        raise ValueError("every_s must be positive")
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = [key_col, "grid_ts", value_col]
+        if not len(df):
+            return pd.DataFrame({key_col: df[key_col],
+                                 "grid_ts": pd.Series(
+                                     dtype="datetime64[us]"),
+                                 value_col: pd.Series(dtype=np.float64)})
+        df = df[[key_col, ts_col, value_col,
+                 *([tiebreak_col] if tiebreak_col else [])]].copy()
+        df["_us"] = _ts_us(df[ts_col])
+        if tiebreak_col:
+            df = df.sort_values([key_col, "_us", tiebreak_col],
+                                kind="stable")
+        else:
+            df = df.sort_values([key_col, "_us"], kind="stable")
+        df = df[~df.duplicated(subset=[key_col, "_us"], keep="last")]
+
+        # per-key grid bounds (bucket indexes, epoch-aligned)
+        g = df.groupby(key_col, sort=False)["_us"]
+        lo = g.min() // every_us
+        hi = g.max() // every_us
+        n = (hi - lo + 1).to_numpy(np.int64)
+        keys = np.repeat(lo.index.to_numpy(), n)
+        # offsets trick: within-key arange without a Python loop
+        step = np.arange(n.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(n) - n, n)
+        grid_us = (np.repeat(lo.to_numpy(np.int64), n) + step) * every_us
+
+        ev = pd.DataFrame({key_col: df[key_col].to_numpy(),
+                           "_us": df["_us"].to_numpy(),
+                           value_col: df[value_col].to_numpy(),
+                           "_grid": False})
+        gr = pd.DataFrame({key_col: keys, "_us": grid_us,
+                           value_col: np.nan, "_grid": True})
+        both = pd.concat([ev, gr], ignore_index=True)
+        # events sort BEFORE grid rows at equal ts (ts <= t inclusive)
+        both = both.sort_values([key_col, "_us", "_grid"], kind="stable")
+        both[value_col] = both.groupby(key_col, sort=False)[
+            value_col].ffill()
+        out = both[both["_grid"]]
+        return pd.DataFrame({
+            key_col: out[key_col].to_numpy(),
+            "grid_ts": pd.to_datetime(out["_us"].to_numpy(), unit="us"),
+            value_col: out[value_col].to_numpy(np.float64)})[out_cols]
+
+    from .grouped import grouped_map
+    return grouped_map(ds, key_col, per_partition,
                        num_partitions=num_partitions)

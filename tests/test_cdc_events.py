@@ -1,0 +1,118 @@
+"""CDC compaction, funnel, gap-fill resample (stages/cdc.py, events.py)."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from capelinker_ray.stages.cdc import compact_latest
+from capelinker_ray.stages.events import funnel, resample_ffill
+
+
+def _ts(*secs):
+    return pd.to_datetime(list(secs), unit="s")
+
+
+def test_compact_latest_keeps_newest_with_tiebreak(ray_session):
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2],
+        "ts": _ts(10, 30, 30, 5, 1),
+        "seq": [0, 1, 2, 0, 1],
+        "v": ["a", "b", "c", "d", "e"]})
+    out = (compact_latest(rd.from_pandas(df).repartition(3), "k", "ts",
+                          tiebreak_cols="seq", num_partitions=4)
+           .to_pandas().sort_values("k"))
+    # k=1: ts ties at 30 -> seq 2 wins; k=2: ts=5 wins
+    assert out["v"].tolist() == ["c", "d"]
+
+
+def test_compact_latest_null_ts_oldest(ray_session):
+    df = pd.DataFrame({"k": [1, 1, 2],
+                       "ts": [pd.NaT, pd.Timestamp("2024-01-01"), pd.NaT],
+                       "v": [9, 1, 7]})
+    out = (compact_latest(rd.from_pandas(df), "k", "ts")
+           .to_pandas().sort_values("k"))
+    # null ts sorts oldest: k=1 winner is the non-null row; a key with
+    # ONLY null ts still emits its row
+    assert out["v"].tolist() == [1, 7]
+
+
+def test_compact_latest_tombstone_drops_key(ray_session):
+    df = pd.DataFrame({
+        "k": [1, 1, 2, 2, 3],
+        "ts": _ts(1, 2, 1, 2, 1),
+        "del": [False, True, True, False, False],
+        "v": [1, 2, 3, 4, 5]})
+    out = (compact_latest(rd.from_pandas(df), "k", "ts",
+                          tombstone_col="del")
+           .to_pandas().sort_values("k"))
+    # k=1 latest is a delete -> gone; k=2 delete was superseded -> kept
+    assert out["k"].tolist() == [2, 3]
+    assert out["v"].tolist() == [4, 5]
+
+
+def test_funnel_strict_order_and_stall(ray_session):
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3, 3, 3],
+        "ts": _ts(10, 20, 30, 40, 50, 10, 10, 5),
+        "event_type": ["a", "b", "c", "b", "a", "a", "b", "b"]})
+    out = (funnel(rd.from_pandas(df).repartition(3), ["a", "b", "c"],
+                  num_partitions=4)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert out["steps_completed"].tolist() == [3, 1, 1]
+    # user 2: b happens BEFORE a -> funnel stalls after a
+    assert pd.isna(out.loc[1, "t2"])
+    # user 3: b at the SAME ts as a does not count (strictly after)
+    assert pd.isna(out.loc[2, "t2"])
+    assert out.loc[0, "t3"] == pd.Timestamp("1970-01-01 00:00:30")
+
+
+def test_funnel_user_without_first_step(ray_session):
+    df = pd.DataFrame({"user_id": [7, 7], "ts": _ts(1, 2),
+                       "event_type": ["x", "y"]})
+    out = funnel(rd.from_pandas(df), ["a", "b"]).to_pandas()
+    assert out["steps_completed"].tolist() == [0]
+    assert pd.isna(out["t1"]).all()
+
+
+def test_resample_ffill_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(11)
+    rows = []
+    for u in range(5):
+        times = np.sort(rng.choice(np.arange(0, 1000), 30, replace=False))
+        for i, t in enumerate(times):
+            rows.append((u, t, float(rng.normal()), i))
+    df = pd.DataFrame(rows, columns=["user_id", "sec", "value", "eid"])
+    df["ts"] = pd.to_datetime(df["sec"], unit="s")
+    out = (resample_ffill(rd.from_pandas(df).repartition(4),
+                          key_col="user_id", ts_col="ts",
+                          value_col="value", every_s=100.0,
+                          tiebreak_col="eid", num_partitions=4)
+           .to_pandas())
+    for u, g in df.groupby("user_id"):
+        lo, hi = g["sec"].min() // 100, g["sec"].max() // 100
+        sub = out[out["user_id"] == u].sort_values("grid_ts")
+        assert len(sub) == hi - lo + 1
+        for _, r in sub.iterrows():
+            t = r["grid_ts"].timestamp()
+            past = g[g["sec"] <= t]
+            if len(past):
+                want = past.sort_values(["sec", "eid"]).iloc[-1]["value"]
+                assert r["value"] == want
+            else:
+                assert pd.isna(r["value"])
+
+
+def test_resample_ffill_tie_dedup_and_inclusive_edge(ray_session):
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1],
+        "ts": _ts(100, 100, 250),
+        "value": [5.0, 6.0, 7.0],
+        "eid": [0, 1, 2]})
+    out = (resample_ffill(rd.from_pandas(df), key_col="user_id",
+                          ts_col="ts", value_col="value", every_s=100.0,
+                          tiebreak_col="eid")
+           .to_pandas().sort_values("grid_ts").reset_index(drop=True))
+    # grid at 100 and 200: event AT the grid instant counts (<=);
+    # duplicate-ts rows collapse to the max-eid one
+    assert len(out) == 2
+    assert out["value"].tolist() == [6.0, 6.0]
