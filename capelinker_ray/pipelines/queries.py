@@ -1975,6 +1975,67 @@ FROM grid g ASOF LEFT JOIN dedup d
   ON g.user_id = d.user_id AND g.grid_ts >= d.ts"""
 
 
+def q_event_type_mode(sf_dir: str):
+    """Grouped MODE (stages/agg.py mode_by): most frequent event type per
+    user, smallest-value tiebreak — per-batch distinct-pair partials, one
+    slim shuffle."""
+    from ..stages.agg import mode_by
+    ev = _rpc(f"{sf_dir}/events.parquet",
+              columns=["user_id", "event_type"])
+    return mode_by(ev, "user_id", "event_type")
+
+
+def sql_event_type_mode(sf_dir: str) -> str:
+    return """SELECT user_id, event_type AS mode, n FROM (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY n DESC, event_type) = 1"""
+
+
+def q_orders_diff(sf_dir: str):
+    """Keyed snapshot diff (stages/cdc.py snapshot_diff): orders vs a
+    deterministically mutated v2 (price bump on %13 keys, %17 keys
+    dropped, %19 keys re-added under shifted ids) — slim (key, rowhash)
+    rows only through the one shuffle."""
+    from ..stages.cdc import snapshot_diff
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    base = _rpc(f"{sf_dir}/orders.parquet", columns=cols)
+
+    def mk_v2(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["o_orderkey"] % 17 != 0].copy()
+        bump = (keep["o_orderkey"] % 13 == 0).to_numpy()
+        keep.loc[bump, "o_totalprice"] = keep.loc[bump, "o_totalprice"] \
+            + 10.0
+        add = df[df["o_orderkey"] % 19 == 0].copy()
+        add["o_orderkey"] = add["o_orderkey"] + 100_000_000
+        return pd.concat([keep, add], ignore_index=True)
+
+    v2 = _rpc(f"{sf_dir}/orders.parquet", columns=cols).map_batches(
+        mk_v2, batch_format="pandas")
+    return snapshot_diff(base, v2, "o_orderkey")
+
+
+def sql_orders_diff(sf_dir: str) -> str:
+    return """WITH v2 AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 17 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 19 = 0
+)
+SELECT * FROM (
+  SELECT coalesce(o.o_orderkey, v.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN v.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_custkey <> v.o_custkey
+                   OR o.o_totalprice <> v.o_totalprice THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM orders o FULL OUTER JOIN v2 v ON o.o_orderkey = v.o_orderkey)
+WHERE status <> 'unchanged'"""
+
+
 _TFIDF_THR = 0.25
 _TFIDF_MAXDF = 100
 
@@ -2929,6 +2990,8 @@ def build_queries() -> dict:
         "doc_token_stats": q_doc_token_stats,
         "events_sessionize": q_events_sessionize,
         "latest_events": q_latest_events,
+        "event_type_mode": q_event_type_mode,
+        "orders_diff": q_orders_diff,
         "funnel_steps": q_funnel_steps,
         "resample_daily": q_resample_daily,
         "ann_topk": q_ann_topk,
@@ -3021,6 +3084,8 @@ def build_oracle_sql() -> dict:
         "doc_token_stats": sql_doc_token_stats(_ORACLE_SF_DIR),
         "events_sessionize": sql_events_sessionize(_ORACLE_SF_DIR),
         "latest_events": sql_latest_events(_ORACLE_SF_DIR),
+        "event_type_mode": sql_event_type_mode(_ORACLE_SF_DIR),
+        "orders_diff": sql_orders_diff(_ORACLE_SF_DIR),
         "funnel_steps": sql_funnel_steps(_ORACLE_SF_DIR),
         "resample_daily": sql_resample_daily(_ORACLE_SF_DIR),
         "ann_topk": sql_ann_topk(_ORACLE_SF_DIR),

@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 
 __all__ = ["small_group_sum", "distinct_small", "rollup_sum",
-           "histogram"]
+           "histogram", "mode_by"]
 
 _MAX_SMALL_KEYS = 100_000
 
@@ -168,3 +168,36 @@ def histogram(ds, col: str, *, lo: float, hi: float, bins: int):
     partials = ds.map_batches(partial, batch_format="pandas")
     return partials.repartition(1).map_batches(merge, batch_format="pandas",
                                                batch_size=None)
+
+
+def mode_by(ds, key_col: str, val_col: str, *,
+            num_partitions: int | None = None):
+    """Most frequent ``val_col`` per key (+ its count ``n``), ties broken
+    by smallest value — SQL ``row_number() OVER (PARTITION BY key ORDER
+    BY n DESC, val)``. Per-batch (key, val) partial counts collapse each
+    batch to its distinct pairs BEFORE the one slim co-partitioning
+    shuffle; the winner pick is one vectorized sort + keep-first per
+    coarse partition."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby([key_col, val_col], sort=False, dropna=True)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def pick(frame: pd.DataFrame) -> pd.DataFrame:
+        if not len(frame):
+            return frame.rename(columns={val_col: "mode"})
+        tot = (frame.groupby([key_col, val_col], sort=False)["n"].sum()
+               .reset_index())
+        tot = tot.sort_values([key_col, "n", val_col],
+                              ascending=[True, False, True], kind="stable")
+        win = tot[~tot.duplicated(subset=[key_col], keep="first")]
+        win = win.rename(columns={val_col: "mode"})
+        win["n"] = win["n"].astype(np.int64)
+        return win
+
+    from .grouped import grouped_map
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return grouped_map(parts, key_col, pick,
+                       num_partitions=num_partitions)

@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["compact_latest"]
+__all__ = ["compact_latest", "snapshot_diff"]
 
 
 def compact_latest(ds, key_cols, ts_col: str, *,
@@ -49,4 +49,69 @@ def compact_latest(ds, key_cols, ts_col: str, *,
 
     from .grouped import grouped_map
     return grouped_map(ds, key_cols, per_partition,
+                       num_partitions=num_partitions)
+
+
+def snapshot_diff(old, new, key_cols, *, compare_cols=None,
+                  include_unchanged: bool = False,
+                  num_partitions: int | None = None):
+    """Keyed diff of two snapshot Datasets: per key, status ``added``
+    (key only in ``new``), ``removed`` (only in ``old``), ``changed``
+    (both, non-key values differ) or ``unchanged`` (emitted only with
+    ``include_unchanged``) — the audit/validation pass of any
+    incremental-ingest pipeline.
+
+    Each side is collapsed batch-side to slim (key, rowhash) rows —
+    payload columns never cross the wire — then ONE co-partitioning
+    shuffle and a vectorized per-partition outer merge. Keys must be
+    unique within each snapshot (run :func:`compact_latest` first if
+    not); ``compare_cols`` defaults to all shared non-key columns."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    from .grouped import grouped_map, key_hash
+
+    old_cols = old.schema().names
+    new_cols = new.schema().names
+    if compare_cols is None:
+        compare_cols = [c for c in old_cols
+                        if c in set(new_cols) and c not in key_cols]
+    compare_cols = list(compare_cols)
+
+    def slim(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[key_cols].copy()
+            out["_h"] = (key_hash(df, compare_cols).astype(np.int64)
+                         if compare_cols else np.int64(0))
+            out["_side"] = side
+            return out
+        return fn
+
+    tagged = (old.map_batches(slim("o"), batch_format="pandas")
+              .union(new.map_batches(slim("n"), batch_format="pandas")))
+
+    def diff(frame: pd.DataFrame) -> pd.DataFrame:
+        from .grouped import typed_or_empty
+        if not len(frame):
+            out = frame[key_cols].copy()
+            out["status"] = pd.Series(dtype=object)
+            return typed_or_empty(out)
+        o = frame[frame["_side"] == "o"][[*key_cols, "_h"]].copy()
+        n = frame[frame["_side"] == "n"][[*key_cols, "_h"]].copy()
+        # nullable Int64: a plain outer merge would NaN-fill into float64,
+        # which rounds hashes past 2^53 and can equate distinct ones
+        o["_h"] = o["_h"].astype("Int64")
+        n["_h"] = n["_h"].astype("Int64")
+        m = o.merge(n, on=key_cols, how="outer", suffixes=("_o", "_n"))
+        added = m["_h_o"].isna().to_numpy()
+        removed = m["_h_n"].isna().to_numpy()
+        eq = (m["_h_o"] == m["_h_n"]).fillna(False).to_numpy(dtype=bool)
+        status = np.where(added, "added",
+                          np.where(removed, "removed",
+                                   np.where(eq, "unchanged", "changed")))
+        out = m[key_cols].copy()
+        out["status"] = status
+        if not include_unchanged:
+            out = out[out["status"] != "unchanged"]
+        return typed_or_empty(out)
+
+    return grouped_map(tagged, key_cols, diff,
                        num_partitions=num_partitions)

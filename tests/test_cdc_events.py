@@ -116,3 +116,46 @@ def test_resample_ffill_tie_dedup_and_inclusive_edge(ray_session):
     # duplicate-ts rows collapse to the max-eid one
     assert len(out) == 2
     assert out["value"].tolist() == [6.0, 6.0]
+
+
+def test_mode_by_ties_and_partials(ray_session):
+    from capelinker_ray.stages.agg import mode_by
+    df = pd.DataFrame({"k": [1] * 5 + [2] * 4,
+                       "v": ["b", "b", "a", "a", "c", "z", "y", "z", "y"]})
+    out = (mode_by(rd.from_pandas(df).repartition(4), "k", "v",
+                   num_partitions=3)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # k=1: a and b tie at 2 -> smallest value wins; k=2: y/z tie -> y
+    assert out["mode"].tolist() == ["a", "y"]
+    assert out["n"].tolist() == [2, 2]
+
+
+def test_snapshot_diff_statuses(ray_session):
+    from capelinker_ray.stages.cdc import snapshot_diff
+    old = pd.DataFrame({"k": [1, 2, 3, 4],
+                        "a": [10, 20, 30, 40],
+                        "b": ["x", "y", "z", "w"]})
+    new = pd.DataFrame({"k": [2, 3, 4, 5],
+                        "a": [20, 31, 40, 50],
+                        "b": ["y", "z", "w", "v"]})
+    out = (snapshot_diff(rd.from_pandas(old).repartition(2),
+                         rd.from_pandas(new).repartition(3), "k",
+                         num_partitions=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["k"].tolist() == [1, 3, 5]
+    assert out["status"].tolist() == ["removed", "changed", "added"]
+    full = (snapshot_diff(rd.from_pandas(old), rd.from_pandas(new), "k",
+                          include_unchanged=True)
+            .to_pandas())
+    assert (full[full["status"] == "unchanged"]["k"].sort_values()
+            .tolist() == [2, 4])
+
+
+def test_snapshot_diff_compare_cols_subset(ray_session):
+    from capelinker_ray.stages.cdc import snapshot_diff
+    old = pd.DataFrame({"k": [1], "a": [10], "noise": [0]})
+    new = pd.DataFrame({"k": [1], "a": [10], "noise": [99]})
+    out = snapshot_diff(rd.from_pandas(old), rd.from_pandas(new), "k",
+                        compare_cols=["a"],
+                        include_unchanged=True).to_pandas()
+    assert out["status"].tolist() == ["unchanged"]
