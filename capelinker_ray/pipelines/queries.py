@@ -2036,6 +2036,98 @@ SELECT * FROM (
 WHERE status <> 'unchanged'"""
 
 
+def q_knn_join(sf_dir: str):
+    """Exact self kNN join over the embedding table (stages/simsearch.py
+    knn_join, broadcast method): top-5 cosine neighbors per vector,
+    similarities rounded to 9 dp before ranking so numpy and the SQL
+    oracle order ties identically."""
+    from ..stages.simsearch import knn_join
+    emb = _rpc(f"{sf_dir}/embeddings.parquet",
+               columns=["vec_id", "embedding"])
+    out = knn_join(emb, k=5)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].astype(np.int64),
+            "nbr_id": df["nbr_id"].astype(np.int64),
+            "cosine": df["cosine"].astype(np.float64),
+            "rnk": df["rnk"].astype(np.int64)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_knn_join(sf_dir: str) -> str:
+    return """WITH sims AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 9)
+           AS cosine
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id <> b.vec_id
+)
+SELECT vec_id, nbr_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cosine DESC, nbr_id) AS rnk
+  FROM sims)
+WHERE rnk <= 5"""
+
+
+def q_range_window_sum(sf_dir: str):
+    """Trailing 1-hour RANGE window sum per user (stages/scan.py
+    grouped_range_sum): exact-ts peers included, SQL RANGE-frame parity."""
+    from ..stages.scan import grouped_range_sum
+    ev = _rpc(f"{sf_dir}/events.parquet",
+              columns=["event_id", "user_id", "ts", "value"])
+    out = grouped_range_sum(ev, "user_id", "ts", "value", 3600.0)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype(np.int64),
+            "user_id": df["user_id"].astype(np.int64),
+            "ts": df["ts"],
+            "range_sum": df["range_sum"].astype(np.float64).round(6)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_range_window_sum(sf_dir: str) -> str:
+    return """SELECT event_id, user_id, ts,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                    AND CURRENT ROW), 6) AS range_sum
+FROM events"""
+
+
+def q_union_by_name(sf_dir: str):
+    """Schema-evolution UNION ALL BY NAME (stages/setops.py
+    union_by_name): two differently-shaped projections of orders align by
+    column name, missing fields null-filled."""
+    from ..stages.setops import union_by_name
+    a = _rpc(f"{sf_dir}/orders.parquet",
+             columns=["o_orderkey", "o_totalprice"])
+    b = _rpc(f"{sf_dir}/orders.parquet",
+             columns=["o_orderkey", "o_orderstatus"])
+
+    def tag_a(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["src"] = "a"
+        df["o_totalprice"] = df["o_totalprice"].round(2)
+        return df
+
+    def tag_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["src"] = "b"
+        return df
+
+    return union_by_name(a.map_batches(tag_a, batch_format="pandas"),
+                         b.map_batches(tag_b, batch_format="pandas"))
+
+
+def sql_union_by_name(sf_dir: str) -> str:
+    return """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       'a' AS src FROM orders
+UNION ALL BY NAME
+SELECT o_orderkey, o_orderstatus, 'b' AS src FROM orders"""
+
+
 _TFIDF_THR = 0.25
 _TFIDF_MAXDF = 100
 
@@ -2995,6 +3087,7 @@ def build_queries() -> dict:
         "funnel_steps": q_funnel_steps,
         "resample_daily": q_resample_daily,
         "ann_topk": q_ann_topk,
+        "knn_join": q_knn_join,
         "lineitem_agg": q_lineitem_agg,
         "customers_no_orders": q_customers_no_orders,
         "bloom_anti": q_bloom_anti,
@@ -3041,6 +3134,7 @@ def build_queries() -> dict:
         "grouped_quantiles": q_grouped_quantiles,
         "user_running_total": q_user_running_total,
         "user_rolling_mean": q_user_rolling_mean,
+        "range_window_sum": q_range_window_sum,
         "event_gaps": q_event_gaps,
         "event_ntile": q_event_ntile,
         "lineitem_rollup": q_lineitem_rollup,
@@ -3052,6 +3146,7 @@ def build_queries() -> dict:
         "grouped_split": q_grouped_split,
         "trigram_nll": q_trigram_nll,
         "setop_except": q_setop_except,
+        "union_by_name": q_union_by_name,
         "setop_intersect": q_setop_intersect,
         "curation_capped": q_curation_capped,
         "pack_shards": q_pack_shards,
@@ -3089,6 +3184,7 @@ def build_oracle_sql() -> dict:
         "funnel_steps": sql_funnel_steps(_ORACLE_SF_DIR),
         "resample_daily": sql_resample_daily(_ORACLE_SF_DIR),
         "ann_topk": sql_ann_topk(_ORACLE_SF_DIR),
+        "knn_join": sql_knn_join(_ORACLE_SF_DIR),
         "lineitem_agg": sql_lineitem_agg(_ORACLE_SF_DIR),
         "customers_no_orders": sql_customers_no_orders(_ORACLE_SF_DIR),
         "bloom_anti": sql_bloom_anti(_ORACLE_SF_DIR),
@@ -3123,6 +3219,7 @@ def build_oracle_sql() -> dict:
         "grouped_quantiles": sql_grouped_quantiles(_ORACLE_SF_DIR),
         "user_running_total": sql_user_running_total(_ORACLE_SF_DIR),
         "user_rolling_mean": sql_user_rolling_mean(_ORACLE_SF_DIR),
+        "range_window_sum": sql_range_window_sum(_ORACLE_SF_DIR),
         "event_gaps": sql_event_gaps(_ORACLE_SF_DIR),
         "event_ntile": sql_event_ntile(_ORACLE_SF_DIR),
         "lineitem_rollup": sql_lineitem_rollup(_ORACLE_SF_DIR),
@@ -3134,6 +3231,7 @@ def build_oracle_sql() -> dict:
         "grouped_split": sql_grouped_split(_ORACLE_SF_DIR),
         "trigram_nll": sql_trigram_nll(_ORACLE_SF_DIR),
         "setop_except": sql_setop_except(_ORACLE_SF_DIR),
+        "union_by_name": sql_union_by_name(_ORACLE_SF_DIR),
         "setop_intersect": sql_setop_intersect(_ORACLE_SF_DIR),
         "curation_capped": sql_curation_capped(_ORACLE_SF_DIR),
         "pack_shards": sql_pack_shards(_ORACLE_SF_DIR),

@@ -32,7 +32,8 @@ import ray.data as rd
 __all__ = ["running_total", "grouped_running_total", "pack_by_budget",
            "row_number", "exact_quantiles", "grouped_quantiles",
            "grouped_rolling_mean", "grouped_percent_rank",
-           "grouped_lag_diff", "ntile", "mad_outliers"]
+           "grouped_lag_diff", "ntile", "mad_outliers",
+           "grouped_range_sum"]
 
 
 @ray.remote
@@ -365,3 +366,45 @@ def mad_outliers(ds, col: str, *, k: float = 3.0, scale: float = 1.4826,
         return t.append_column(out_col, pa.array(is_out, pa.bool_()))
 
     return ds.map_batches(flag, batch_format="pyarrow"), med, mad
+
+
+def grouped_range_sum(ds, key_col: str, ts_col: str, val_col: str,
+                      window_s: float, out_col: str = "range_sum",
+                      num_partitions: int | None = None):
+    """Trailing TIME-range window sum per key — SQL ``sum(val) OVER
+    (PARTITION BY key ORDER BY ts RANGE BETWEEN INTERVAL w PRECEDING AND
+    CURRENT ROW)``: every row carries the sum of its key's values in
+    [ts - w, ts], endpoints inclusive, INCLUDING peer rows that share its
+    exact timestamp (SQL RANGE frames extend through ORDER BY peers —
+    row-based pandas rolling alone would stop at the current row).
+
+    ONE co-partitioning shuffle; per partition the (key, ts)-distinct
+    sums roll through a cython time-window rolling (closed='both') and
+    broadcast back to rows with one merge — vectorized across all keys.
+    """
+    import pandas as pd
+    window = pd.Timedelta(seconds=float(window_s))
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            df = df.copy()
+            df[out_col] = pd.Series(dtype=np.float64)
+            return df
+        ts = pd.to_datetime(df[ts_col]).astype("datetime64[ns]")
+        base = pd.DataFrame({key_col: df[key_col].to_numpy(),
+                             "_ts": ts.to_numpy(),
+                             "_v": df[val_col].to_numpy(np.float64)})
+        # collapse exact-ts peers first: RANGE includes ALL of them
+        g = (base.groupby([key_col, "_ts"], sort=False)["_v"].sum()
+             .reset_index().sort_values([key_col, "_ts"], kind="stable"))
+        roll = (g.set_index("_ts").groupby(key_col, sort=False)["_v"]
+                .rolling(window, closed="both").sum()
+                .reset_index(name=out_col))
+        out = df.copy()
+        out["_ts"] = ts.to_numpy()
+        out = out.merge(roll, on=[key_col, "_ts"], how="left")
+        return out.drop(columns=["_ts"])
+
+    from .grouped import grouped_map
+    return grouped_map(ds, key_col, per_partition,
+                       num_partitions=num_partitions)

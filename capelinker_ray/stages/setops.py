@@ -29,7 +29,7 @@ from .grouped import grouped_map, typed_or_empty
 from .join import hash_join
 
 __all__ = ["distinct_rows", "intersect_distinct", "except_distinct",
-           "union_distinct"]
+           "union_distinct", "union_by_name"]
 
 
 def _cols(ds, cols):
@@ -70,3 +70,54 @@ def union_distinct(a, b, cols: list | None = None):
     cols = _cols(a, cols)
     return distinct_rows(a.select_columns(cols).union(
         b.select_columns(cols)), cols)
+
+
+def union_by_name(*datasets):
+    """UNION ALL BY NAME with schema evolution: columns are aligned by
+    NAME across inputs (order = first appearance), missing columns
+    null-filled with the column's first-seen Arrow type — the
+    heterogenous-shard ingest shape (new corpus drops a field, adds
+    another; the pipeline keeps streaming). Zero shuffle: one stateless
+    pyarrow map per input; incompatible dtypes for a shared name raise at
+    cast time rather than silently coercing."""
+    import pyarrow as pa
+    if not datasets:
+        raise ValueError("need at least one dataset")
+    def _arrow_type(typ):
+        # pandas-block datasets report numpy dtypes; normalize to Arrow
+        if isinstance(typ, pa.DataType):
+            return typ
+        import numpy as np
+        dt = np.dtype(typ) if not hasattr(typ, "kind") else typ
+        if getattr(dt, "kind", "O") == "O":
+            return pa.string()
+        if getattr(dt, "kind", "") == "M":
+            return pa.timestamp(np.datetime_data(dt)[0])
+        try:
+            return pa.from_numpy_dtype(dt)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    target: list[tuple[str, pa.DataType]] = []
+    seen: dict[str, pa.DataType] = {}
+    for ds in datasets:
+        sch = ds.schema()
+        for name, typ in zip(sch.names, sch.types):
+            if name not in seen:
+                seen[name] = _arrow_type(typ)
+                target.append((name, seen[name]))
+
+    def align(t: pa.Table) -> pa.Table:
+        cols = []
+        for name, typ in target:
+            if name in t.column_names:
+                cols.append(t[name].cast(typ))
+            else:
+                cols.append(pa.nulls(len(t), typ))
+        return pa.table(dict(zip((n for n, _ in target), cols)))
+
+    out = None
+    for ds in datasets:
+        aligned = ds.map_batches(align, batch_format="pyarrow")
+        out = aligned if out is None else out.union(aligned)
+    return out

@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 import ray
 
-__all__ = ["brute_force_topk", "ivf_topk", "kmeans_centroids",
+__all__ = ["brute_force_topk", "ivf_topk", "kmeans_centroids", "knn_join",
            "assign_clusters"]
 
 
@@ -160,3 +160,153 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 5,
     return brute_force_topk(pruned.drop_columns(["_ivf"]), Q, k=k,
                             vec_col=vec_col, id_col=id_col,
                             batch_size=batch_size)
+
+
+def knn_join(ds, *, k: int = 5, vec_col: str = "embedding",
+             id_col: str = "vec_id", method: str = "broadcast",
+             n_centroids: int | str = "auto", n_probe: int = 4,
+             seed: int = 7, round_decimals: int = 9,
+             max_broadcast_bytes: int = 1 << 31,
+             batch_size: int | None = None,
+             num_partitions: int | None = None):
+    """Self k-nearest-neighbor join: for every row, its top-``k`` cosine
+    neighbors among all OTHER rows — the build step of any embedding
+    kNN graph (near-dup clustering, label propagation, retrieval eval).
+
+    ``method="broadcast"`` is EXACT: the (id, normalized-matrix) pair
+    rides the object store once via ``ray.put`` and every batch does one
+    float64 matmul against it (gated at ``max_broadcast_bytes``).
+    ``method="ivf"`` is the 100-TB scale path: rows are bucketed to
+    ~sqrt(N) k-means lists, each QUERY row is replicated to its
+    ``n_probe`` nearest lists, ONE co-partitioning shuffle computes exact
+    cosines inside each list, and a per-query top-k merge finishes —
+    recall is pinned by test against the broadcast path.
+
+    Similarities are rounded to ``round_decimals`` BEFORE ranking (ties
+    then break by neighbor id ascending) so the ordering is reproducible
+    across accumulation orders — numpy matmul, IVF partial merges and the
+    DuckDB oracle all agree. Output: (id, nbr_id, cosine, rnk).
+    """
+    if method not in ("broadcast", "ivf"):
+        raise ValueError("method must be 'broadcast' or 'ivf'")
+    rd9 = round_decimals
+
+    def rank_topk(g: pd.DataFrame, qcol: str) -> pd.DataFrame:
+        """Vectorized per-query top-k with (cosine desc, id asc) order:
+        one stable lexsort + cumcount across ALL queries of a frame."""
+        g = g.sort_values([qcol, "cosine", id_col],
+                          ascending=[True, False, True], kind="stable")
+        rnk = g.groupby(qcol, sort=False).cumcount() + 1
+        g = g[rnk <= k].copy()
+        g["rnk"] = rnk[rnk <= k].to_numpy(np.int64)
+        return g
+
+    if method == "broadcast":
+        slim = ds.select_columns([id_col, vec_col]).to_pandas()
+        ids = slim[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")   # ties -> id-asc for free
+        ids = ids[order]
+        M = _norm_rows(np.stack(slim[vec_col].to_numpy())[order]
+                       .astype(np.float64))
+        if M.nbytes > max_broadcast_bytes:
+            raise ValueError(
+                f"matrix {M.nbytes}B exceeds max_broadcast_bytes "
+                f"({max_broadcast_bytes}); use method='ivf'")
+        ref = ray.put((ids, M))
+
+        def nbrs(df: pd.DataFrame) -> pd.DataFrame:
+            aids, Am = ray.get(ref)
+            q = df[id_col].to_numpy()
+            Q = _norm_rows(np.stack(df[vec_col].to_numpy())
+                           .astype(np.float64))
+            S = np.round(Q @ Am.T, rd9)
+            S[q[:, None] == aids[None, :]] = -np.inf   # exclude self
+            kk = min(k, S.shape[1] - 1)
+            if kk <= 0:
+                return pd.DataFrame({id_col: [], "nbr_id": [],
+                                     "cosine": [], "rnk": []})
+            # stable argsort of -S: equal cosines keep column (id) order
+            ordc = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+            rows = np.repeat(np.arange(len(q)), kk)
+            cols = ordc.ravel()
+            return pd.DataFrame({
+                id_col: q[rows], "nbr_id": aids[cols],
+                "cosine": S[rows, cols],
+                "rnk": np.tile(np.arange(1, kk + 1, dtype=np.int64),
+                               len(q))})
+
+        return ds.map_batches(nbrs, batch_format="pandas",
+                              batch_size=batch_size)
+
+    # ---- IVF path: bucket rows, replicate queries to n_probe lists ----
+    from .grouped import grouped_map
+    C = kmeans_centroids(ds, vec_col=vec_col, k=n_centroids, seed=seed)
+    c_ref = ray.put(C)
+    probe = min(n_probe, len(C))
+
+    def fan(df: pd.DataFrame) -> pd.DataFrame:
+        Cm = ray.get(c_ref)
+        V = _norm_rows(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        sims = V @ Cm.T
+        home = sims.argmax(axis=1).astype(np.int64)
+        lists = np.argsort(-sims, axis=1, kind="stable")[:, :probe]
+        n = len(df)
+        rows = np.repeat(np.arange(n), probe)
+        out = pd.DataFrame({
+            id_col: df[id_col].to_numpy()[rows],
+            vec_col: df[vec_col].to_numpy()[rows],
+            "_list": lists.ravel(),
+            # a row is a MEMBER only of its home list (each pair is then
+            # found exactly once per probed list containing it)
+            "_member": (lists == home[:, None]).ravel()})
+        return out
+
+    fanned = ds.map_batches(fan, batch_format="pandas",
+                            batch_size=batch_size)
+
+    def in_list(frame: pd.DataFrame) -> pd.DataFrame:
+        from .grouped import typed_or_empty
+        out_empty = pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                                  "nbr_id": pd.Series(dtype=np.int64),
+                                  "cosine": pd.Series(dtype=np.float64)})
+        if not len(frame):
+            return typed_or_empty(out_empty)
+        parts = []
+        for _, g in frame.groupby("_list", sort=False):
+            mem = g[g["_member"]]
+            if not len(mem) or len(g) < 2:
+                continue
+            qids = g[id_col].to_numpy()
+            Q = _norm_rows(np.stack(g[vec_col].to_numpy())
+                           .astype(np.float64))
+            aids = mem[id_col].to_numpy()
+            A = _norm_rows(np.stack(mem[vec_col].to_numpy())
+                           .astype(np.float64))
+            S = np.round(Q @ A.T, rd9)
+            S[qids[:, None] == aids[None, :]] = -np.inf
+            kk = min(k, S.shape[1])
+            top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(len(qids)), kk)
+            cols = top.ravel()
+            keep = np.isfinite(S[rows, cols])
+            parts.append(pd.DataFrame({
+                id_col: qids[rows][keep], "nbr_id": aids[cols][keep],
+                "cosine": S[rows, cols][keep]}))
+        if not parts:
+            return typed_or_empty(out_empty)
+        return pd.concat(parts, ignore_index=True)
+
+    cands = grouped_map(fanned, "_list", in_list,
+                        num_partitions=num_partitions)
+
+    def merge(frame: pd.DataFrame) -> pd.DataFrame:
+        if not len(frame):
+            frame = frame.copy()
+            frame["rnk"] = pd.Series(dtype=np.int64)
+            return frame
+        # the same (query, nbr) pair can arrive from several probed lists
+        frame = frame.drop_duplicates(subset=[id_col, "nbr_id"])
+        return rank_topk(frame, id_col)
+
+    return grouped_map(cands, id_col, merge,
+                       num_partitions=num_partitions)

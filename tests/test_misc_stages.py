@@ -162,3 +162,24 @@ def test_clean_documents_ws_case_null(ray_session):
            .sort_values("doc_id"))
     assert out["text_clean"].tolist() == ["hello world again", "", "ok"]
     assert out["text"].tolist()[0] == "  Hello\t\tWORLD \n again "  # kept
+
+
+def test_union_by_name_null_fill_and_order(ray_session):
+    from capelinker_ray.stages.setops import union_by_name
+    a = pd.DataFrame({"x": [1, 2], "y": ["p", "q"]})
+    b = pd.DataFrame({"y": ["r"], "z": [9.5]})
+    out = (union_by_name(rd.from_pandas(a), rd.from_pandas(b))
+           .to_pandas().sort_values(["y"]).reset_index(drop=True))
+    assert list(out.columns) == ["x", "y", "z"]
+    assert out["x"].tolist()[:2] == [1, 2] and pd.isna(out["x"]).tolist() \
+        == [False, False, True]
+    assert pd.isna(out["z"]).tolist() == [True, True, False]
+
+
+def test_union_by_name_single_and_empty_args(ray_session):
+    import pytest
+    from capelinker_ray.stages.setops import union_by_name
+    a = pd.DataFrame({"x": [1]})
+    assert union_by_name(rd.from_pandas(a)).to_pandas()["x"].tolist() == [1]
+    with pytest.raises(ValueError):
+        union_by_name()

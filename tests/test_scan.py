@@ -228,3 +228,28 @@ def test_histogram_counts_and_clamping(ray_session):
     # -5 clamps into bin 0; 10.0 and 50.0 clamp into bin 4; nan skipped
     assert out["n"].tolist() == [3, 1, 0, 0, 3]
     assert out["lo_edge"].tolist() == [0.0, 2.0, 4.0, 6.0, 8.0]
+
+
+def test_grouped_range_sum_peers_and_edges(ray_session):
+    from capelinker_ray.stages.scan import grouped_range_sum
+    ts = pd.to_datetime([0, 50, 100, 100, 160, 0], unit="s")
+    df = pd.DataFrame({"k": [1, 1, 1, 1, 1, 2],
+                       "ts": ts,
+                       "v": [1.0, 2.0, 4.0, 8.0, 16.0, 5.0],
+                       "i": range(6)})
+    out = (grouped_range_sum(rd.from_pandas(df).repartition(3), "k", "ts",
+                             "v", window_s=100.0, num_partitions=4)
+           .to_pandas().sort_values("i"))
+    # window [t-100, t] inclusive; exact-ts PEERS both included:
+    # t=0: 1 | t=50: 3 | t=100 (both rows): 1+2+4+8=15 | t=160: 4+8+16=28
+    assert out["range_sum"].tolist() == [1.0, 3.0, 15.0, 15.0, 28.0, 5.0]
+
+
+def test_grouped_range_sum_skips_null_values(ray_session):
+    from capelinker_ray.stages.scan import grouped_range_sum
+    df = pd.DataFrame({"k": [1, 1],
+                       "ts": pd.to_datetime([0, 10], unit="s"),
+                       "v": [np.nan, 3.0]})
+    out = (grouped_range_sum(rd.from_pandas(df), "k", "ts", "v", 60.0)
+           .to_pandas().sort_values("ts"))
+    assert out["range_sum"].tolist()[1] == 3.0

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 import ray.data as rd
 
 from capelinker_ray.stages.simsearch import brute_force_topk, ivf_topk
@@ -79,3 +80,57 @@ def test_ivf_auto_scale_skewed_recall(ray_session):
         hits += len(got & exact[q])
         total += 5
     assert hits / total >= 0.8, hits / total
+
+
+def test_knn_join_broadcast_excludes_self_and_ranks(ray_session):
+    from capelinker_ray.stages.simsearch import knn_join
+    rng = np.random.default_rng(3)
+    V = rng.normal(size=(40, 8)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64),
+                       "embedding": list(V)})
+    out = knn_join(rd.from_pandas(df).repartition(3), k=4).to_pandas()
+    assert len(out) == 40 * 4
+    assert (out["vec_id"] != out["nbr_id"]).all()
+    # ranks are 1..4 per query and cosine non-increasing within a query
+    for _, g in out.groupby("vec_id"):
+        g = g.sort_values("rnk")
+        assert g["rnk"].tolist() == [1, 2, 3, 4]
+        assert (np.diff(g["cosine"].to_numpy()) <= 1e-12).all()
+    # exact vs numpy brute force for one query
+    Vn = V.astype(np.float64)
+    Vn = Vn / np.linalg.norm(Vn, axis=1, keepdims=True)
+    S = np.round(Vn @ Vn.T, 9)
+    np.fill_diagonal(S, -np.inf)
+    want = np.argsort(-S[7], kind="stable")[:4]
+    got = out[out["vec_id"] == 7].sort_values("rnk")["nbr_id"].to_numpy()
+    assert list(got) == list(want)
+
+
+def test_knn_join_broadcast_size_gate(ray_session):
+    from capelinker_ray.stages.simsearch import knn_join
+    df = pd.DataFrame({"vec_id": np.arange(10, dtype=np.int64),
+                       "embedding": list(np.ones((10, 4), np.float32))})
+    with pytest.raises(ValueError, match="ivf"):
+        knn_join(rd.from_pandas(df), k=2, max_broadcast_bytes=16)
+
+
+def test_knn_join_ivf_recall_vs_broadcast(ray_session):
+    from capelinker_ray.stages.simsearch import knn_join
+    rng = np.random.default_rng(12)
+    # clustered data so IVF lists are meaningful
+    centers = rng.normal(size=(6, 16)) * 4
+    V = np.concatenate([c + rng.normal(size=(50, 16)) * 0.5
+                        for c in centers]).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(len(V), dtype=np.int64),
+                       "embedding": list(V)})
+    ds = rd.from_pandas(df).repartition(4)
+    exact = knn_join(ds, k=3).to_pandas()
+    approx = knn_join(ds, k=3, method="ivf", n_centroids=6, n_probe=3,
+                      num_partitions=4).to_pandas()
+    te = set(map(tuple, exact[["vec_id", "nbr_id"]].to_numpy()))
+    ta = set(map(tuple, approx[["vec_id", "nbr_id"]].to_numpy()))
+    recall = len(te & ta) / len(te)
+    assert recall >= 0.9, recall
+    # every query present, at most k rows each
+    assert approx.groupby("vec_id").size().max() <= 3
+    assert approx["vec_id"].nunique() == len(V)
