@@ -2128,6 +2128,153 @@ UNION ALL BY NAME
 SELECT o_orderkey, o_orderstatus, 'b' AS src FROM orders"""
 
 
+def q_lineitem_stats(sf_dir: str):
+    """Grouped 2nd-order statistics from mergeable raw moments
+    (stages/agg.py grouped_stats): per (returnflag, linestatus) the
+    quantity/price correlation + OLS slope/intercept, one slim shuffle."""
+    from ..stages.agg import grouped_stats
+    li = _rpc(f"{sf_dir}/lineitem.parquet",
+              columns=["l_returnflag", "l_linestatus", "l_quantity",
+                       "l_extendedprice"])
+    out = grouped_stats(li, ["l_returnflag", "l_linestatus"],
+                        "l_quantity", "l_extendedprice")
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in ("mean_x", "std_x", "corr", "slope", "intercept"):
+            df[c] = df[c].astype(np.float64).round(5)
+        return df
+    return out.map_batches(rnd, batch_format="pandas")
+
+
+def sql_lineitem_stats(sf_dir: str) -> str:
+    # formula twin of grouped_stats: identical raw-moment algebra, so
+    # only float addition order differs (rounded away at 5 dp)
+    return """WITH m AS (
+  SELECT l_returnflag, l_linestatus,
+         count(*) AS n, sum(l_quantity) AS sx,
+         sum(l_quantity * l_quantity) AS sxx,
+         sum(l_extendedprice) AS sy,
+         sum(l_extendedprice * l_extendedprice) AS syy,
+         sum(l_quantity * l_extendedprice) AS sxy
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, n,
+       round(sx / n, 5) AS mean_x,
+       round(sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0)), 5)
+         AS std_x,
+       round(((sxy - sx * sy / n) / (n - 1))
+             / sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0)
+                    * greatest((syy - sy * sy / n) / (n - 1), 0)), 5)
+         AS corr,
+       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 5) AS slope,
+       round(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+             * (sx / n), 5) AS intercept
+FROM m"""
+
+
+def q_logreg_score(sf_dir: str):
+    """Linear-classifier scoring pass (models/logreg.py predict_logreg)
+    with PINNED weights — the distributed sigmoid scorer is exactly
+    SQL-expressible, so this oracles the scoring stage value-exact; the
+    iterative fit is covered by accuracy pytests."""
+    import numpy as np
+    from ..models.logreg import LogRegModel, predict_logreg
+    model = LogRegModel(["n_chars"], np.array([1.2]), -0.3,
+                        np.array([2000.0]), np.array([1500.0]))
+    docs = _rpc(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "n_chars"])
+    out = predict_logreg(docs, model)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64),
+                             "prob": df["prob"].astype(np.float64)
+                             .round(9)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_logreg_score(sf_dir: str) -> str:
+    return """SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(1.2 * ((coalesce(n_chars, 2000.0) - 2000.0)
+                                       / 1500.0) - 0.3))), 9) AS prob
+FROM documents"""
+
+
+def q_hash_embed_stats(sf_dir: str):
+    """Feature-hashing embedding (stages/textstats.py hash_embed,
+    normalize=False): per-doc nonzero-bucket count + L2 norm — integer
+    bucket sums, so the FNV-in-SQL twin is value-exact and pins the
+    whole token->bucket->sign->sum path."""
+    from ..stages.textstats import hash_embed
+    docs = _rpc(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text"])
+    emb = hash_embed(docs, dim=64, normalize=False)
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "nnz": (M != 0).sum(axis=1).astype(np.int64),
+            "norm": np.sqrt((M * M).sum(axis=1)).round(6)})
+    return emb.map_batches(stats, batch_format="pandas")
+
+
+def sql_hash_embed_stats(sf_dir: str) -> str:
+    return r"""WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS tok
+  FROM documents
+),
+dt AS (SELECT DISTINCT tok FROM toks),
+fnv(tok, pos, h) AS (
+  SELECT tok, 1, CAST(14695981039346656037 AS HUGEINT) FROM dt
+  UNION ALL
+  SELECT tok, pos + 1,
+    (xor(h, CAST(unicode(substr(tok, pos, 1)) AS HUGEINT)) * 1099511628211)
+      % CAST(18446744073709551616 AS HUGEINT)
+  FROM fnv WHERE pos <= length(tok)
+),
+th AS (SELECT tok, CAST(h AS UBIGINT) AS h FROM fnv
+       WHERE pos = length(tok) + 1),
+bs AS (
+  SELECT t.doc_id, th.h % 64 AS bucket,
+         sum(CASE WHEN (th.h >> 32) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS s
+  FROM toks t JOIN th USING (tok) GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) FILTER (WHERE s <> 0) AS BIGINT) AS nnz,
+         round(sqrt(sum(s * s)), 6) AS norm
+  FROM bs GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(agg.nnz, 0) AS nnz,
+       coalesce(agg.norm, 0.0) AS norm
+FROM documents d LEFT JOIN agg USING (doc_id)"""
+
+
+def q_text_knn(sf_dir: str):
+    """Composite: hash-embed the corpus (no model needed) then exact self
+    kNN join — the end-to-end 'embed & neighbor' pipeline over raw text.
+    Deterministic (FNV + float64 matmul) but k-NN over hashed vectors is
+    not practically SQL-expressible end-to-end; rows-only."""
+    from ..stages.simsearch import knn_join
+    from ..stages.textstats import hash_embed
+    docs = _rpc(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text"])
+    emb = hash_embed(docs, dim=64).drop_columns(["text"])
+    out = knn_join(emb, k=3, id_col="doc_id")
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "nbr_id": df["nbr_id"].astype(np.int64),
+            "cosine": df["cosine"].astype(np.float64).round(6),
+            "rnk": df["rnk"].astype(np.int64)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
 _TFIDF_THR = 0.25
 _TFIDF_MAXDF = 100
 
@@ -3083,6 +3230,10 @@ def build_queries() -> dict:
         "events_sessionize": q_events_sessionize,
         "latest_events": q_latest_events,
         "event_type_mode": q_event_type_mode,
+        "lineitem_stats": q_lineitem_stats,
+        "logreg_score": q_logreg_score,
+        "hash_embed_stats": q_hash_embed_stats,
+        "text_knn": q_text_knn,
         "orders_diff": q_orders_diff,
         "funnel_steps": q_funnel_steps,
         "resample_daily": q_resample_daily,
@@ -3180,6 +3331,9 @@ def build_oracle_sql() -> dict:
         "events_sessionize": sql_events_sessionize(_ORACLE_SF_DIR),
         "latest_events": sql_latest_events(_ORACLE_SF_DIR),
         "event_type_mode": sql_event_type_mode(_ORACLE_SF_DIR),
+        "lineitem_stats": sql_lineitem_stats(_ORACLE_SF_DIR),
+        "logreg_score": sql_logreg_score(_ORACLE_SF_DIR),
+        "hash_embed_stats": sql_hash_embed_stats(_ORACLE_SF_DIR),
         "orders_diff": sql_orders_diff(_ORACLE_SF_DIR),
         "funnel_steps": sql_funnel_steps(_ORACLE_SF_DIR),
         "resample_daily": sql_resample_daily(_ORACLE_SF_DIR),

@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 
 __all__ = ["small_group_sum", "distinct_small", "rollup_sum",
-           "histogram", "mode_by"]
+           "histogram", "mode_by", "grouped_stats"]
 
 _MAX_SMALL_KEYS = 100_000
 
@@ -200,4 +200,73 @@ def mode_by(ds, key_col: str, val_col: str, *,
     from .grouped import grouped_map
     parts = ds.map_batches(partial, batch_format="pandas")
     return grouped_map(parts, key_col, pick,
+                       num_partitions=num_partitions)
+
+
+def grouped_stats(ds, key_cols, x_col: str, y_col: str | None = None, *,
+                  num_partitions: int | None = None):
+    """Per-group second-order statistics from MERGEABLE raw moments:
+    count, mean/std of x, and with ``y_col`` also Pearson correlation and
+    the OLS slope/intercept of y on x — each batch contributes one
+    (n, Σx, Σx², [Σy, Σy², Σxy]) row per group (fixed width regardless of
+    rows), ONE slim shuffle merges them. Rows with a null in x (or y when
+    given) are excluded pairwise, matching SQL corr()/regr_* semantics.
+    Formulas mirror the SQL-sum twin exactly so only addition order
+    differs (~1e-13 relative); consumers should round for comparison."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    with_y = y_col is not None
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].astype(np.float64)
+        ok = x.notna()
+        cols = {"_x": x}
+        if with_y:
+            y = df[y_col].astype(np.float64)
+            ok &= y.notna()
+            cols["_y"] = y
+        sub = df[key_cols].assign(**cols)[ok.to_numpy()]
+        sub["sxx"] = sub["_x"] * sub["_x"]
+        spec = {"n": ("_x", "size"), "sx": ("_x", "sum"),
+                "sxx": ("sxx", "sum")}
+        if with_y:
+            sub["syy"] = sub["_y"] * sub["_y"]
+            sub["sxy"] = sub["_x"] * sub["_y"]
+            spec.update({"sy": ("_y", "sum"), "syy": ("syy", "sum"),
+                         "sxy": ("sxy", "sum")})
+        g = sub.groupby(key_cols, sort=False, dropna=False)
+        out = g.agg(**spec).reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def finish(frame: pd.DataFrame) -> pd.DataFrame:
+        if not len(frame):
+            cols = [*key_cols, "n", "mean_x", "std_x"]
+            if with_y:
+                cols += ["corr", "slope", "intercept"]
+            return pd.DataFrame({c: [] for c in cols})
+        g = frame.groupby(key_cols, sort=False, dropna=False).sum(
+            numeric_only=True).reset_index()
+        n = g["n"].to_numpy(np.float64)
+        sx, sxx = g["sx"].to_numpy(), g["sxx"].to_numpy()
+        mean_x = sx / n
+        var_x = (sxx - sx * sx / n) / np.maximum(n - 1, 1)
+        out = g[key_cols].copy()
+        out["n"] = g["n"].astype(np.int64)
+        out["mean_x"] = mean_x
+        out["std_x"] = np.sqrt(np.maximum(var_x, 0.0))
+        if with_y:
+            sy, syy, sxy = (g["sy"].to_numpy(), g["syy"].to_numpy(),
+                            g["sxy"].to_numpy())
+            cov = (sxy - sx * sy / n) / np.maximum(n - 1, 1)
+            var_y = (syy - sy * sy / n) / np.maximum(n - 1, 1)
+            denom = np.sqrt(np.maximum(var_x * var_y, 0.0))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out["corr"] = np.where(denom > 0, cov / denom, np.nan)
+                out["slope"] = np.where(var_x > 0, cov / var_x, np.nan)
+            out["intercept"] = sy / n - out["slope"] * mean_x
+        return out
+
+    from .grouped import grouped_map
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return grouped_map(parts, key_cols, finish,
                        num_partitions=num_partitions)

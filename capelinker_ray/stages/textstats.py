@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["add_token_counts", "add_quality_score", "add_lang_id",
-           "add_fingerprint", "add_repetition_stats"]
+           "add_fingerprint", "add_repetition_stats", "hash_embed"]
 
 # a GPT-2-style pre-tokenizer regex (public BPE convention): word pieces,
 # numbers, punctuation runs, whitespace collapsed
@@ -224,3 +224,44 @@ def add_repetition_stats(ds, text_col: str = "text",
                                               / np.maximum(n_big, 1), 0.0)
         return out
     return ds.map_batches(fn, batch_format="pandas", batch_size=batch_size)
+
+
+def hash_embed(ds, *, text_col: str = "text", out_col: str = "embedding",
+               dim: int = 64, normalize: bool = True,
+               batch_size: int | None = None):
+    """Feature-hashing document embedding (the hashing trick, Weinberger
+    et al. ICML'09): token -> bucket ``fnv1a(token) % dim`` with sign from
+    hash bit 32, summed per doc — a deterministic, training-free dense
+    vector that feeds the kNN / LSH / semantic-dedup stages when no model
+    embedding exists. Zero shuffle, one vectorized pass: tokens factorize
+    to the batch's DISTINCT set, FNV runs once per distinct token, and a
+    single ``np.add.at`` scatter fills the (rows x dim) matrix.
+    Tokenization convention matches the simhash oracle: lowercase,
+    ``\\S+``. Zero-token docs embed as the zero vector (skipped by
+    ``normalize``)."""
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+
+    def embed(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df[text_col].where(df[text_col].notna(), "")
+                .str.lower().str.findall(r"\S+"))
+        lens = toks.str.len().to_numpy(np.int64)
+        M = np.zeros((len(df), dim), np.float64)
+        if lens.sum():
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks])
+            owner = np.repeat(np.arange(len(df)), lens)
+            codes, uniq = pd.factorize(flat, sort=False)
+            h = fnv1a_64(list(uniq))
+            bucket = (h % np.uint64(dim)).astype(np.int64)
+            sign = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
+            np.add.at(M, (owner, bucket[codes]), sign[codes])
+        if normalize:
+            nrm = np.linalg.norm(M, axis=1, keepdims=True)
+            M = np.divide(M, nrm, out=np.zeros_like(M), where=nrm > 0)
+        df = df.copy()
+        df[out_col] = list(M.astype(np.float32))
+        return df
+
+    return ds.map_batches(embed, batch_format="pandas",
+                          batch_size=batch_size)

@@ -98,3 +98,30 @@ def test_pair_counts_adjacent_within_doc(ray_session):
     assert ("z", "a") not in got
     # the double space in doc2 makes ('b','') / ('','b') pairs -> excluded
     assert all(l != "" and r != "" for l, r in got)
+
+
+def test_hash_embed_deterministic_and_normalized(ray_session):
+    from capelinker_ray.stages.textstats import hash_embed
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": ["the cat sat", "the the the", ""]})
+    out = (hash_embed(rd.from_pandas(df), dim=32).to_pandas()
+           .sort_values("doc_id"))
+    M = np.stack(out["embedding"].to_numpy())
+    assert M.shape == (3, 32)
+    # normalized rows (zero-token doc stays zero)
+    assert np.allclose(np.linalg.norm(M[:2], axis=1), 1.0)
+    assert np.allclose(M[2], 0.0)
+    out2 = (hash_embed(rd.from_pandas(df).repartition(3), dim=32)
+            .to_pandas().sort_values("doc_id"))
+    assert np.allclose(M, np.stack(out2["embedding"].to_numpy()))
+
+
+def test_hash_embed_token_counts_weighting(ray_session):
+    from capelinker_ray.stages.textstats import hash_embed
+    # "a a" must weight token a twice vs "a" once (pre-normalization)
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["a a", "a"]})
+    out = (hash_embed(rd.from_pandas(df), dim=16, normalize=False)
+           .to_pandas().sort_values("doc_id"))
+    M = np.stack(out["embedding"].to_numpy())
+    assert np.allclose(M[0], 2 * M[1])
+    assert np.abs(M[1]).sum() == 1.0
