@@ -2275,6 +2275,67 @@ def q_text_knn(sf_dir: str):
     return out.map_batches(proj, batch_format="pandas")
 
 
+def q_price_winsor(sf_dir: str):
+    """Quantile winsorization (stages/scan.py winsorize): order totals
+    clipped to the exact [q05, q95] — 2 scalars to the driver, one
+    stateless clip pass."""
+    from ..stages.scan import winsorize
+    orders = _rpc(f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_totalprice"])
+    out, _lo, _hi = winsorize(orders, "o_totalprice",
+                              lower_q=0.05, upper_q=0.95)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype(np.int64),
+            "o_totalprice_winsor":
+                df["o_totalprice_winsor"].astype(np.float64).round(6)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_price_winsor(sf_dir: str) -> str:
+    return """WITH q AS (
+  SELECT quantile_disc(o_totalprice, 0.05) AS lo,
+         quantile_disc(o_totalprice, 0.95) AS hi
+  FROM orders
+)
+SELECT o_orderkey,
+       round(least(greatest(o_totalprice, (SELECT lo FROM q)),
+                   (SELECT hi FROM q)), 6) AS o_totalprice_winsor
+FROM orders"""
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label mean embedding (stages/agg.py group_centroids,
+    long_form): fixed-width (Σvec, n) partials per (batch, label), one
+    merge task — compared element-wise against the SQL unnest twin."""
+    from ..stages.agg import group_centroids
+    emb = _rpc(f"{sf_dir}/embeddings.parquet",
+               columns=["label", "embedding"])
+    out = group_centroids(emb, "label", "embedding", long_form=True)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "label": df["label"].astype(np.int64),
+            "dim": df["dim"].astype(np.int64),
+            "mean_val": df["mean_val"].astype(np.float64).round(6),
+            "n": df["n"].astype(np.int64)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_label_centroids(sf_dir: str) -> str:
+    return """WITH flat AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+),
+cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+SELECT CAST(f.label AS BIGINT) AS label, CAST(f.dim AS BIGINT) AS dim,
+       round(avg(CAST(f.v AS DOUBLE)), 6) AS mean_val, cnt.n
+FROM flat f JOIN cnt USING (label)
+GROUP BY f.label, f.dim, cnt.n"""
+
+
 _TFIDF_THR = 0.25
 _TFIDF_MAXDF = 100
 
@@ -3233,6 +3294,8 @@ def build_queries() -> dict:
         "lineitem_stats": q_lineitem_stats,
         "logreg_score": q_logreg_score,
         "hash_embed_stats": q_hash_embed_stats,
+        "price_winsor": q_price_winsor,
+        "label_centroids": q_label_centroids,
         "text_knn": q_text_knn,
         "orders_diff": q_orders_diff,
         "funnel_steps": q_funnel_steps,
@@ -3334,6 +3397,8 @@ def build_oracle_sql() -> dict:
         "lineitem_stats": sql_lineitem_stats(_ORACLE_SF_DIR),
         "logreg_score": sql_logreg_score(_ORACLE_SF_DIR),
         "hash_embed_stats": sql_hash_embed_stats(_ORACLE_SF_DIR),
+        "price_winsor": sql_price_winsor(_ORACLE_SF_DIR),
+        "label_centroids": sql_label_centroids(_ORACLE_SF_DIR),
         "orders_diff": sql_orders_diff(_ORACLE_SF_DIR),
         "funnel_steps": sql_funnel_steps(_ORACLE_SF_DIR),
         "resample_daily": sql_resample_daily(_ORACLE_SF_DIR),

@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 
 __all__ = ["small_group_sum", "distinct_small", "rollup_sum",
-           "histogram", "mode_by", "grouped_stats"]
+           "histogram", "mode_by", "grouped_stats", "group_centroids"]
 
 _MAX_SMALL_KEYS = 100_000
 
@@ -270,3 +270,47 @@ def grouped_stats(ds, key_cols, x_col: str, y_col: str | None = None, *,
     parts = ds.map_batches(partial, batch_format="pandas")
     return grouped_map(parts, key_cols, finish,
                        num_partitions=num_partitions)
+
+
+def group_centroids(ds, key_col: str, vec_col: str, *,
+                    long_form: bool = False):
+    """Element-wise MEAN VECTOR per group (class centroids over an
+    embedding column): each batch contributes one (Σvec, n) partial per
+    group — d+1 floats regardless of rows — merged in ONE task (group
+    count == label cardinality, small by construction; use
+    :func:`~capelinker_ray.stages.simsearch.kmeans_centroids` for
+    data-driven clusters instead). ``long_form=True`` emits
+    (key, dim, mean_val) rows — the SQL-comparable layout."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key_col: [], "_sum": [], "_n": []})
+        out_k, out_s, out_n = [], [], []
+        for key, g in df.groupby(key_col, sort=False, dropna=True):
+            M = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+            out_k.append(key)
+            out_s.append(M.sum(axis=0))
+            out_n.append(np.int64(len(M)))
+        return pd.DataFrame({key_col: out_k, "_sum": out_s, "_n": out_n})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, g in df.groupby(key_col, sort=True):
+            s = np.sum(np.stack(g["_sum"].to_numpy()), axis=0)
+            n = int(g["_n"].sum())
+            rows.append((key, s / n, n))
+        if long_form:
+            recs = []
+            for key, c, n in rows:
+                for j, v in enumerate(c):
+                    recs.append((key, np.int64(j), float(v), np.int64(n)))
+            return pd.DataFrame(recs, columns=[key_col, "dim", "mean_val",
+                                               "n"])
+        return pd.DataFrame({key_col: [r[0] for r in rows],
+                             "centroid": [r[1].astype(np.float32)
+                                          for r in rows],
+                             "n": [r[2] for r in rows]})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return parts.repartition(1).map_batches(merge, batch_format="pandas",
+                                            batch_size=None)

@@ -33,7 +33,7 @@ __all__ = ["running_total", "grouped_running_total", "pack_by_budget",
            "row_number", "exact_quantiles", "grouped_quantiles",
            "grouped_rolling_mean", "grouped_percent_rank",
            "grouped_lag_diff", "ntile", "mad_outliers",
-           "grouped_range_sum"]
+           "grouped_range_sum", "winsorize"]
 
 
 @ray.remote
@@ -408,3 +408,25 @@ def grouped_range_sum(ds, key_col: str, ts_col: str, val_col: str,
     from .grouped import grouped_map
     return grouped_map(ds, key_col, per_partition,
                        num_partitions=num_partitions)
+
+
+def winsorize(ds, col: str, *, lower_q: float = 0.01,
+              upper_q: float = 0.99, out_col: str | None = None):
+    """Quantile clipping (winsorization): values below the exact
+    ``lower_q`` quantile / above ``upper_q`` clamp to those bounds — the
+    heavy-tail tamer before any mean-based normalization. One
+    :func:`exact_quantiles` pass (ships 2 scalars to the driver, never
+    rows) + one stateless vectorized clip; nulls pass through. Returns
+    (dataset, lo, hi)."""
+    if not 0.0 <= lower_q < upper_q <= 1.0:
+        raise ValueError("need 0 <= lower_q < upper_q <= 1")
+    out_col = out_col or f"{col}_winsor"
+    qs = exact_quantiles(ds, col, (lower_q, upper_q))["value"]
+    lo, hi = float(qs.iloc[0]), float(qs.iloc[1])
+
+    def clip(t: pa.Table) -> pa.Table:
+        v = t[col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        return t.append_column(out_col,
+                               pa.array(np.clip(v, lo, hi), pa.float64()))
+
+    return ds.map_batches(clip, batch_format="pyarrow"), lo, hi

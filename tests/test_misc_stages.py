@@ -183,3 +183,34 @@ def test_union_by_name_single_and_empty_args(ray_session):
     assert union_by_name(rd.from_pandas(a)).to_pandas()["x"].tolist() == [1]
     with pytest.raises(ValueError):
         union_by_name()
+
+
+def test_winsorize_clips_to_exact_quantiles(ray_session):
+    from capelinker_ray.stages.scan import winsorize
+    df = pd.DataFrame({"v": np.arange(1, 101, dtype=np.float64)})
+    out, lo, hi = winsorize(rd.from_pandas(df).repartition(4), "v",
+                            lower_q=0.1, upper_q=0.9)
+    res = out.to_pandas()
+    assert lo == 10.0 and hi == 90.0          # quantile_disc parity
+    assert res["v_winsor"].min() == 10.0
+    assert res["v_winsor"].max() == 90.0
+    mid = res[(res["v"] > 10) & (res["v"] < 90)]
+    assert (mid["v_winsor"] == mid["v"]).all()
+
+
+def test_group_centroids_wide_and_long(ray_session):
+    from capelinker_ray.stages.agg import group_centroids
+    vecs = [np.array([1.0, 0.0], np.float32),
+            np.array([3.0, 2.0], np.float32),
+            np.array([0.0, 8.0], np.float32)]
+    df = pd.DataFrame({"lbl": [0, 0, 1], "v": vecs})
+    wide = (group_centroids(rd.from_pandas(df).repartition(3),
+                            "lbl", "v")
+            .to_pandas().sort_values("lbl").reset_index(drop=True))
+    assert np.allclose(wide.loc[0, "centroid"], [2.0, 1.0])
+    assert np.allclose(wide.loc[1, "centroid"], [0.0, 8.0])
+    assert wide["n"].tolist() == [2, 1]
+    long = (group_centroids(rd.from_pandas(df), "lbl", "v",
+                            long_form=True).to_pandas()
+            .sort_values(["lbl", "dim"]).reset_index(drop=True))
+    assert long["mean_val"].tolist() == [2.0, 1.0, 0.0, 8.0]
