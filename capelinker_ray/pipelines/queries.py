@@ -2336,6 +2336,77 @@ FROM flat f JOIN cnt USING (label)
 GROUP BY f.label, f.dim, cnt.n"""
 
 
+def q_embedding_explode(sf_dir: str):
+    """Generic list-column EXPLODE (stages/reshape.py explode): one row
+    per embedding element with its position — SQL unnest parity."""
+    from ..stages.reshape import explode
+    emb = _rpc(f"{sf_dir}/embeddings.parquet",
+               columns=["vec_id", "embedding"])
+    out = explode(emb, "embedding", pos_col="dim")
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].astype(np.int64),
+            "dim": df["dim"].astype(np.int64),
+            "val": df["embedding"].astype(np.float64)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_embedding_explode(sf_dir: str) -> str:
+    return """SELECT vec_id,
+       CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+       CAST(unnest(embedding) AS DOUBLE) AS val
+FROM embeddings"""
+
+
+def q_long_words(sf_dir: str):
+    """Regex extraction to rows (stages/reshape.py regex_extract_rows):
+    every ≥6-letter token per document with its match index — the
+    log-parsing shape."""
+    from ..stages.reshape import regex_extract_rows
+    docs = _rpc(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text"])
+    out = regex_extract_rows(docs, "text", r"[a-z]{6,}")
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "match_idx": df["match_idx"].astype(np.int64),
+            "match": df["match"].astype(str)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_long_words(sf_dir: str) -> str:
+    return """SELECT doc_id,
+       CAST(generate_subscripts(m, 1) - 1 AS BIGINT) AS match_idx,
+       unnest(m) AS match
+FROM (SELECT doc_id,
+             regexp_extract_all(coalesce(text, ''), '[a-z]{6,}') AS m
+      FROM documents)"""
+
+
+def q_top_orders(sf_dir: str):
+    """Global ORDER BY ... LIMIT without a full sort (stages/reshape.py
+    global_topk): per-batch local top-k partials, one tiny merge."""
+    from ..stages.reshape import global_topk
+    orders = _rpc(f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = global_topk(orders, ["o_totalprice", "o_orderkey"], 20,
+                      ascending=[False, True])
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["o_totalprice"] = df["o_totalprice"].round(2)
+        return df
+    return out.map_batches(rnd, batch_format="pandas")
+
+
+def sql_top_orders(sf_dir: str) -> str:
+    return ("SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS "
+            "o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20")
+
+
 _TFIDF_THR = 0.25
 _TFIDF_MAXDF = 100
 
@@ -3295,6 +3366,9 @@ def build_queries() -> dict:
         "logreg_score": q_logreg_score,
         "hash_embed_stats": q_hash_embed_stats,
         "price_winsor": q_price_winsor,
+        "embedding_explode": q_embedding_explode,
+        "long_words": q_long_words,
+        "top_orders": q_top_orders,
         "label_centroids": q_label_centroids,
         "text_knn": q_text_knn,
         "orders_diff": q_orders_diff,
@@ -3398,6 +3472,9 @@ def build_oracle_sql() -> dict:
         "logreg_score": sql_logreg_score(_ORACLE_SF_DIR),
         "hash_embed_stats": sql_hash_embed_stats(_ORACLE_SF_DIR),
         "price_winsor": sql_price_winsor(_ORACLE_SF_DIR),
+        "embedding_explode": sql_embedding_explode(_ORACLE_SF_DIR),
+        "long_words": sql_long_words(_ORACLE_SF_DIR),
+        "top_orders": sql_top_orders(_ORACLE_SF_DIR),
         "label_centroids": sql_label_centroids(_ORACLE_SF_DIR),
         "orders_diff": sql_orders_diff(_ORACLE_SF_DIR),
         "funnel_steps": sql_funnel_steps(_ORACLE_SF_DIR),
