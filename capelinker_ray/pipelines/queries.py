@@ -2407,6 +2407,56 @@ def sql_top_orders(sf_dir: str) -> str:
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20")
 
 
+def q_lineitem_melt(sf_dir: str):
+    """Wide -> long UNPIVOT (stages/reshape.py melt): the four lineitem
+    measures melt to (id, variable, value) rows, zero shuffle."""
+    from ..stages.reshape import melt
+    li = _rpc(f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_linenumber", "l_quantity",
+                       "l_extendedprice", "l_discount", "l_tax"])
+    out = melt(li, ["l_orderkey", "l_linenumber"],
+               ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].astype(np.int64),
+            "l_linenumber": df["l_linenumber"].astype(np.int64),
+            "variable": df["variable"].astype(str),
+            "value": df["value"].astype(np.float64).round(6)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_lineitem_melt(sf_dir: str) -> str:
+    parts = [
+        f"SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+        f"'{c}' AS variable, round(CAST({c} AS DOUBLE), 6) AS value "
+        f"FROM lineitem"
+        for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")]
+    return "\nUNION ALL\n".join(parts)
+
+
+def q_user_value_share(sf_dir: str):
+    """Share-of-group (stages/reshape.py share_of_group): each event's
+    value as a fraction of its user's total — one co-partition shuffle."""
+    from ..stages.reshape import share_of_group
+    ev = _rpc(f"{sf_dir}/events.parquet",
+              columns=["event_id", "user_id", "value"])
+    out = share_of_group(ev, "user_id", "value")
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype(np.int64),
+            "user_id": df["user_id"].astype(np.int64),
+            "share": df["share"].astype(np.float64).round(9)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_user_value_share(sf_dir: str) -> str:
+    return """SELECT event_id, user_id,
+       round(value / sum(value) OVER (PARTITION BY user_id), 9) AS share
+FROM events"""
+
+
 _TFIDF_THR = 0.25
 _TFIDF_MAXDF = 100
 
@@ -3367,6 +3417,8 @@ def build_queries() -> dict:
         "hash_embed_stats": q_hash_embed_stats,
         "price_winsor": q_price_winsor,
         "embedding_explode": q_embedding_explode,
+        "lineitem_melt": q_lineitem_melt,
+        "user_value_share": q_user_value_share,
         "long_words": q_long_words,
         "top_orders": q_top_orders,
         "label_centroids": q_label_centroids,
@@ -3473,6 +3525,8 @@ def build_oracle_sql() -> dict:
         "hash_embed_stats": sql_hash_embed_stats(_ORACLE_SF_DIR),
         "price_winsor": sql_price_winsor(_ORACLE_SF_DIR),
         "embedding_explode": sql_embedding_explode(_ORACLE_SF_DIR),
+        "lineitem_melt": sql_lineitem_melt(_ORACLE_SF_DIR),
+        "user_value_share": sql_user_value_share(_ORACLE_SF_DIR),
         "long_words": sql_long_words(_ORACLE_SF_DIR),
         "top_orders": sql_top_orders(_ORACLE_SF_DIR),
         "label_centroids": sql_label_centroids(_ORACLE_SF_DIR),

@@ -18,7 +18,8 @@ import re
 import numpy as np
 import pandas as pd
 
-__all__ = ["explode", "regex_extract_rows", "global_topk"]
+__all__ = ["explode", "regex_extract_rows", "global_topk",
+           "melt", "share_of_group"]
 
 
 def explode(ds, col: str, *, pos_col: str | None = None,
@@ -116,3 +117,58 @@ def global_topk(ds, by, k: int, *, ascending=False):
     parts = ds.map_batches(partial, batch_format="pandas")
     return parts.repartition(1).map_batches(merge, batch_format="pandas",
                                             batch_size=None)
+
+
+def melt(ds, id_cols, value_cols, *, var_col: str = "variable",
+         val_col: str = "value", batch_size: int | None = None):
+    """Wide -> long unpivot (SQL ``UNPIVOT`` / pandas ``melt``): one
+    output row per (input row, value column). Zero shuffle; one
+    tile/repeat per batch. Value columns are cast to float64 (the usual
+    measure-melt); nulls are KEPT (SQL UNPIVOT ``INCLUDE NULLS``
+    parity is the engine default — drop downstream if unwanted)."""
+    id_cols = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    value_cols = ([value_cols] if isinstance(value_cols, str)
+                  else list(value_cols))
+    m = len(value_cols)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        out = {c: np.repeat(df[c].to_numpy(), m) for c in id_cols}
+        out[var_col] = np.tile(np.array(value_cols, dtype=object), n)
+        vals = df[value_cols].to_numpy(np.float64)
+        out[val_col] = vals.ravel()
+        return pd.DataFrame(out)
+
+    return ds.map_batches(fn, batch_format="pandas",
+                          batch_size=batch_size)
+
+
+def share_of_group(ds, key_cols, val_col: str, *,
+                   out_col: str = "share",
+                   num_partitions: int | None = None):
+    """Each row's share of its group's total — SQL ``val / sum(val) OVER
+    (PARTITION BY key)``. ONE co-partitioning shuffle, vectorized
+    grouped transform; groups totaling 0 (or all-null) yield null
+    shares, null values contribute 0 to the denominator and keep a null
+    share (SQL division/None parity)."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            df = df.copy()
+            df[out_col] = pd.Series(dtype=np.float64)
+            return df
+        df = df.copy()
+        v = df[val_col].astype(np.float64)
+        tot = v.fillna(0.0).groupby(
+            [df[c].to_numpy() for c in key_cols], sort=False
+        ).transform("sum")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            share = v.to_numpy() / tot.to_numpy()
+        share[tot.to_numpy() == 0] = np.nan
+        df[out_col] = share
+        return df
+
+    from .grouped import grouped_map
+    return grouped_map(ds, key_cols, per_partition,
+                       num_partitions=num_partitions)
