@@ -143,16 +143,28 @@ def bloom_build(ds, col: str, *, expected: int | None = None,
     proto = BloomFilter(num_bits, num_hashes, seed)
     shape = (proto.num_bits, proto.num_hashes)
 
+    word_bytes = proto.num_words * 8
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        bf = BloomFilter(shape[0], shape[1], seed)
         v = df[col].dropna().to_numpy()
-        if len(v):
-            bf.add_hashed(_key_hash(v))
-        return pd.DataFrame({"_words": [bf.words.tobytes()]})
+        h = np.unique(_key_hash(v)) if len(v) else np.empty(0, np.uint64)
+        # adaptive partial: a sparse batch ships its distinct key hashes
+        # (8 B/key); a dense one ships the bit array (m/8 B). At a 10^9-key
+        # filter the bit array is ~GBs — per-BATCH bit-array partials
+        # would push batches x m/8 through the object store, while hashed
+        # keys total 8 x N_distinct bytes streamed.
+        if h.nbytes < word_bytes:
+            return pd.DataFrame({"_kind": ["h"], "_data": [h.tobytes()]})
+        bf = BloomFilter(shape[0], shape[1], seed)
+        bf.add_hashed(h)
+        return pd.DataFrame({"_kind": ["w"], "_data": [bf.words.tobytes()]})
 
     parts = ds.map_batches(partial, batch_format="pandas")
-    for row in parts.iter_rows():            # one m/8-byte row per batch
-        proto.words |= np.frombuffer(row["_words"], dtype=np.uint64)
+    for row in parts.iter_rows():            # streamed, bounded per batch
+        if row["_kind"] == "w":
+            proto.words |= np.frombuffer(row["_data"], dtype=np.uint64)
+        else:
+            proto.add_hashed(np.frombuffer(row["_data"], dtype=np.uint64))
     return proto
 
 

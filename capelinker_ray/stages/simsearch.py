@@ -202,16 +202,23 @@ def knn_join(ds, *, k: int = 5, vec_col: str = "embedding",
         return g
 
     if method == "broadcast":
+        # gate BEFORE collecting: estimate bytes from the row count and
+        # the first row's dimensionality, so an oversized table never
+        # reaches the driver
+        n_rows = ds.count()
+        first = ds.take(1)
+        dim = len(first[0][vec_col]) if first else 0
+        est = n_rows * dim * 8
+        if est > max_broadcast_bytes:
+            raise ValueError(
+                f"~{est}B matrix exceeds max_broadcast_bytes "
+                f"({max_broadcast_bytes}); use method='ivf'")
         slim = ds.select_columns([id_col, vec_col]).to_pandas()
         ids = slim[id_col].to_numpy()
         order = np.argsort(ids, kind="stable")   # ties -> id-asc for free
         ids = ids[order]
         M = _norm_rows(np.stack(slim[vec_col].to_numpy())[order]
                        .astype(np.float64))
-        if M.nbytes > max_broadcast_bytes:
-            raise ValueError(
-                f"matrix {M.nbytes}B exceeds max_broadcast_bytes "
-                f"({max_broadcast_bytes}); use method='ivf'")
         ref = ray.put((ids, M))
 
         def nbrs(df: pd.DataFrame) -> pd.DataFrame:
