@@ -2457,6 +2457,39 @@ def sql_user_value_share(sf_dir: str) -> str:
 FROM events"""
 
 
+_QUALITY_RULES = {
+    "price_nonneg": "o_totalprice >= 0",
+    "price_below_cap": "o_totalprice <= 450000",
+    "status_known": "o_orderstatus in ('O', 'F', 'P')",
+    "date_in_range": "o_orderdate >= '1992-01-01'",
+}
+
+
+def q_quality_gate(sf_dir: str):
+    """Declarative data-quality gate (stages/quality.py check_rules):
+    per-rule violation counts from fixed-width per-batch partials —
+    zero shuffle, one merge task."""
+    from ..stages.quality import check_rules
+    orders = _rpc(f"{sf_dir}/orders.parquet",
+                  columns=["o_totalprice", "o_orderstatus", "o_orderdate"])
+    return check_rules(orders, _QUALITY_RULES)
+
+
+def sql_quality_gate(sf_dir: str) -> str:
+    exprs = {
+        "price_nonneg": "o_totalprice >= 0",
+        "price_below_cap": "o_totalprice <= 450000",
+        "status_known": "o_orderstatus IN ('O', 'F', 'P')",
+        "date_in_range": "o_orderdate >= TIMESTAMP '1992-01-01'",
+    }
+    parts = [
+        f"SELECT '{name}' AS rule, "
+        f"CAST(sum(CASE WHEN coalesce({expr}, false) THEN 0 ELSE 1 END) "
+        f"AS BIGINT) AS violations, count(*) AS checked FROM orders"
+        for name, expr in exprs.items()]
+    return "\nUNION ALL\n".join(parts)
+
+
 _TFIDF_THR = 0.25
 _TFIDF_MAXDF = 100
 
@@ -3418,6 +3451,7 @@ def build_queries() -> dict:
         "price_winsor": q_price_winsor,
         "embedding_explode": q_embedding_explode,
         "lineitem_melt": q_lineitem_melt,
+        "quality_gate": q_quality_gate,
         "user_value_share": q_user_value_share,
         "long_words": q_long_words,
         "top_orders": q_top_orders,
@@ -3526,6 +3560,7 @@ def build_oracle_sql() -> dict:
         "price_winsor": sql_price_winsor(_ORACLE_SF_DIR),
         "embedding_explode": sql_embedding_explode(_ORACLE_SF_DIR),
         "lineitem_melt": sql_lineitem_melt(_ORACLE_SF_DIR),
+        "quality_gate": sql_quality_gate(_ORACLE_SF_DIR),
         "user_value_share": sql_user_value_share(_ORACLE_SF_DIR),
         "long_words": sql_long_words(_ORACLE_SF_DIR),
         "top_orders": sql_top_orders(_ORACLE_SF_DIR),

@@ -214,3 +214,20 @@ def test_group_centroids_wide_and_long(ray_session):
                             long_form=True).to_pandas()
             .sort_values(["lbl", "dim"]).reset_index(drop=True))
     assert long["mean_val"].tolist() == [2.0, 1.0, 0.0, 8.0]
+
+
+def test_check_rules_counts_and_null_violation(ray_session):
+    import pytest
+    from capelinker_ray.stages.quality import check_rules
+    df = pd.DataFrame({"x": [1.0, -2.0, np.nan, 5.0],
+                       "s": ["a", "b", "a", "c"]})
+    out = (check_rules(rd.from_pandas(df).repartition(3),
+                       {"x_pos": "x >= 0",
+                        "s_known": "s in ('a', 'b')"})
+           .to_pandas().set_index("rule"))
+    # null x violates the strict gate; -2 violates
+    assert out.loc["x_pos", "violations"] == 2
+    assert out.loc["s_known", "violations"] == 1
+    assert (out["checked"] == 4).all()
+    with pytest.raises(ValueError):
+        check_rules(rd.from_pandas(df), {})
