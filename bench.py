@@ -170,10 +170,13 @@ def scaling_child(tdir: str, num_cpus: int) -> None:
     n_pairs = out["pairs"].count()
     out["turns_out"].count()  # drive the full pipeline
     wall = time.monotonic() - t0
+    stage_walls = {r["stage"]: r["wall_seconds"] for r in out["metrics"]
+                   if isinstance(r, dict) and "wall_seconds" in r}
     ray.shutdown()
     print(json.dumps({"num_cpus": num_cpus, "wall": round(wall, 3),
                       "pairs": n_pairs,
-                      "pairs_per_sec": round(n_pairs / wall, 2)}))
+                      "pairs_per_sec": round(n_pairs / wall, 2),
+                      "stage_walls": stage_walls}))
 
 
 def run_scaling(_sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
@@ -202,6 +205,8 @@ def run_scaling(_sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         f"wall_{lo}cpu": r_lo["wall"], f"wall_{hi}cpu": r_hi["wall"],
         f"speedup_{lo}_to_{hi}": round(speedup, 3),
         "scaling_efficiency": round(efficiency, 3),
+        f"stage_walls_{lo}cpu": r_lo.get("stage_walls", {}),
+        f"stage_walls_{hi}cpu": r_hi.get("stage_walls", {}),
     }
 
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from ..stages.blocking import DEFAULT_MAX_BLOCK_PAIRS, candidates
 from ..stages.cluster import attach_entity_ids, connected_components
-from ..stages.conv_records import build_conv_records
+from ..stages.conv_records import build_conv_records, collect_tool_vocab
 from ..stages.features import TRANSCRIPT_FEATURES, add_pair_features
 from ..stages.join import hash_join
 from ..stages.normalize import normalize_turns
@@ -91,8 +91,13 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
         block_prefix_len = BLOCK_PREFIX_LEN
     records = ck.stage(
         "conv_records",
-        lambda: build_conv_records(normalize_turns(ds_turns),
-                                   prefix_len=block_prefix_len),
+        # tool vocab from the RAW turns (normalize never touches `tool`):
+        # the projection pushes into the parquet read instead of
+        # re-executing read+normalize a second time for the vocab pass
+        lambda: build_conv_records(
+            normalize_turns(ds_turns),
+            tool_vocab=collect_tool_vocab(ds_turns),
+            prefix_len=block_prefix_len),
         inputs=("turns",),
         params={"prefix_len": block_prefix_len})
 
