@@ -409,11 +409,17 @@ def candidates(ds_from, ds_to=None, *, block_col: str | None = "block_key",
     if blocktype in ("bigram", "stringdist") and "_blockvar" not in attr_cols:
         attr_cols = attr_cols + ["_blockvar"]
 
-    from .grouped import grouped_map
+    from .grouped import default_partitions, grouped_map
     fn = _pairs_fn(block_col, id_col, blocktype, maxdist, attr_cols,
                    keep_unmatched, self_link, jw_variant=jw_variant,
                    idf=idf)
-    pairs = grouped_map(salted, [block_col, "_salt"], fn)
+    # 4x the default shuffle width: per-partition pair work is quadratic
+    # in block size, so at 2x-cpus coarse partitions the slowest one sets
+    # the stage wall (measured: the pair stage scaled 2.56x going 2->8
+    # cpus from straggler imbalance). Finer partitions cost only reduce
+    # width — the sort shuffle's bytes are unchanged.
+    pairs = grouped_map(salted, [block_col, "_salt"], fn,
+                        num_partitions=min(4 * default_partitions(), 1024))
     if blocktype in ("bigram", "stringdist"):
         pairs = pairs.drop_columns(["_blockvar_from", "_blockvar_to"])
     return pairs
