@@ -77,6 +77,12 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
     """
     ck = CheckpointManager(checkpoint_dir)
 
+    # vocab scans the PRE-repartition handle: on a parquet read the
+    # ["tool"] projection pushes into the scan, while the repartitioned
+    # handle would re-execute the full-width all-to-all just to list
+    # ~10 distinct tool names (measured: conv_records' non-scaling share)
+    ds_raw_turns = ds_turns
+
     if input_partitions:
         # a small input (one parquet file = ONE block) would otherwise run
         # every map stage in a single sequential task; at 100-TB scale the
@@ -96,7 +102,7 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
         # re-executing read+normalize a second time for the vocab pass
         lambda: build_conv_records(
             normalize_turns(ds_turns),
-            tool_vocab=collect_tool_vocab(ds_turns),
+            tool_vocab=collect_tool_vocab(ds_raw_turns),
             prefix_len=block_prefix_len),
         inputs=("turns",),
         params={"prefix_len": block_prefix_len})
