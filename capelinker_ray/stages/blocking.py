@@ -417,9 +417,18 @@ def candidates(ds_from, ds_to=None, *, block_col: str | None = "block_key",
     # in block size, so at 2x-cpus coarse partitions the slowest one sets
     # the stage wall (measured: the pair stage scaled 2.56x going 2->8
     # cpus from straggler imbalance). Finer partitions cost only reduce
-    # width — the sort shuffle's bytes are unchanged.
+    # width — the shuffle's bytes are unchanged.
+    #
+    # Large corpora route through the ONE-exchange hash shuffle: the sort
+    # path's repartition+sort is two all-to-alls whose barrier waits left
+    # 22-27% of the slots idle on the 4.6M-turn scaling corpus (measured
+    # 8-cpu leg 171-189 s sort vs 163 s hash, identical pairs); below the
+    # threshold the hash aggregator-pool setup (~1.5 s fixed) outweighs
+    # the saved barrier.
+    n_tagged = tagged.count()        # tagged is materialized above
     pairs = grouped_map(salted, [block_col, "_salt"], fn,
-                        num_partitions=min(4 * default_partitions(), 1024))
+                        num_partitions=min(4 * default_partitions(), 1024),
+                        shuffle="hash" if n_tagged > 300_000 else None)
     if blocktype in ("bigram", "stringdist"):
         pairs = pairs.drop_columns(["_blockvar_from", "_blockvar_to"])
     return pairs
