@@ -65,6 +65,9 @@ class CheckpointManager:
         # stage -> effective param hash (own params + upstream hashes), so a
         # changed parameter invalidates the stage AND everything downstream
         self._hashes: dict[str, str] = {}
+        # stages THIS run served from an existing checkpoint (lineage
+        # records mark them resumed=True so job metrics show what reran)
+        self._resumed: set[str] = set()
 
     def _marker(self, stage: str) -> str:
         return os.path.join(self.root, stage, "_SUCCESS.json")
@@ -122,6 +125,7 @@ class CheckpointManager:
             with open(self._marker(name)) as f:
                 rec = json.load(f)
             if rec.get("param_hash") == h:
+                self._resumed.add(name)
                 return rd.read_parquet(path)
             # parameter / upstream change — or a legacy marker with no
             # recorded hash, which must NOT be trusted: recompute
@@ -168,5 +172,7 @@ class CheckpointManager:
             m = self._marker(stage)
             if os.path.exists(m):
                 with open(m) as f:
-                    recs.append(json.load(f))
+                    rec = json.load(f)
+                rec["resumed"] = stage in self._resumed
+                recs.append(rec)
         return sorted(recs, key=lambda r: r.get("ordinal", 0))
