@@ -320,6 +320,36 @@ SELECT conv_id_from, conv_id_to, block_key, score,
 FROM pairs"""
 
 
+def q_snm_candidates(sf_dir: str):
+    """Sorted-neighborhood blocking (Hernandez & Stolfo SIGMOD'95,
+    stages/blocking.py snm_candidates): every record pair at most
+    window-1 apart in the global (key, id) sort order — the classic
+    third blocker next to key-equality and corpus-wide bigram."""
+    from ..stages.blocking import snm_candidates
+    cust = _rpc(f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_name"])
+    pairs = snm_candidates(cust, key_col="c_name", id_col="c_custkey",
+                           window=7)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["id_from"] = out["id_from"].astype(np.int64)
+        out["id_to"] = out["id_to"].astype(np.int64)
+        return out
+    return pairs.map_batches(proj, batch_format="pandas")
+
+
+def sql_snm_candidates(sf_dir: str) -> str:
+    return """WITH ranked AS (
+  SELECT c_custkey AS id, c_name AS key,
+         row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+  FROM customer WHERE c_name IS NOT NULL)
+SELECT a.id AS id_from, b.id AS id_to,
+       CAST(b.rn - a.rn AS BIGINT) AS rank_dist,
+       a.key AS key_from, b.key AS key_to
+FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 6"""
+
+
 def q_dedup_exact(sf_dir: str):
     from ..stages.grouped import grouped_map
     docs = _rpc(f"{sf_dir}/documents.parquet",
@@ -3435,6 +3465,7 @@ def build_queries() -> dict:
         "block_sizes": q_block_sizes,
         "candidates_equality": q_candidates_equality,
         "candidates_stringdist": q_candidates_stringdist,
+        "snm_candidates": q_snm_candidates,
         "pair_features": q_pair_features,
         "selection_one_to_one": q_selection_one_to_one,
         "entity_clusters_rule": q_entity_clusters_rule,
@@ -3543,6 +3574,7 @@ def build_oracle_sql() -> dict:
         "block_sizes": sql_block_sizes(path),
         "candidates_equality": sql_candidates_equality(path),
         "candidates_stringdist": sql_candidates_stringdist(path),
+        "snm_candidates": sql_snm_candidates(_ORACLE_SF_DIR),
         "pair_features": sql_pair_features(path),
         "selection_one_to_one": sql_selection_one_to_one(path),
         "entity_clusters_rule": sql_entity_clusters_rule(path),

@@ -591,3 +591,96 @@ def broadcast_jw_candidates(ds_from, small_to: pd.DataFrame, *,
         return out
 
     return ds_from.map_batches(scan, batch_format="pandas")
+
+
+def snm_candidates(ds, *, key_col: str, id_col: str = "conv_id",
+                   window: int = 5, keep_keys: bool = True):
+    """Sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD'95): sort
+    the corpus by ``key_col`` and emit every pair of records at most
+    ``window - 1`` apart in the global sort order. The classic complement
+    to key-EQUALITY blocking (`candidates`): tolerates key typos near the
+    sort position without the inverted-index machinery of the corpus-wide
+    bigram blocker.
+
+    Distributed shape: one slim (id, key) projection -> global row number
+    via the 2-pass prefix scan (stages/scan.py — driver sees #blocks
+    scalars, never rows) -> rows land in width-``window`` rank buckets,
+    with rows at in-bucket position >= 1 ALSO carried to the next bucket,
+    so every window pair co-locates in exactly the bucket of its LATER
+    member (exactly-once emission, no post-dedup shuffle). Within a
+    bucket the ranks are consecutive integers, so pair enumeration is one
+    vectorized repeat/arange — no Python loop. Null keys are excluded
+    (they carry no sort position).
+
+    Output: id_from/id_to (id_from = earlier sort position), rank_dist in
+    [1, window-1], plus key_from/key_to when ``keep_keys``. Deterministic
+    under key ties via the (key, id) sort.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    import pyarrow.compute as pc
+
+    from .grouped import grouped_map, typed_or_empty
+    from .scan import row_number
+
+    def valid(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t[key_col]))
+
+    slim = ds.select_columns([id_col, key_col]).map_batches(
+        valid, batch_format="pyarrow")
+    ranked = row_number(slim, order_by=[key_col, id_col], out_col="_rn")
+
+    w = int(window)
+
+    def fan_out(df: pd.DataFrame) -> pd.DataFrame:
+        rn = df["_rn"].to_numpy(np.int64)
+        home = (rn - 1) // w
+        df = df.assign(_bucket=home, _home=True)
+        pos = (rn - 1) % w
+        carry = df[pos >= 1].assign(_bucket=home[pos >= 1] + 1,
+                                    _home=False)
+        return typed_or_empty(pd.concat([df, carry], ignore_index=True))
+
+    fanned = ranked.map_batches(fan_out, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass over ALL buckets of the partition (a bucket
+        # is ~2·window rows — a per-bucket loop would be rows/window
+        # interpreted iterations): sort by (_bucket, _rn), find each
+        # bucket's start position, and enumerate (j - d) pair indices with
+        # repeat/arange. Bucket rows are contiguous with consecutive
+        # ranks, so position arithmetic IS rank arithmetic.
+        g = g.sort_values(["_bucket", "_rn"], kind="stable",
+                          ignore_index=True)
+        bucket = g["_bucket"].to_numpy(np.int64)
+        home = g["_home"].to_numpy(bool)
+        n = len(g)
+        empty_cols = {"id_from": pd.Series([], dtype=object),
+                      "id_to": pd.Series([], dtype=object),
+                      "rank_dist": pd.Series([], dtype=np.int64)}
+        if keep_keys:
+            empty_cols["key_from"] = pd.Series([], dtype=object)
+            empty_cols["key_to"] = pd.Series([], dtype=object)
+        if n == 0:
+            return typed_or_empty(pd.DataFrame(empty_cols))
+        is_start = np.r_[True, bucket[1:] != bucket[:-1]]
+        # position of the bucket's first row, broadcast to every row
+        start_pos = np.flatnonzero(is_start)[np.cumsum(is_start) - 1]
+        j_idx = np.flatnonzero(home)
+        cnt = np.minimum(w - 1, j_idx - start_pos[j_idx])
+        tot = int(cnt.sum())
+        if tot == 0:
+            return typed_or_empty(pd.DataFrame(empty_cols))
+        j_rep = np.repeat(j_idx, cnt)
+        d = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt) + 1
+        i_idx = j_rep - d
+        ids = g[id_col].to_numpy(object)
+        frame = {"id_from": ids[i_idx], "id_to": ids[j_rep],
+                 "rank_dist": d.astype(np.int64)}
+        if keep_keys:
+            keys = g[key_col].to_numpy(object)
+            frame["key_from"] = keys[i_idx]
+            frame["key_to"] = keys[j_rep]
+        return pd.DataFrame(frame)
+
+    return grouped_map(fanned, "_bucket", pairs)
