@@ -350,6 +350,93 @@ SELECT a.id AS id_from, b.id AS id_to,
 FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 6"""
 
 
+_FS_WEIGHTS = {"m": {"a_name": 0.95, "a_seg": 0.70, "a_nation": 0.60},
+               "u": {"a_name": 0.02, "a_seg": 0.20, "a_nation": 0.04}}
+
+
+def q_fs_score(sf_dir: str):
+    """Fellegi-Sunter log2 match weights (models/fellegi_sunter.py) over
+    sorted-neighborhood candidate pairs: binary field agreements (JW-name,
+    market segment, nation) scored with PINNED m/u so the SQL twin is
+    value-exact; EM estimation of m/u is pytest-pinned (iterative — not
+    SQL-expressible)."""
+    from ..kernels.strdist import jaro_winkler_sim
+    from ..models.fellegi_sunter import fs_score
+    from ..stages.blocking import snm_candidates
+    from ..stages.join import hash_join
+
+    cust = _rpc(f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_name", "c_mktsegment",
+                         "c_nationkey"])
+    pairs = snm_candidates(
+        cust.select_columns(["c_custkey", "c_name"]),
+        key_col="c_name", id_col="c_custkey", window=7)
+    attrs = cust.select_columns(["c_custkey", "c_mktsegment",
+                                 "c_nationkey"])
+    pairs = hash_join(pairs, attrs, on="id_from", right_on="c_custkey",
+                      suffixes=("", "_f"))
+    pairs = hash_join(pairs, attrs, on="id_to", right_on="c_custkey",
+                      suffixes=("", "_t"))
+
+    def agreements(df: pd.DataFrame) -> pd.DataFrame:
+        jw = jaro_winkler_sim(df["key_from"].to_numpy(object),
+                              df["key_to"].to_numpy(object),
+                              p=0.1, bt=0.7, int_transpositions=True)
+        out = pd.DataFrame({
+            "id_from": df["id_from"].astype(np.int64),
+            "id_to": df["id_to"].astype(np.int64),
+            "a_name": (np.round(jw, 6) >= 0.88).astype(np.int64),
+            "a_seg": (df["c_mktsegment"] == df["c_mktsegment_t"]
+                      ).astype(np.int64),
+            "a_nation": (df["c_nationkey"] == df["c_nationkey_t"]
+                         ).astype(np.int64),
+        })
+        return out
+
+    feat = pairs.map_batches(agreements, batch_format="pandas")
+    scored = fs_score(feat, _FS_WEIGHTS,
+                      ["a_name", "a_seg", "a_nation"])
+
+    def rounded(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["fs_weight"] = df["fs_weight"].round(6)
+        return df
+    return scored.map_batches(rounded, batch_format="pandas")
+
+
+def sql_fs_score(sf_dir: str) -> str:
+    w = _FS_WEIGHTS
+    terms = []
+    for c in ("a_name", "a_seg", "a_nation"):
+        m, u = w["m"][c], w["u"][c]
+        terms.append(f"{c}*log2({m}/{u}) + (1-{c})*log2({1-m}/{1-u})")
+    total = " + ".join(terms)
+    return f"""WITH ranked AS (
+  SELECT c_custkey AS id, c_name AS key,
+         row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+  FROM customer WHERE c_name IS NOT NULL),
+pairs AS (
+  SELECT a.id AS id_from, b.id AS id_to, a.key AS key_from,
+         b.key AS key_to
+  FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 6),
+feat AS (
+  SELECT p.id_from, p.id_to,
+         CASE WHEN round(jaro_winkler_similarity(p.key_from, p.key_to), 6)
+                   >= 0.88 THEN 1 ELSE 0 END AS a_name,
+         CASE WHEN cf.c_mktsegment = ct.c_mktsegment THEN 1 ELSE 0 END
+           AS a_seg,
+         CASE WHEN cf.c_nationkey = ct.c_nationkey THEN 1 ELSE 0 END
+           AS a_nation
+  FROM pairs p
+  JOIN customer cf ON cf.c_custkey = p.id_from
+  JOIN customer ct ON ct.c_custkey = p.id_to)
+SELECT id_from, id_to, CAST(a_name AS BIGINT) AS a_name,
+       CAST(a_seg AS BIGINT) AS a_seg,
+       CAST(a_nation AS BIGINT) AS a_nation,
+       round({total}, 6) AS fs_weight
+FROM feat"""
+
+
 def q_dedup_exact(sf_dir: str):
     from ..stages.grouped import grouped_map
     docs = _rpc(f"{sf_dir}/documents.parquet",
@@ -3466,6 +3553,7 @@ def build_queries() -> dict:
         "candidates_equality": q_candidates_equality,
         "candidates_stringdist": q_candidates_stringdist,
         "snm_candidates": q_snm_candidates,
+        "fs_score": q_fs_score,
         "pair_features": q_pair_features,
         "selection_one_to_one": q_selection_one_to_one,
         "entity_clusters_rule": q_entity_clusters_rule,
@@ -3575,6 +3663,7 @@ def build_oracle_sql() -> dict:
         "candidates_equality": sql_candidates_equality(path),
         "candidates_stringdist": sql_candidates_stringdist(path),
         "snm_candidates": sql_snm_candidates(_ORACLE_SF_DIR),
+        "fs_score": sql_fs_score(_ORACLE_SF_DIR),
         "pair_features": sql_pair_features(path),
         "selection_one_to_one": sql_selection_one_to_one(path),
         "entity_clusters_rule": sql_entity_clusters_rule(path),
