@@ -3539,6 +3539,217 @@ def q_media_features(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# round-4 additions: graph analytics, DSIR, chunking, entropy, calibration
+# ---------------------------------------------------------------------------
+
+
+def q_pagerank_graph(sf_dir: str):
+    """PageRank (stages/graph.py — Brin & Page 1998 power iteration,
+    broadcast rank vector / distributed fallback) over the bipartite
+    supplier<->part graph from DISTINCT lineitem pairs, 3 iterations."""
+    from ..stages.graph import pagerank
+    from ..stages.grouped import grouped_map
+
+    li = _rpc(f"{sf_dir}/lineitem.parquet",
+              columns=["l_suppkey", "l_partkey"])
+    pairs = li.map_batches(lambda df: df.drop_duplicates(),
+                           batch_format="pandas")
+    pairs = grouped_map(pairs, ["l_suppkey", "l_partkey"],
+                        lambda g: g.drop_duplicates())
+
+    def mk_edges(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["l_suppkey"].to_numpy(np.int64)
+        p = df["l_partkey"].to_numpy(np.int64) + 1_000_000
+        return pd.DataFrame({"src": np.concatenate([s, p]),
+                             "dst": np.concatenate([p, s])})
+
+    edges = pairs.map_batches(mk_edges, batch_format="pandas")
+    ranks = pagerank(edges, damping=0.85, iters=3)
+
+    def rounded(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"].astype(np.int64),
+                             "rank": df["rank"].round(6)})
+    return ranks.map_batches(rounded, batch_format="pandas")
+
+
+def sql_pagerank_graph(sf_dir: str) -> str:
+    d = "0.85"
+    parts = ["""WITH dp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT l_suppkey AS src, l_partkey + 1000000 AS dst FROM dp
+  UNION ALL
+  SELECT l_partkey + 1000000 AS src, l_suppkey AS dst FROM dp),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""]
+    for i in range(3):
+        parts.append(f""",
+c{i} AS (SELECT e.dst AS node, sum(r.rank / g.outdeg) AS s
+  FROM edges e JOIN r{i} r ON e.src = r.node JOIN deg g ON e.src = g.node
+  GROUP BY 1),
+dg{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS m
+  FROM r{i} r LEFT JOIN deg g ON r.node = g.node WHERE g.node IS NULL),
+r{i + 1} AS (SELECT nd.node,
+    (1 - {d}) / (SELECT n FROM nn)
+    + {d} * (coalesce(c.s, 0.0) + (SELECT m FROM dg{i}) / (SELECT n FROM nn))
+    AS rank
+  FROM nodes nd LEFT JOIN c{i} c ON nd.node = c.node)""")
+    parts.append("\nSELECT node, round(rank, 6) AS rank FROM r3")
+    return "".join(parts)
+
+
+def q_dsir_sample(sf_dir: str):
+    """DSIR importance resampling (stages/dsir.py — Xie et al. 2023):
+    target = the English documents, raw = all; hashed-unigram bucket
+    log-ratio weights + seeded Gumbel top-k (k=200)."""
+    import pyarrow.compute as pc
+    from ..stages.dsir import dsir_sample
+
+    raw = _rpc(f"{sf_dir}/documents.parquet",
+               columns=["doc_id", "text", "lang"])
+    target = _rpc(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "text", "lang"],
+                  filter=pc.field("lang") == "en").select_columns(
+                      ["doc_id", "text"])
+    out = dsir_sample(raw, target, k=200, buckets=64, smoothing=1.0,
+                      seed=17)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64),
+                             "logw": df["logw"].round(6)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_dsir_sample(sf_dir: str) -> str:
+    h = _sql_sample_hash(17)
+    return rf"""WITH RECURSIVE tt AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS tok
+  FROM documents),
+dt AS (SELECT DISTINCT tok FROM tt),
+fnv(tok, pos, h) AS (
+  SELECT tok, 1, CAST(14695981039346656037 AS HUGEINT) FROM dt
+  UNION ALL
+  SELECT tok, pos + 1,
+    (xor(h, CAST(unicode(substr(tok, pos, 1)) AS HUGEINT)) * 1099511628211)
+      % CAST(18446744073709551616 AS HUGEINT)
+  FROM fnv WHERE pos <= length(tok)),
+th AS (SELECT tok, CAST(h AS UBIGINT) % 64 AS b FROM fnv
+       WHERE pos = length(tok) + 1),
+tb AS (SELECT tt.doc_id, th.b FROM tt JOIN th USING (tok)),
+tgt AS (SELECT b, count(*) AS n FROM tb JOIN documents USING (doc_id)
+        WHERE lang = 'en' GROUP BY 1),
+rw AS (SELECT b, count(*) AS n FROM tb GROUP BY 1),
+tots AS (SELECT (SELECT coalesce(sum(n), 0) FROM tgt) AS st,
+                (SELECT coalesce(sum(n), 0) FROM rw) AS sr),
+lam AS (SELECT r.b,
+          ln((coalesce(t.n, 0) + 1.0) / ((SELECT st FROM tots) + 64.0))
+        - ln((r.n + 1.0) / ((SELECT sr FROM tots) + 64.0)) AS lam
+        FROM rw r LEFT JOIN tgt t USING (b)),
+dw AS (SELECT tb.doc_id, sum(lam.lam) AS logw
+       FROM tb JOIN lam USING (b) GROUP BY 1),
+w AS (SELECT d.doc_id, coalesce(dw.logw, 0.0) AS logw
+      FROM documents d LEFT JOIN dw USING (doc_id)),
+keyed AS (SELECT doc_id, logw,
+  logw + (-ln(-ln((CAST((({h}) >> 11) AS DOUBLE) + 0.5) * pow(2.0, -53))))
+    AS gkey
+  FROM w)
+SELECT doc_id, round(logw, 6) AS logw
+FROM keyed ORDER BY gkey DESC, doc_id LIMIT 200"""
+
+
+def q_doc_chunks(sf_dir: str):
+    """Fixed-width overlapped character chunking
+    (stages/textstats.chunk_documents — the RAG / context-packing pass):
+    200-char chunks, 50-char overlap."""
+    from ..stages.textstats import chunk_documents
+    docs = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_documents(docs, chunk_chars=200, overlap=50)
+
+
+def sql_doc_chunks(sf_dir: str) -> str:
+    return """WITH g AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents),
+s AS (SELECT doc_id, t,
+             unnest(range(0, greatest(length(t), 1), 150)) AS start
+      FROM g)
+SELECT doc_id, start // 150 AS chunk_idx,
+       substr(t, CAST(start AS INTEGER) + 1, 200) AS chunk_text
+FROM s"""
+
+
+def q_char_entropy(sf_dir: str):
+    """Per-document character-distribution Shannon entropy
+    (stages/textstats.add_char_entropy — gibberish/boilerplate signal)."""
+    from ..stages.textstats import add_char_entropy
+    docs = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = add_char_entropy(docs)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64),
+                             "char_entropy": df["char_entropy"].round(6)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_char_entropy(sf_dir: str) -> str:
+    return """WITH sp AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         unnest(range(1, length(coalesce(text, '')) + 1)) AS i
+  FROM documents),
+ch AS (SELECT doc_id, substr(t, CAST(i AS INTEGER), 1) AS c FROM sp),
+cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS t FROM cc GROUP BY 1),
+e AS (SELECT cc.doc_id, -sum((cc.n / tot.t) * log2(cc.n / tot.t)) AS ent
+      FROM cc JOIN tot USING (doc_id) GROUP BY 1)
+SELECT d.doc_id, round(coalesce(e.ent, 0.0), 6) AS char_entropy
+FROM documents d LEFT JOIN e USING (doc_id)"""
+
+
+def q_score_calibration(sf_dir: str):
+    """Reliability / calibration table (stages/agg.calibration_bins):
+    equal-width score bins with empirical positive rates — fixed-width
+    per-batch partials, ONE merge task, zero shuffle. Score = scaled
+    l_discount, label = returnflag 'R'."""
+    from ..stages.agg import calibration_bins
+
+    li = _rpc(f"{sf_dir}/lineitem.parquet",
+              columns=["l_discount", "l_returnflag"])
+
+    def mk(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "score": df["l_discount"].to_numpy(np.float64) * 10,
+            "label": (df["l_returnflag"] == "R").astype(np.int64)})
+
+    scored = li.map_batches(mk, batch_format="pandas")
+    cal = calibration_bins(scored, bins=10)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bin": df["bin"].astype(np.int64),
+            "n": df["n"].astype(np.int64),
+            "mean_score": df["mean_score"].round(6),
+            "mean_label": df["mean_label"].round(6),
+            "gap": df["gap"].round(6)})
+    return cal.map_batches(proj, batch_format="pandas")
+
+
+def sql_score_calibration(sf_dir: str) -> str:
+    return """WITH s AS (
+  SELECT l_discount * 10 AS score,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+  FROM lineitem),
+b AS (SELECT CAST(least(greatest(floor(score * 10), 0), 9) AS BIGINT)
+        AS bin, score, y FROM s)
+SELECT bin, count(*) AS n,
+       round(avg(score), 6) AS mean_score,
+       round(avg(y), 6) AS mean_label,
+       round(abs(avg(score) - avg(y)), 6) AS gap
+FROM b GROUP BY bin"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3554,6 +3765,11 @@ def build_queries() -> dict:
         "candidates_stringdist": q_candidates_stringdist,
         "snm_candidates": q_snm_candidates,
         "fs_score": q_fs_score,
+        "pagerank_graph": q_pagerank_graph,
+        "dsir_sample": q_dsir_sample,
+        "doc_chunks": q_doc_chunks,
+        "char_entropy": q_char_entropy,
+        "score_calibration": q_score_calibration,
         "pair_features": q_pair_features,
         "selection_one_to_one": q_selection_one_to_one,
         "entity_clusters_rule": q_entity_clusters_rule,
@@ -3664,6 +3880,11 @@ def build_oracle_sql() -> dict:
         "candidates_stringdist": sql_candidates_stringdist(path),
         "snm_candidates": sql_snm_candidates(_ORACLE_SF_DIR),
         "fs_score": sql_fs_score(_ORACLE_SF_DIR),
+        "pagerank_graph": sql_pagerank_graph(_ORACLE_SF_DIR),
+        "dsir_sample": sql_dsir_sample(_ORACLE_SF_DIR),
+        "doc_chunks": sql_doc_chunks(_ORACLE_SF_DIR),
+        "char_entropy": sql_char_entropy(_ORACLE_SF_DIR),
+        "score_calibration": sql_score_calibration(_ORACLE_SF_DIR),
         "pair_features": sql_pair_features(path),
         "selection_one_to_one": sql_selection_one_to_one(path),
         "entity_clusters_rule": sql_entity_clusters_rule(path),

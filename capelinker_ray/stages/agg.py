@@ -22,7 +22,8 @@ import numpy as np
 import pandas as pd
 
 __all__ = ["small_group_sum", "distinct_small", "rollup_sum",
-           "histogram", "mode_by", "grouped_stats", "group_centroids"]
+           "histogram", "mode_by", "grouped_stats", "group_centroids",
+           "calibration_bins", "expected_calibration_error"]
 
 _MAX_SMALL_KEYS = 100_000
 
@@ -314,3 +315,52 @@ def group_centroids(ds, key_col: str, vec_col: str, *,
     parts = ds.map_batches(partial, batch_format="pandas")
     return parts.repartition(1).map_batches(merge, batch_format="pandas",
                                             batch_size=None)
+
+
+def calibration_bins(ds, *, score_col: str = "score",
+                     label_col: str = "label", bins: int = 10):
+    """Model-calibration reliability table over a scored Dataset: scores
+    in [0,1] fall into ``bins`` equal-width bins; per bin the row count,
+    mean score and empirical positive rate (mean label) come from one
+    fixed-width partial per batch merged in ONE task — the distributed
+    half of an ECE computation (the reference validates its match scorer
+    driver-side, metrics.py; this scales that to corpus-size score sets).
+
+    bin = clip(floor(score * bins), 0, bins-1); null scores are dropped.
+    Returns Dataset[(bin, n, mean_score, mean_label, gap)]; empty bins are
+    absent (SQL GROUP BY parity)."""
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[score_col, label_col]].dropna(subset=[score_col])
+        s = d[score_col].to_numpy(np.float64)
+        y = d[label_col].to_numpy(np.float64)
+        b = np.clip(np.floor(s * bins), 0, bins - 1).astype(np.int64)
+        g = pd.DataFrame({"bin": b, "n": 1, "sum_score": s, "sum_label": y})
+        return g.groupby("bin", sort=False, as_index=False).sum()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bin", sort=True, as_index=False)[
+            ["n", "sum_score", "sum_label"]].sum()
+        out = pd.DataFrame({
+            "bin": g["bin"].astype(np.int64),
+            "n": g["n"].astype(np.int64),
+            "mean_score": g["sum_score"] / g["n"],
+            "mean_label": g["sum_label"] / g["n"]})
+        out["gap"] = (out["mean_score"] - out["mean_label"]).abs()
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.repartition(1).map_batches(merge, batch_format="pandas",
+                                               batch_size=None)
+
+
+def expected_calibration_error(cal_df) -> float:
+    """ECE from a collected ``calibration_bins`` frame (tiny, driver-side):
+    sum_b (n_b / N) * |mean_score_b - mean_label_b|."""
+    df = cal_df.to_pandas() if hasattr(cal_df, "to_pandas") else cal_df
+    n = df["n"].sum()
+    if not n:
+        return 0.0
+    return float((df["n"] / n * df["gap"]).sum())

@@ -25,7 +25,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["add_token_counts", "add_quality_score", "add_lang_id",
-           "add_fingerprint", "add_repetition_stats", "hash_embed"]
+           "add_fingerprint", "add_repetition_stats", "hash_embed",
+           "add_char_entropy", "chunk_documents"]
 
 # a GPT-2-style pre-tokenizer regex (public BPE convention): word pieces,
 # numbers, punctuation runs, whitespace collapsed
@@ -265,3 +266,78 @@ def hash_embed(ds, *, text_col: str = "text", out_col: str = "embedding",
 
     return ds.map_batches(embed, batch_format="pandas",
                           batch_size=batch_size)
+
+
+def add_char_entropy(ds, text_col: str = "text",
+                     out_col: str = "char_entropy",
+                     batch_size: int | None = None):
+    """+ ``out_col``: Shannon entropy (bits) of the character distribution
+    of each document — the distribution-free gibberish/boilerplate signal
+    (near-zero entropy = repeated filler; very high = random bytes).
+
+    Vectorized batch-wide: the whole batch decodes ONCE into a flat
+    codepoint array (utf-32 view of the joined text), per-(doc, char)
+    counts come from one ``np.unique`` over packed 64-bit keys, and the
+    -p·log2(p) terms scatter-add back per doc. Empty/null text scores 0.
+    Zero shuffle."""
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].fillna("").astype(str).tolist()
+        lens = np.fromiter((len(t) for t in texts), np.int64,
+                           count=len(texts))
+        ent = np.zeros(len(texts))
+        if lens.sum():
+            codes = np.frombuffer(
+                "".join(texts).encode("utf-32-le"), dtype=np.uint32)
+            doc = np.repeat(np.arange(len(texts), dtype=np.uint64), lens)
+            key = (doc << np.uint64(32)) | codes.astype(np.uint64)
+            uk, cnt = np.unique(key, return_counts=True)
+            udoc = (uk >> np.uint64(32)).astype(np.int64)
+            p = cnt / lens[udoc]
+            np.add.at(ent, udoc, -p * np.log2(p))
+        out = df.copy()
+        out[out_col] = ent
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=batch_size)
+
+
+def chunk_documents(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    chunk_chars: int = 512, overlap: int = 64,
+                    chunk_col: str = "chunk_text",
+                    idx_col: str = "chunk_idx",
+                    batch_size: int | None = None):
+    """Split documents into fixed-width character chunks with overlap —
+    the context-window packing / RAG-chunking pass. Emits one row per
+    chunk: (id, ``idx_col``, ``chunk_col``).
+
+    Semantics (shared exactly with the SQL oracle): chunk ``i`` is
+    ``text[i*stride : i*stride + chunk_chars]`` with
+    ``stride = chunk_chars - overlap``; starts run while ``start <
+    max(len, 1)`` so an empty/null document still emits one empty chunk
+    (ids are never dropped). Pure per-batch flat-map, zero shuffle; the
+    per-chunk substring copy is the only non-vector step (C-level slice
+    per OUTPUT row, bounded by chunk_chars)."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    stride = chunk_chars - overlap
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].fillna("").astype(str).to_numpy(object)
+        lens = np.fromiter((len(t) for t in texts), np.int64,
+                           count=len(texts))
+        m = np.maximum(lens, 1)
+        n_chunks = -(-m // stride)              # ceil(m / stride)
+        owner = np.repeat(np.arange(len(texts), dtype=np.int64), n_chunks)
+        total = int(n_chunks.sum())
+        offsets = np.zeros(len(texts), np.int64)
+        np.cumsum(n_chunks[:-1], out=offsets[1:])
+        cidx = np.arange(total, dtype=np.int64) - offsets[owner]
+        starts = cidx * stride
+        chunks = [texts[o][s:s + chunk_chars]
+                  for o, s in zip(owner, starts)]
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy()[owner],
+            idx_col: cidx,
+            chunk_col: pd.Series(chunks, dtype=object)})
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=batch_size)
