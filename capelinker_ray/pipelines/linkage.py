@@ -130,7 +130,7 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
             wide = wide.rename_columns({"id_from": "conv_id_from",
                                         "id_to": "conv_id_to"})
             return add_pair_features(
-                wide.repartition(4 * default_partitions()))
+                wide.repartition(4 * default_partitions()), slim=True)
         if (blocktype == "equality" and broadcast_records_threshold
                 and records.count() <= broadcast_records_threshold):
             # OPT-IN slim path (default OFF): blocking emits bare
@@ -179,8 +179,12 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
             keep_unmatched=False)
         # pair blocks inherit the (salted) block layout — a hot shard can
         # hold ~max_block_pairs rows whose O(len²) feature DP would make one
-        # straggler task gate the stage; rebalance into small even blocks
-        return add_pair_features(cand.repartition(4 * default_partitions()))
+        # straggler task gate the stage; rebalance into small even blocks.
+        # slim=True: the pinned pair table keeps ids + score + block_key +
+        # features only — the per-side attr columns are feature INPUTS, not
+        # downstream reads, and carrying them triples the materialized bytes
+        return add_pair_features(cand.repartition(4 * default_partitions()),
+                                 slim=True)
 
     pairs = ck.stage("candidate_pairs", build_pairs, inputs=("conv_records",),
                      params=pair_params)

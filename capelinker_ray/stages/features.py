@@ -173,17 +173,36 @@ def _pair_features_batch(t: pa.Table, ts_sigma_days: float) -> pa.Table:
     return t
 
 
+# identity/metadata columns kept by the slim projection (whatever subset
+# the caller's pair table carries)
+_SLIM_PAIR_COLS = {"conv_id_from", "conv_id_to", "id_from", "id_to",
+                   "score", "dist", "block_key"}
+
+
 def add_pair_features(ds_pairs, ts_sigma_days: float = 30.0,
-                      batch_size: int | None = None):
+                      batch_size: int | None = None, slim: bool = False):
     """Conv-record pair table -> + TRANSCRIPT_FEATURES columns.
 
     ``matches`` (candidates per from-record) is already emitted by the
     blocking stage (free, block-local); it is only back-filled with NaN here
     if absent so the feature schema is stable.
+
+    ``slim=True`` drops the per-side attribute columns (``*_from``/``*_to``
+    inputs) from the OUTPUT inside the same fused task: downstream
+    consumers (scorer, rank selection) read only ids + features, and the
+    wide attrs otherwise ride every pair row through the stage
+    materialize — ~2.5x the pinned bytes at 14M pairs for nothing.
     """
-    return ds_pairs.map_batches(
-        lambda t: _pair_features_batch(t, ts_sigma_days),
-        batch_format="pyarrow", batch_size=batch_size)
+    def fn(t: pa.Table) -> pa.Table:
+        t = _pair_features_batch(t, ts_sigma_days)
+        if slim:
+            keep = [c for c in t.column_names
+                    if c in _SLIM_PAIR_COLS or c in TRANSCRIPT_FEATURES]
+            t = t.select(keep)
+        return t
+
+    return ds_pairs.map_batches(fn, batch_format="pyarrow",
+                                batch_size=batch_size)
 
 
 class BroadcastFeaturizer:
