@@ -86,11 +86,22 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
     if input_partitions:
         # a small input (one parquet file = ONE block) would otherwise run
         # every map stage in a single sequential task; at 100-TB scale the
-        # read already yields thousands of blocks — pass None to skip
+        # read already yields thousands of blocks. "auto" follows the
+        # session width — but
+        # SKIPS the repartition when the input is already a many-file
+        # parquet read: that all-to-all moved the whole turn table (and at
+        # low cpu counts even REDUCED width below the file count) for no
+        # layout benefit.
         if input_partitions == "auto":
             from ..stages.grouped import default_partitions
-            input_partitions = default_partitions()
-        ds_turns = ds_turns.repartition(input_partitions)
+            target = default_partitions()
+            try:
+                nfiles = len(ds_turns.input_files())
+            except Exception:
+                nfiles = 0
+            input_partitions = 0 if nfiles >= max(8, target // 2) else target
+        if input_partitions:
+            ds_turns = ds_turns.repartition(input_partitions)
 
     from ..stages.conv_records import BLOCK_PREFIX_LEN
     if block_prefix_len is None:
@@ -100,10 +111,15 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
         # tool vocab from the RAW turns (normalize never touches `tool`):
         # the projection pushes into the parquet read instead of
         # re-executing read+normalize a second time for the vocab pass
+        # text_cap: the flagship consumes at most 32-char prefixes (feature
+        # kernels) and prefix_len-char block keys from the record texts —
+        # capping inside the partials pass keeps full turn texts out of
+        # the combine shuffle (initials remain exact, computed pre-cap)
         lambda: build_conv_records(
             normalize_turns(ds_turns),
             tool_vocab=collect_tool_vocab(ds_raw_turns),
-            prefix_len=block_prefix_len),
+            prefix_len=block_prefix_len,
+            text_cap=max(64, 2 * block_prefix_len)),
         inputs=("turns",),
         params={"prefix_len": block_prefix_len})
 

@@ -68,7 +68,7 @@ def collect_tool_vocab(ds) -> dict[str, int]:
     return {n: i for i, n in enumerate(names)}
 
 
-def _partials_fn(vocab: dict[str, int]):
+def _partials_fn(vocab: dict[str, int], text_cap: int | None = None):
     def partials(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
         tool_bit = df["tool"].map(vocab).fillna(62).astype(np.int64)
@@ -91,6 +91,25 @@ def _partials_fn(vocab: dict[str, int]):
             sel = df[df["turn_idx"] == idx]
             out[tcol] = sel.set_index("conv_id")["text_norm"]
             out[rcol] = sel.set_index("conv_id")["role"]
+        # initials derive from the FULL turn-0 text here (before any cap)
+        # so the record field is cap-invariant; the combine carries them
+        # with a null-skipping "first" like the texts
+        ft = out["first_text_norm"]
+        has = ft.notna()
+        ini = np.full(len(out), None, dtype=object)
+        if has.any():
+            ini[has.to_numpy()] = _initials(
+                ft[has].to_numpy(dtype=object))
+        out["first_text_initials"] = ini
+        if text_cap:
+            # downstream consumers read at most 32-char prefixes (feature
+            # kernels cap at max_len=32; the block key at prefix_len) —
+            # full multi-hundred-char texts otherwise dominate the
+            # partial-combine shuffle bytes
+            out["first_text_norm"] = out["first_text_norm"].str.slice(
+                0, text_cap)
+            out["second_text_norm"] = out["second_text_norm"].str.slice(
+                0, text_cap)
         out["n_turns"] = out["n_turns"].astype(np.int64)
         return out.reset_index()
     return partials
@@ -117,6 +136,7 @@ def _combine_partials(partials):
             role0=("role0", "first"),
             second_text_norm=("second_text_norm", "first"),
             role1=("role1", "first"),
+            first_text_initials=("first_text_initials", "first"),
         )
         # vectorized OR-reduce via ufunc.at over factorized group codes —
         # the per-group Python lambda here was ~1 interpreted call per
@@ -144,7 +164,9 @@ def _finalize_fn(vocab: dict[str, int], prefix_len: int):
         df["first_text_32"] = df["first_text_norm"].str.slice(0, 32)
         df["second_text_32"] = df["second_text_norm"].str.slice(0, 32)
         df["first_text_prefix"] = ft.str.slice(0, prefix_len)
-        df["first_text_initials"] = _initials(ft.to_numpy(dtype=object))
+        # initials were computed in the partials pass from the UNCAPPED
+        # turn-0 text (cap-invariant); null only for convs with no turn 0
+        df["first_text_initials"] = df["first_text_initials"].fillna("")
         df["role_sig"] = (df["role0"].fillna("") + ">" + df["role1"].fillna(""))
         df["block_key"] = df["first_text_prefix"] + "|" + df["role_sig"]
         df["tool_sig"] = df["tool_mask"].map(tool_sig_of)
@@ -158,14 +180,25 @@ def _finalize_fn(vocab: dict[str, int], prefix_len: int):
 
 def build_conv_records(ds_turns, tool_vocab: dict[str, int] | None = None,
                        prefix_len: int = BLOCK_PREFIX_LEN,
-                       batch_size: int | None = None):
+                       batch_size: int | None = None,
+                       text_cap: int | None = None):
     """Dataset[turns + text_norm] -> Dataset[conversation records].
 
     One shuffle (of the already-aggregated partials, not the turns).
+
+    ``text_cap`` truncates the carried ``first/second_text_norm`` record
+    fields to that many characters INSIDE the partials pass (initials stay
+    exact — computed pre-cap). Callers that only consume bounded prefixes
+    (the flagship: 32-char feature kernels, ``prefix_len``-char block key)
+    pass a cap so full turn texts never ride the combine shuffle; callers
+    needing full normalized texts (the ``conv_records`` oracle) leave it
+    None.
     """
+    if text_cap is not None and text_cap < max(32, prefix_len):
+        raise ValueError("text_cap must be >= max(32, prefix_len)")
     if tool_vocab is None:
         tool_vocab = collect_tool_vocab(ds_turns)
-    partials = ds_turns.map_batches(_partials_fn(tool_vocab),
+    partials = ds_turns.map_batches(_partials_fn(tool_vocab, text_cap),
                                     batch_format="pandas",
                                     batch_size=batch_size)
     combined = _combine_partials(partials)

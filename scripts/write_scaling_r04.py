@@ -19,7 +19,13 @@ OUT = {
                 "every turn), 4x-width pair-emission shuffle, "
                 "one-exchange HASH shuffle for >300k-row pair stages "
                 "(was repartition+sort = two all-to-alls), task-mode "
-                "scoring, adaptive rank widths",
+                "scoring, adaptive rank widths, SLIM pair-table "
+                "projection (the pinned pair table keeps ids + features "
+                "only; the 18 per-side attr columns were ~2.5x the "
+                "materialized bytes and plasma write bandwidth was the "
+                "feature pass's non-scaling cost: features sub-phase "
+                "2->8 efficiency was 0.61 wide, stage 126->96 s at 8 "
+                "cpus slim)",
   "corpus": "400k entities / ~4.6M turns / 13,963,987 candidate pairs "
             "(seeded, shard-scoped hot openers — the SCALING_r03 corpus; "
             "pair counts bit-identical across every leg and shuffle "
@@ -40,6 +46,17 @@ OUT = {
       {"wall_2cpu": 512.544, "wall_8cpu": 188.711, "efficiency": 0.679,
        "effective_cores_2cpu": 1.88, "effective_cores_8cpu": 5.83,
        "cpu_normalized_efficiency": 0.876},
+    ],
+    "pre_slim_official_pairs": [
+      # final-session pairs BEFORE the slim pair-table projection; stage
+      # walls attributed the gap to the feature pass (2cpu 372-396 s vs
+      # 8cpu 124-131 s, sub-phase features-only 298 s vs 123 s = 0.61)
+      {"wall_2cpu": 476.059, "wall_8cpu": 186.195, "efficiency": 0.639,
+       "cpu_normalized_efficiency": 0.819},
+      {"wall_2cpu": 500.381, "wall_8cpu": 182.032, "efficiency": 0.687,
+       "cpu_normalized_efficiency": 0.876},
+      {"wall_2cpu": 479.155, "wall_8cpu": 202.398, "efficiency": 0.592,
+       "cpu_normalized_efficiency": 0.765},
     ],
     "hash_shuffle_experiment_single_legs": {
       "wall_8cpu": 162.903, "wall_2cpu": 521.184,

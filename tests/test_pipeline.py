@@ -158,6 +158,13 @@ def test_slim_broadcast_pair_path_matches_wide(ray_session):
     ea = slim["entities"].to_pandas().sort_values("conv_id").reset_index(drop=True)
     eb = wide["entities"].to_pandas().sort_values("conv_id").reset_index(drop=True)
     assert (ea["entity_id"].values == eb["entity_id"].values).all()
+    # regression guard: BOTH flagship paths pin SLIM pair tables — the
+    # per-side attribute columns are feature inputs, never downstream reads
+    # (carrying them tripled the materialized pair bytes at 14M pairs)
+    for out in (slim, wide):
+        names = set(out["pairs"].schema().names)
+        assert not any(n.endswith("_from") or n.endswith("_to")
+                       for n in names - {"conv_id_from", "conv_id_to"}), names
 
 
 def test_link_transcripts_empty_corpus(ray_session):
