@@ -86,22 +86,16 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
     if input_partitions:
         # a small input (one parquet file = ONE block) would otherwise run
         # every map stage in a single sequential task; at 100-TB scale the
-        # read already yields thousands of blocks. "auto" follows the
-        # session width — but
-        # SKIPS the repartition when the input is already a many-file
-        # parquet read: that all-to-all moved the whole turn table (and at
-        # low cpu counts even REDUCED width below the file count) for no
-        # layout benefit.
+        # read already yields thousands of blocks — pass None to skip.
+        # Measured (4.6M turns, 32 files, 8 cpus): KEEPING this even for
+        # many-file reads is ~9 s faster per run — the repartition decouples
+        # the parquet scan from the heavy normalize+partials map, and its
+        # cost is below the fusion's scan-blocked slot idle. Width barely
+        # matters (16/32/64 within 1 s).
         if input_partitions == "auto":
             from ..stages.grouped import default_partitions
-            target = default_partitions()
-            try:
-                nfiles = len(ds_turns.input_files())
-            except Exception:
-                nfiles = 0
-            input_partitions = 0 if nfiles >= max(8, target // 2) else target
-        if input_partitions:
-            ds_turns = ds_turns.repartition(input_partitions)
+            input_partitions = default_partitions()
+        ds_turns = ds_turns.repartition(input_partitions)
 
     from ..stages.conv_records import BLOCK_PREFIX_LEN
     if block_prefix_len is None:
