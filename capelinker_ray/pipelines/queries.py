@@ -3749,6 +3749,149 @@ SELECT bin, count(*) AS n,
 FROM b GROUP BY bin"""
 
 
+def q_grouped_weighted_sample(sf_dir: str):
+    """Per-group Efraimidis-Spirakis weighted sample (stages/sampling.py
+    grouped_weighted_sample): 20 docs PER LANGUAGE with probability
+    proportional to length — the stratified curation subset. Per-batch
+    per-group top-k partials, then one slim co-partition merge."""
+    from ..stages.sampling import grouped_weighted_sample
+    docs = _rpc(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "lang", "n_chars"])
+    return grouped_weighted_sample(docs, "lang", "doc_id", "n_chars",
+                                   k=20, seed=13)
+
+
+def sql_grouped_weighted_sample(sf_dir: str) -> str:
+    return f"""SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY
+           ln((CAST({_sql_sample_hash(13)} AS DOUBLE) + 1)
+              / 18446744073709551616.0) / CAST(n_chars AS DOUBLE) DESC,
+           doc_id) AS rn
+  FROM documents WHERE n_chars > 0) WHERE rn <= 20"""
+
+
+def q_lang_zscore(sf_dir: str):
+    """Per-group standardization (stages/agg.py grouped_zscore): z-score
+    of document length within each language — moment partials merged in
+    ONE task, stats broadcast back, zero shuffle of the corpus."""
+    from ..stages.agg import grouped_zscore
+    docs = _rpc(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "lang", "n_chars"])
+    out = grouped_zscore(docs, "lang", "n_chars")
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "lang": df["lang"],
+            "z": df["z"].astype(np.float64).round(9)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_lang_zscore(sf_dir: str) -> str:
+    # population variance from the SAME sum-moment algebra as the engine:
+    # var = sxx/n - mean^2 (clamped at 0), std 0 -> null z
+    return """WITH m AS (
+  SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS x,
+         sum(CAST(n_chars AS DOUBLE)) OVER (PARTITION BY lang) AS sx,
+         sum(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE))
+             OVER (PARTITION BY lang) AS sxx,
+         CAST(count(n_chars) OVER (PARTITION BY lang) AS DOUBLE) AS n
+  FROM documents),
+s AS (SELECT doc_id, lang, x,
+             sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0)) AS std,
+             sx / n AS mean FROM m)
+SELECT doc_id, lang,
+       CASE WHEN std > 0 THEN round((x - mean) / std, 9) END AS z
+FROM s"""
+
+
+_BLOCKLIST_TERMS = ["spark", "slow table", "big vector"]
+
+
+def q_blocklist_stats(sf_dir: str):
+    """Dictionary blocklist filter (stages/textstats.py
+    add_blocklist_stats): non-overlapping case-insensitive term counts +
+    threshold flag per document — stateless, zero shuffle."""
+    from ..stages.textstats import add_blocklist_stats
+    docs = _rpc(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text"])
+    out = add_blocklist_stats(docs, _BLOCKLIST_TERMS, threshold=2)
+    return out.select_columns(["doc_id", "blocklist_hits",
+                               "blocklist_flag"])
+
+
+def sql_blocklist_stats(sf_dir: str) -> str:
+    terms = " + ".join(
+        f"(length(t) - length(replace(t, '{term}', ''))) // "
+        f"{len(term)}" for term in _BLOCKLIST_TERMS)
+    return f"""SELECT doc_id, hits AS blocklist_hits,
+       hits >= 2 AS blocklist_flag
+FROM (SELECT doc_id, {terms} AS hits
+      FROM (SELECT doc_id, lower(coalesce(text, '')) AS t
+            FROM documents))"""
+
+
+def q_orders_upsert(sf_dir: str):
+    """MERGE-INTO upsert compaction (stages/cdc.py apply_changes): the
+    orders snapshot merged with a deterministic changelog — %13 keys get
+    a price-bump update, %17 keys a tombstone delete, %19 keys insert
+    under shifted ids (keys in several classes settle by sequence:
+    delete beats update at equal ts). One tagged-union co-partition."""
+    from ..stages.cdc import apply_changes
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    base = _rpc(f"{sf_dir}/orders.parquet", columns=cols)
+
+    def mk_changes(df: pd.DataFrame) -> pd.DataFrame:
+        upd = df[df["o_orderkey"] % 13 == 0].copy()
+        upd["o_totalprice"] = upd["o_totalprice"] + 10.0
+        upd["seq"] = np.int64(1)
+        upd["is_delete"] = False
+        dele = df[df["o_orderkey"] % 17 == 0].copy()
+        dele["seq"] = np.int64(2)
+        dele["is_delete"] = True
+        ins = df[df["o_orderkey"] % 19 == 0].copy()
+        ins["o_orderkey"] = ins["o_orderkey"] + 100_000_000
+        ins["seq"] = np.int64(1)
+        ins["is_delete"] = False
+        return pd.concat([upd, dele, ins], ignore_index=True)
+
+    changes = _rpc(f"{sf_dir}/orders.parquet", columns=cols).map_batches(
+        mk_changes, batch_format="pandas")
+    merged = apply_changes(base, changes, "o_orderkey", "o_orderdate",
+                           tiebreak_cols="seq", tombstone_col="is_delete")
+    return merged.select_columns(["o_orderkey", "o_custkey",
+                                  "o_totalprice"])
+
+
+def sql_orders_upsert(sf_dir: str) -> str:
+    return """WITH ch AS (
+  SELECT o_orderkey, o_custkey, o_totalprice + 10.0 AS o_totalprice,
+         o_orderdate, 1 AS seq, FALSE AS is_delete
+  FROM orders WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, 2, TRUE
+  FROM orders WHERE o_orderkey % 17 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, o_totalprice, o_orderdate,
+         1, FALSE
+  FROM orders WHERE o_orderkey % 19 = 0),
+allr AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+         CAST(NULL AS BIGINT) AS seq, CAST(NULL AS BOOLEAN) AS is_delete,
+         0 AS rnk
+  FROM orders
+  UNION ALL
+  SELECT *, 1 AS rnk FROM ch),
+win AS (
+  SELECT * FROM allr
+  QUALIFY row_number() OVER (PARTITION BY o_orderkey
+    ORDER BY rnk DESC, o_orderdate DESC NULLS LAST,
+             seq DESC NULLS LAST) = 1)
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM win WHERE NOT coalesce(is_delete, FALSE)"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3852,6 +3995,10 @@ def build_queries() -> dict:
         "bernoulli_sample": q_bernoulli_sample,
         "mixture_sample": q_mixture_sample,
         "weighted_sample": q_weighted_sample,
+        "grouped_weighted_sample": q_grouped_weighted_sample,
+        "lang_zscore": q_lang_zscore,
+        "blocklist_stats": q_blocklist_stats,
+        "orders_upsert": q_orders_upsert,
         "grouped_split": q_grouped_split,
         "trigram_nll": q_trigram_nll,
         "setop_except": q_setop_except,
@@ -3955,6 +4102,11 @@ def build_oracle_sql() -> dict:
         "bernoulli_sample": sql_bernoulli_sample(_ORACLE_SF_DIR),
         "mixture_sample": sql_mixture_sample(_ORACLE_SF_DIR),
         "weighted_sample": sql_weighted_sample(_ORACLE_SF_DIR),
+        "grouped_weighted_sample":
+            sql_grouped_weighted_sample(_ORACLE_SF_DIR),
+        "lang_zscore": sql_lang_zscore(_ORACLE_SF_DIR),
+        "blocklist_stats": sql_blocklist_stats(_ORACLE_SF_DIR),
+        "orders_upsert": sql_orders_upsert(_ORACLE_SF_DIR),
         "grouped_split": sql_grouped_split(_ORACLE_SF_DIR),
         "trigram_nll": sql_trigram_nll(_ORACLE_SF_DIR),
         "setop_except": sql_setop_except(_ORACLE_SF_DIR),

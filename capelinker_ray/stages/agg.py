@@ -22,7 +22,8 @@ import numpy as np
 import pandas as pd
 
 __all__ = ["small_group_sum", "distinct_small", "rollup_sum",
-           "histogram", "mode_by", "grouped_stats", "group_centroids",
+           "histogram", "mode_by", "grouped_stats", "grouped_zscore",
+           "group_centroids",
            "calibration_bins", "expected_calibration_error"]
 
 _MAX_SMALL_KEYS = 100_000
@@ -271,6 +272,62 @@ def grouped_stats(ds, key_cols, x_col: str, y_col: str | None = None, *,
     parts = ds.map_batches(partial, batch_format="pandas")
     return grouped_map(parts, key_cols, finish,
                        num_partitions=num_partitions)
+
+
+def grouped_zscore(ds, key_cols, x_col: str, *, out_col: str = "z"):
+    """Per-group standardization: ``z = (x - mean_g) / std_pop_g`` — the
+    'normalize quality scores within each language/source' pass of a
+    curation pipeline. Two streaming passes, ZERO shuffle of the raw
+    table: (1) fixed-width (n, Σx, Σx²) moment partials per (batch,
+    group) merged in ONE task (low-cardinality key contract, same as
+    small_group_sum), (2) the tiny stats frame rides the object store
+    once (broadcast_join indexer) and a stateless vectorized pass scores
+    every row. Population variance ``Σx²/n - mean²`` mirrors the SQL
+    window twin term-for-term so only addition order differs; rows with
+    null x — or in a group with zero variance — get a null z."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].astype(np.float64)
+        sub = df[keys].assign(_x=x, _sq=x * x)[x.notna().to_numpy()]
+        g = sub.groupby(keys, sort=False, dropna=False)
+        out = g.agg(n=("_x", "size"), sx=("_x", "sum"),
+                    sxx=("_sq", "sum")).reset_index()
+        if len(out) > _MAX_SMALL_KEYS:
+            raise ValueError(
+                f"grouped_zscore saw {len(out)} distinct keys in one "
+                f"batch; use grouped.grouped_map for high-cardinality keys")
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, dropna=False)[
+            ["n", "sx", "sxx"]].sum().reset_index()
+        n = g["n"].to_numpy(np.float64)
+        mean = g["sx"].to_numpy() / n
+        var = g["sxx"].to_numpy() / n - mean * mean
+        out = g[keys].copy()
+        out["_mean"] = mean
+        out["_std"] = np.sqrt(np.maximum(var, 0.0))
+        return out
+
+    stats = (ds.map_batches(partial, batch_format="pandas")
+             .repartition(1)
+             .map_batches(merge, batch_format="pandas", batch_size=None)
+             .to_pandas())
+
+    from .join import broadcast_join
+    joined = broadcast_join(ds, stats, on=keys, how="left")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].astype(np.float64).to_numpy()
+        std = df["_std"].to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(std > 0,
+                         (x - df["_mean"].to_numpy(np.float64)) / std,
+                         np.nan)
+        return df.drop(columns=["_mean", "_std"]).assign(**{out_col: z})
+
+    return joined.map_batches(score, batch_format="pandas")
 
 
 def group_centroids(ds, key_col: str, vec_col: str, *,

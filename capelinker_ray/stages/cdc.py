@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["compact_latest", "snapshot_diff"]
+__all__ = ["compact_latest", "snapshot_diff", "apply_changes"]
 
 
 def compact_latest(ds, key_cols, ts_col: str, *,
@@ -49,6 +49,59 @@ def compact_latest(ds, key_cols, ts_col: str, *,
 
     from .grouped import grouped_map
     return grouped_map(ds, key_cols, per_partition,
+                       num_partitions=num_partitions)
+
+
+def apply_changes(base, changes, key_cols, ts_col: str, *,
+                  tiebreak_cols=None, tombstone_col: str | None = None,
+                  num_partitions: int | None = None):
+    """MERGE a changelog into a base snapshot (the SQL ``MERGE INTO`` /
+    upsert compaction): per key, ANY change row beats the base row
+    regardless of timestamp (the base is by definition older than the
+    log), the newest change wins among changes (``ts_col`` desc, nulls
+    last, then ``tiebreak_cols`` desc), and keys whose winning change has
+    ``tombstone_col`` truthy are deleted. Base keys untouched by the log
+    pass through; keys only in the log insert.
+
+    ONE tagged-union co-partitioning shuffle (base rows rank 0, change
+    rows rank 1) and a vectorized keep-last per coarse partition — the
+    daily-ingest table-maintenance shape on plain Ray Data. Columns are
+    aligned by name (missing fields null-filled), so a changelog without
+    every base column still merges."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    tiebreak_cols = ([] if tiebreak_cols is None else
+                     [tiebreak_cols] if isinstance(tiebreak_cols, str)
+                     else list(tiebreak_cols))
+
+    def tag(rank: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["_rank"] = np.int64(rank)
+            return out
+        return fn
+
+    from .setops import union_by_name
+    tagged = union_by_name(
+        base.map_batches(tag(0), batch_format="pandas"),
+        changes.map_batches(tag(1), batch_format="pandas"))
+
+    order = ["_rank", ts_col, *tiebreak_cols]
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.drop(columns=["_rank"])
+        # ascending sort, nulls FIRST, keep LAST per key == rank DESC,
+        # ts DESC NULLS LAST, tiebreaks DESC ... LIMIT 1 per key
+        df = df.sort_values([*key_cols, *order], kind="stable",
+                            na_position="first")
+        out = df[~df.duplicated(subset=key_cols, keep="last")]
+        if tombstone_col is not None:
+            dead = out[tombstone_col].fillna(False).astype(bool)
+            out = out[~dead.to_numpy()]
+        return out.drop(columns=["_rank"])
+
+    from .grouped import grouped_map
+    return grouped_map(tagged, key_cols, per_partition,
                        num_partitions=num_partitions)
 
 

@@ -31,7 +31,8 @@ from .dedup import _splitmix64
 
 __all__ = ["bernoulli_sample", "stratified_sample", "top_k_per_group",
            "mixture_sample",
-           "weighted_sample_topk", "grouped_split",
+           "weighted_sample_topk", "grouped_weighted_sample",
+           "grouped_split",
            "sample_hash", "seed_mix", "bernoulli_threshold"]
 
 _U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -112,6 +113,58 @@ def weighted_sample_topk(ds, id_col: str, weight_col: str, k: int,
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return partials.repartition(1).map_batches(merge, batch_format="pandas")
+
+
+def grouped_weighted_sample(ds, group_col: str, id_col: str,
+                            weight_col: str, k: int, seed: int = 0,
+                            num_partitions: int | None = None):
+    """Weighted sample WITHOUT replacement of ``k`` rows PER GROUP
+    (Efraimidis-Spirakis A-Res per stratum): each row draws the same
+    deterministic exponential key as :func:`weighted_sample_topk` and the
+    k largest keys WITHIN each group win — 'length-weighted 1k docs per
+    language', the stratified curation subset.
+
+    Scale path: per-batch top-k per group (a batch ships at most k slim
+    rows per group it touches), then ONE co-partitioning grouped_map
+    shuffle of those survivors settles each group exactly — the full
+    table never shuffles, and no single task ever sees more than
+    (groups-in-partition × k × #batches-touching-them) slim rows.
+    Rows with weight <= 0 or null are excluded (zero selection
+    probability by definition). Deterministic via the engine splitmix64
+    stream; ties broken by id ascending."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from .grouped import grouped_map, typed_or_empty
+    inv64 = np.float64(1.0) / np.float64(2.0 ** 64)
+
+    def with_key(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[weight_col].to_numpy(np.float64)
+        df = df[np.isfinite(w) & (w > 0)]
+        if not len(df):
+            return typed_or_empty(df.assign(_es=np.zeros(0)))
+        h = sample_hash(df[id_col].to_numpy(np.int64), seed)
+        u = (h.astype(np.float64) + 1.0) * inv64
+        return df.assign(_es=np.log(u)
+                         / df[weight_col].to_numpy(np.float64))
+
+    def cap(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((df[id_col].to_numpy(),
+                            -df["_es"].to_numpy()))
+        df = df.iloc[order]
+        keep = df.groupby(group_col, sort=False,
+                          dropna=False).cumcount() < k
+        return df[keep.to_numpy()]
+
+    def partial(df: pd.DataFrame):
+        d = with_key(df)
+        if not isinstance(d, pd.DataFrame) or not len(d):
+            return d
+        return cap(d)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    merged = grouped_map(partials, group_col, cap,
+                         num_partitions=num_partitions)
+    return merged.drop_columns(["_es"])
 
 
 def grouped_split(ds, key_col: str, test_frac: float, seed: int = 0,

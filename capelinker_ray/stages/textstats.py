@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 
 __all__ = ["add_token_counts", "add_quality_score", "add_lang_id",
            "add_fingerprint", "add_repetition_stats", "hash_embed",
-           "add_char_entropy", "chunk_documents"]
+           "add_char_entropy", "chunk_documents", "add_blocklist_stats"]
 
 # a GPT-2-style pre-tokenizer regex (public BPE convention): word pieces,
 # numbers, punctuation runs, whitespace collapsed
@@ -296,6 +296,38 @@ def add_char_entropy(ds, text_col: str = "text",
             np.add.at(ent, udoc, -p * np.log2(p))
         out = df.copy()
         out[out_col] = ent
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=batch_size)
+
+
+def add_blocklist_stats(ds, terms, *, text_col: str = "text",
+                        count_col: str = "blocklist_hits",
+                        flag_col: str = "blocklist_flag",
+                        threshold: int = 1,
+                        batch_size: int | None = None):
+    """+ ``count_col`` (total case-insensitive occurrences of any
+    blocklist term) and ``flag_col`` (hits >= ``threshold``) — the
+    dictionary safety/spam filter of a curation pipeline (the C4 'bad
+    words' pass). Counting is NON-OVERLAPPING left-to-right per term
+    (``str.count`` of the escaped literal == SQL
+    ``(len(t) - len(replace(t, term, ''))) / len(term)``, so the oracle
+    is value-exact). One compiled regex per term, each applied
+    vectorized over the whole batch column; terms are lowercased and the
+    text is lowercased once per batch. Zero shuffle."""
+    terms = [t.lower() for t in terms]
+    if not terms or any(not t for t in terms):
+        raise ValueError("terms must be non-empty strings")
+    pats = [re.compile(re.escape(t)) for t in terms]
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        low = df[text_col].fillna("").astype(str).str.lower()
+        hits = np.zeros(len(df), np.int64)
+        for p in pats:
+            hits += low.str.count(p).to_numpy(np.int64)
+        out = df.copy()
+        out[count_col] = hits
+        out[flag_col] = hits >= threshold
         return out
 
     return ds.map_batches(fn, batch_format="pandas", batch_size=batch_size)

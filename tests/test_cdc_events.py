@@ -159,3 +159,46 @@ def test_snapshot_diff_compare_cols_subset(ray_session):
                         compare_cols=["a"],
                         include_unchanged=True).to_pandas()
     assert out["status"].tolist() == ["unchanged"]
+
+
+def test_apply_changes_upsert_delete_insert(ray_session):
+    from capelinker_ray.stages.cdc import apply_changes
+    base = pd.DataFrame({
+        "k": np.array([1, 2, 3, 4], dtype=np.int64),
+        "v": ["a", "b", "c", "d"],
+        "ts": pd.to_datetime(["2024-01-01"] * 4)})
+    ch = pd.DataFrame({
+        "k": np.array([2, 3, 3, 5], dtype=np.int64),
+        "v": ["B", "C1", "C2", "E"],
+        "ts": pd.to_datetime(["2023-12-01",          # OLDER than base:
+                              "2024-02-01",          # change still wins
+                              "2024-02-01", "2024-03-01"]),
+        "seq": np.array([1, 1, 2, 1], dtype=np.int64),
+        "del": [False, False, True, False]})
+    out = (apply_changes(rd.from_pandas(base).repartition(2),
+                         rd.from_pandas(ch).repartition(2),
+                         "k", "ts", tiebreak_cols="seq",
+                         tombstone_col="del")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # 1 passes through; 2 updated despite older ts; 3 deleted (seq 2
+    # beats seq 1 at equal ts); 4 passes through; 5 inserted
+    assert list(out["k"]) == [1, 2, 4, 5]
+    assert list(out["v"]) == ["a", "B", "d", "E"]
+    assert "_rank" not in out.columns
+
+
+def test_apply_changes_schema_evolution_null_fill(ray_session):
+    from capelinker_ray.stages.cdc import apply_changes
+    base = pd.DataFrame({"k": np.array([1, 2], dtype=np.int64),
+                         "v": ["a", "b"],
+                         "extra": [10.0, 20.0],
+                         "ts": pd.to_datetime(["2024-01-01"] * 2)})
+    ch = pd.DataFrame({"k": np.array([2], dtype=np.int64),
+                       "v": ["B"],
+                       "ts": pd.to_datetime(["2024-01-02"])})
+    out = (apply_changes(rd.from_pandas(base), rd.from_pandas(ch),
+                         "k", "ts").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    assert list(out["v"]) == ["a", "B"]
+    assert out["extra"].tolist()[0] == 10.0
+    assert pd.isna(out["extra"].tolist()[1])   # change lacked the column

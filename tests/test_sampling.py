@@ -181,3 +181,41 @@ def test_mixture_sample_rates_and_determinism(ray_session):
     b_lo = set(out[out["src"] == "b"]["id"])
     b_hi = set(out_hi[out_hi["src"] == "b"]["id"])
     assert b_lo <= b_hi
+
+
+def test_grouped_weighted_sample_caps_and_brute_force_parity(ray_session):
+    from capelinker_ray.stages.sampling import (grouped_weighted_sample,
+                                                sample_hash)
+    rng = np.random.default_rng(11)
+    n = 600
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "g": rng.integers(0, 4, n).astype(str),
+        "w": rng.integers(0, 50, n).astype(np.float64)})
+    out = grouped_weighted_sample(
+        rd.from_pandas(df).repartition(7), "g", "id", "w",
+        k=15, seed=5).to_pandas()
+    # brute-force E-S per group on the driver
+    pos = df[df["w"] > 0].copy()
+    h = sample_hash(pos["id"].to_numpy(np.int64), 5)
+    u = (h.astype(np.float64) + 1.0) / np.float64(2.0 ** 64)
+    pos["es"] = np.log(u) / pos["w"].to_numpy()
+    want = (pos.sort_values(["es", "id"], ascending=[False, True])
+            .groupby("g").head(15))
+    assert sorted(out["id"]) == sorted(want["id"])
+    assert "_es" not in out.columns
+    # zero/null weights never selected
+    assert not set(out["id"]) & set(df[df["w"] <= 0]["id"])
+
+
+def test_grouped_weighted_sample_partition_invariant(ray_session):
+    from capelinker_ray.stages.sampling import grouped_weighted_sample
+    df = pd.DataFrame({
+        "id": np.arange(200, dtype=np.int64),
+        "g": (np.arange(200) % 3).astype(str),
+        "w": (np.arange(200) % 9 + 1).astype(np.float64)})
+    a = grouped_weighted_sample(rd.from_pandas(df), "g", "id", "w",
+                                k=8, seed=2).to_pandas()
+    b = grouped_weighted_sample(rd.from_pandas(df).repartition(13),
+                                "g", "id", "w", k=8, seed=2).to_pandas()
+    assert sorted(a["id"]) == sorted(b["id"])

@@ -253,3 +253,30 @@ def test_grouped_range_sum_skips_null_values(ray_session):
     out = (grouped_range_sum(rd.from_pandas(df), "k", "ts", "v", 60.0)
            .to_pandas().sort_values("ts"))
     assert out["range_sum"].tolist()[1] == 3.0
+
+
+def test_grouped_zscore_matches_pandas_transform(ray_session):
+    from capelinker_ray.stages.agg import grouped_zscore
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "id": np.arange(300, dtype=np.int64),
+        "g": rng.integers(0, 3, 300).astype(str),
+        "x": rng.normal(10, 3, 300)})
+    out = (grouped_zscore(rd.from_pandas(df).repartition(5), "g", "x")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    want = df.groupby("g")["x"].transform(
+        lambda s: (s - s.mean()) / s.std(ddof=0))
+    np.testing.assert_allclose(out["z"], want, rtol=1e-9)
+
+
+def test_grouped_zscore_zero_variance_and_nulls(ray_session):
+    from capelinker_ray.stages.agg import grouped_zscore
+    df = pd.DataFrame({
+        "id": np.arange(6, dtype=np.int64),
+        "g": ["a", "a", "a", "b", "b", "b"],
+        "x": [5.0, 5.0, 5.0, 1.0, None, 3.0]})
+    out = (grouped_zscore(rd.from_pandas(df), "g", "x")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out[out["g"] == "a"]["z"].isna().all()   # zero variance
+    assert pd.isna(out.loc[4, "z"])                 # null x
+    assert not pd.isna(out.loc[3, "z"])

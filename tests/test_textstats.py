@@ -125,3 +125,25 @@ def test_hash_embed_token_counts_weighting(ray_session):
     M = np.stack(out["embedding"].to_numpy())
     assert np.allclose(M[0], 2 * M[1])
     assert np.abs(M[1]).sum() == 1.0
+
+
+def test_blocklist_stats_counts_and_flag(ray_session):
+    from capelinker_ray.stages.textstats import add_blocklist_stats
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": ["Spam and SPAM again", "clean text here",
+                 "spamspamspam", None, "multi bad word bad"]})
+    out = (add_blocklist_stats(rd.from_pandas(df), ["spam", "bad word"],
+                               threshold=2)
+           .to_pandas().sort_values("doc_id"))
+    # case-insensitive, non-overlapping counts
+    assert list(out["blocklist_hits"]) == [2, 0, 3, 0, 1]
+    assert list(out["blocklist_flag"]) == [True, False, True, False, False]
+
+
+def test_blocklist_stats_rejects_empty_terms(ray_session):
+    from capelinker_ray.stages.textstats import add_blocklist_stats
+    import pytest
+    with pytest.raises(ValueError):
+        add_blocklist_stats(rd.from_pandas(pd.DataFrame({"text": ["x"]})),
+                            [])
