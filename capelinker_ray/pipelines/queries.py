@@ -3892,6 +3892,144 @@ SELECT o_orderkey, o_custkey, o_totalprice
 FROM win WHERE NOT coalesce(is_delete, FALSE)"""
 
 
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts (stages/events.py
+    event_transitions): per-user (prev -> next) event-type pairs ordered
+    by (ts, event_id) — one co-partition shuffle, vectorized grouped
+    lag, fixed-width k x k merge."""
+    from ..stages.events import event_transitions
+    ev = _rpc(f"{sf_dir}/events.parquet",
+              columns=["event_id", "ts", "user_id", "event_type"])
+    return event_transitions(ev)
+
+
+def sql_event_transitions(sf_dir: str) -> str:
+    return """WITH t AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT prev AS prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM t WHERE prev IS NOT NULL GROUP BY 1, 2"""
+
+
+def q_pmi_scores(sf_dir: str):
+    """Adjacent-token-pair PMI (stages/corpus_stats.py pmi_scores):
+    collocation mining from exact corpus counts — pair/unigram slim
+    shuffles + one scalar pass, vocabulary broadcast once."""
+    from ..stages.corpus_stats import pmi_scores
+    docs = _rpc(f"{sf_dir}/documents.parquet", columns=["text"])
+    return pmi_scores(docs, min_count=5)
+
+
+def sql_pmi_scores(sf_dir: str) -> str:
+    # float expression order shared with the engine:
+    # (n*N*N) / ((P*n_a)*n_b), one log2, round 9
+    return """WITH w AS (
+  SELECT string_split(coalesce(text, ''), ' ') AS words FROM documents),
+tok AS (SELECT unnest(words) AS t FROM w),
+uni AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tok
+        WHERE t <> '' GROUP BY t),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS big_n FROM uni),
+p AS (SELECT unnest(words[1:len(words) - 1]) AS a,
+             unnest(words[2:len(words)]) AS b
+      FROM w WHERE len(words) >= 2),
+pp AS (SELECT a, b FROM p WHERE a <> '' AND b <> ''),
+ptot AS (SELECT CAST(count(*) AS DOUBLE) AS big_p FROM pp),
+pc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM pp
+       GROUP BY a, b HAVING count(*) >= 5)
+SELECT pc.a AS left_tok, pc.b AS right_tok, pc.n,
+       round(log2((CAST(pc.n AS DOUBLE) * big_n * big_n)
+                  / ((big_p * ua.n) * ub.n)), 9) AS pmi
+FROM pc
+CROSS JOIN tot CROSS JOIN ptot
+JOIN uni ua ON ua.t = pc.a
+JOIN uni ub ON ub.t = pc.b"""
+
+
+def q_top_terms(sf_dir: str):
+    """Per-document tf-idf keywords (stages/search.py top_terms_per_doc):
+    bounded (token, df) table broadcast once; each batch scores and
+    top-k's its own docs — the corpus never shuffles."""
+    from ..stages.search import top_terms_per_doc
+    docs = _rpc(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text"])
+    return top_terms_per_doc(docs, k=3)
+
+
+def sql_top_terms(sf_dir: str) -> str:
+    return """WITH w AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words
+  FROM documents),
+tt AS (SELECT doc_id, unnest(words) AS t FROM w),
+tok AS (SELECT doc_id, t FROM tt WHERE t <> ''),
+dfq AS (SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY t),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+tf AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+       FROM tok GROUP BY doc_id, t)
+SELECT doc_id, token, round(score, 9) AS score,
+       CAST(rank AS BIGINT) AS rank FROM (
+  SELECT tf.doc_id, tf.t AS token, tf.tf * ln(n / dfq.df) AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ln(n / dfq.df) DESC, tf.t) AS rank
+  FROM tf JOIN dfq ON dfq.t = tf.t CROSS JOIN nd)
+WHERE rank <= 3"""
+
+
+def q_interp_quantiles(sf_dir: str):
+    """Interpolated exact quantiles (stages/scan.py exact_quantiles
+    interp=True — SQL quantile_cont parity): doc-length quartiles over
+    integer n_chars (dyadic q x integer values -> bit-exact on both
+    sides)."""
+    from ..stages.scan import exact_quantiles
+    docs = _rpc(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    return exact_quantiles(docs, "n_chars", (0.25, 0.5, 0.75),
+                           interp=True)
+
+
+def sql_interp_quantiles(sf_dir: str) -> str:
+    return """SELECT 0.25 AS q,
+       quantile_cont(n_chars, 0.25) AS value FROM documents
+UNION ALL SELECT 0.5, quantile_cont(n_chars, 0.5) FROM documents
+UNION ALL SELECT 0.75, quantile_cont(n_chars, 0.75) FROM documents"""
+
+
+def q_user_event_seq(sf_dir: str):
+    """Ordered per-key string aggregation (stages/agg.py group_concat):
+    each user's event-type sequence joined in (ts, event_id) order —
+    SQL string_agg parity, one co-partition shuffle."""
+    from ..stages.agg import group_concat
+    ev = _rpc(f"{sf_dir}/events.parquet",
+              columns=["event_id", "ts", "user_id", "event_type"])
+    return group_concat(ev, "user_id", "event_type",
+                        order_cols=["ts", "event_id"])
+
+
+def sql_user_event_seq(sf_dir: str) -> str:
+    return """SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id)
+         AS event_type_concat
+FROM events WHERE event_type IS NOT NULL GROUP BY user_id"""
+
+
+def q_user_distinct_types(sf_dir: str):
+    """Exact per-key COUNT DISTINCT (stages/agg.py grouped_nunique):
+    distinct event types per user — per-batch partial-distinct, one slim
+    shuffle."""
+    from ..stages.agg import grouped_nunique
+    ev = _rpc(f"{sf_dir}/events.parquet",
+              columns=["user_id", "event_type"])
+    return grouped_nunique(ev, "user_id", "event_type")
+
+
+def sql_user_distinct_types(sf_dir: str) -> str:
+    return """SELECT user_id,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct
+FROM events GROUP BY user_id"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3999,6 +4137,12 @@ def build_queries() -> dict:
         "lang_zscore": q_lang_zscore,
         "blocklist_stats": q_blocklist_stats,
         "orders_upsert": q_orders_upsert,
+        "event_transitions": q_event_transitions,
+        "pmi_scores": q_pmi_scores,
+        "user_event_seq": q_user_event_seq,
+        "user_distinct_types": q_user_distinct_types,
+        "interp_quantiles": q_interp_quantiles,
+        "top_terms": q_top_terms,
         "grouped_split": q_grouped_split,
         "trigram_nll": q_trigram_nll,
         "setop_except": q_setop_except,
@@ -4107,6 +4251,12 @@ def build_oracle_sql() -> dict:
         "lang_zscore": sql_lang_zscore(_ORACLE_SF_DIR),
         "blocklist_stats": sql_blocklist_stats(_ORACLE_SF_DIR),
         "orders_upsert": sql_orders_upsert(_ORACLE_SF_DIR),
+        "event_transitions": sql_event_transitions(_ORACLE_SF_DIR),
+        "pmi_scores": sql_pmi_scores(_ORACLE_SF_DIR),
+        "user_event_seq": sql_user_event_seq(_ORACLE_SF_DIR),
+        "user_distinct_types": sql_user_distinct_types(_ORACLE_SF_DIR),
+        "interp_quantiles": sql_interp_quantiles(_ORACLE_SF_DIR),
+        "top_terms": sql_top_terms(_ORACLE_SF_DIR),
         "grouped_split": sql_grouped_split(_ORACLE_SF_DIR),
         "trigram_nll": sql_trigram_nll(_ORACLE_SF_DIR),
         "setop_except": sql_setop_except(_ORACLE_SF_DIR),

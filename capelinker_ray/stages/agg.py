@@ -23,7 +23,7 @@ import pandas as pd
 
 __all__ = ["small_group_sum", "distinct_small", "rollup_sum",
            "histogram", "mode_by", "grouped_stats", "grouped_zscore",
-           "group_centroids",
+           "group_centroids", "group_concat", "grouped_nunique",
            "calibration_bins", "expected_calibration_error"]
 
 _MAX_SMALL_KEYS = 100_000
@@ -372,6 +372,75 @@ def group_centroids(ds, key_col: str, vec_col: str, *,
     parts = ds.map_batches(partial, batch_format="pandas")
     return parts.repartition(1).map_batches(merge, batch_format="pandas",
                                             batch_size=None)
+
+
+def group_concat(ds, key_cols, val_col: str, *, order_cols=None,
+                 sep: str = ",", out_col: str | None = None,
+                 num_partitions: int | None = None):
+    """Ordered per-key string aggregation (SQL ``string_agg(val, sep
+    ORDER BY ...)``): one row per key with its values joined in
+    ``order_cols`` order — the conversation-reassembly / sequence-export
+    op. Null values are skipped (SQL parity). ONE co-partitioning
+    shuffle; within a partition one stable sort + a per-group C-level
+    ``str.join`` (cost bounded by the key's own payload, the same
+    key-fits-a-partition contract as every grouped_map op)."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order_cols = ([] if order_cols is None else
+                  [order_cols] if isinstance(order_cols, str)
+                  else list(order_cols))
+    out_col = out_col or f"{val_col}_concat"
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        from .grouped import typed_or_empty
+        df = df[df[val_col].notna()]
+        if not len(df):
+            out = df[key_cols].copy()
+            out[out_col] = pd.Series(dtype=object)
+            return typed_or_empty(out)
+        if order_cols:
+            df = df.sort_values([*key_cols, *order_cols], kind="stable")
+        s = df[val_col].astype(str)
+        out = (s.groupby([df[k] for k in key_cols], sort=False)
+               .agg(sep.join).rename(out_col).reset_index())
+        out.columns = [*key_cols, out_col]
+        return out
+
+    from .grouped import grouped_map
+    return grouped_map(ds, key_cols, per_part,
+                       num_partitions=num_partitions)
+
+
+def grouped_nunique(ds, key_cols, val_col: str, *,
+                    out_col: str = "n_distinct",
+                    num_partitions: int | None = None):
+    """EXACT ``count(DISTINCT val)`` per key: each batch collapses to its
+    distinct (key, val) pairs FIRST (the only rows that shuffle — the
+    partial-distinct idiom), then one co-partitioning shuffle and a
+    vectorized per-partition ``nunique``. Null values don't count (SQL
+    parity). The approximate complement is stages/sketch.grouped_hll."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[[*key_cols, val_col]]
+        sub = sub[sub[val_col].notna()]
+        return sub.drop_duplicates()
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            from .grouped import typed_or_empty
+            out = df[key_cols].copy()
+            out[out_col] = pd.Series(dtype=np.int64)
+            return typed_or_empty(out)
+        out = (df.drop_duplicates()
+               .groupby(key_cols, sort=False, dropna=False)[val_col]
+               .size().rename(out_col).reset_index())
+        out[out_col] = out[out_col].astype(np.int64)
+        return out
+
+    from .grouped import grouped_map
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return grouped_map(parts, key_cols, count,
+                       num_partitions=num_partitions)
 
 
 def calibration_bins(ds, *, score_col: str = "score",

@@ -181,7 +181,8 @@ def _finalize_fn(vocab: dict[str, int], prefix_len: int):
 def build_conv_records(ds_turns, tool_vocab: dict[str, int] | None = None,
                        prefix_len: int = BLOCK_PREFIX_LEN,
                        batch_size: int | None = None,
-                       text_cap: int | None = None):
+                       text_cap: int | None = None,
+                       pin_partials: bool = True):
     """Dataset[turns + text_norm] -> Dataset[conversation records].
 
     One shuffle (of the already-aggregated partials, not the turns).
@@ -201,6 +202,15 @@ def build_conv_records(ds_turns, tool_vocab: dict[str, int] | None = None,
     partials = ds_turns.map_batches(_partials_fn(tool_vocab, text_cap),
                                     batch_format="pandas",
                                     batch_size=batch_size)
+    if pin_partials:
+        # pin the SLIM partials (conversation-level rows, capped texts —
+        # orders of magnitude smaller than the turn input) before the
+        # combine shuffle: one streaming plan chaining the input
+        # repartition, the heavy partials map and the combine's
+        # repartition+sort ran the all-to-alls poorly overlapped —
+        # measured 800k entities: 8 cpus 29.0 -> 14.9 s, 2 cpus
+        # 63.2 -> 41.2 s (the flagship's worst-scaling stage before this)
+        partials = partials.materialize()
     combined = _combine_partials(partials)
     return combined.map_batches(_finalize_fn(tool_vocab, prefix_len),
                                 batch_format="pandas",

@@ -33,7 +33,8 @@ from ray.data.aggregate import Max, Min
 from ..kernels.strdist import jaro_winkler_sim
 
 __all__ = ["add_group_count", "normalise_column", "uniformise_column",
-           "add_group_uniqueness", "vocab_counts", "encode_tokens"]
+           "add_group_uniqueness", "vocab_counts", "encode_tokens",
+           "pair_counts", "pmi_scores"]
 
 
 def add_group_count(ds, key_col: str, out_col: str = "group_count"):
@@ -236,6 +237,60 @@ def pair_counts(ds, text_col: str = "text", min_count: int = 5):
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return grouped_map(partials, ["left_tok", "right_tok"], combine)
+
+
+def pmi_scores(ds, text_col: str = "text", min_count: int = 5):
+    """Pointwise mutual information of adjacent token pairs — the
+    collocation-mining pass (Church & Hanks 1990, public):
+    ``pmi = log2(p(a,b) / (p(a) p(b)))`` with p from exact corpus counts.
+    Emits Dataset[(left_tok, right_tok, n, pmi)] for pairs at
+    ``min_count``.
+
+    Composition of existing slim-shuffle passes: :func:`pair_counts`
+    (filtered pair table), :func:`vocab_counts` at min_count=1 (full
+    unigram distribution — bounded by the vocabulary, which is collected
+    once and broadcast via the shared-plasma indexer join), and one
+    fixed-width partial pass for the total-pair scalar. The float
+    expression order is shared term-for-term with the SQL twin so the
+    oracle is value-exact at 9 dp."""
+    pairs = pair_counts(ds, text_col, min_count)
+    uni = vocab_counts(ds, text_col, min_count=1)
+
+    def tot_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        words = df[text_col].where(df[text_col].notna(), "").str.split(" ")
+        lens = words.str.len().to_numpy(np.int64)
+        if not len(df) or int(lens.sum()) == 0:
+            return pd.DataFrame({"n_pair": pd.Series([0], dtype=np.int64)})
+        flat = np.concatenate([np.asarray(w, dtype=object) for w in words])
+        doc_of = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+        same = doc_of[:-1] == doc_of[1:]
+        ok = same & (flat[:-1] != "") & (flat[1:] != "")
+        return pd.DataFrame({"n_pair":
+                             pd.Series([int(ok.sum())], dtype=np.int64)})
+
+    total_pairs = float(ds.map_batches(tot_pairs, batch_format="pandas")
+                        .to_pandas()["n_pair"].sum())
+    vocab_df = uni.to_pandas()
+    total_tokens = float(vocab_df["n"].sum())
+
+    from .join import broadcast_join
+    out = broadcast_join(
+        pairs, vocab_df.rename(columns={"token": "left_tok", "n": "_nl"}),
+        on="left_tok")
+    out = broadcast_join(
+        out, vocab_df.rename(columns={"token": "right_tok", "n": "_nr"}),
+        on="right_tok")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.float64)
+        nl = df["_nl"].to_numpy(np.float64)
+        nr = df["_nr"].to_numpy(np.float64)
+        # shared-with-SQL order: (n*N*N) / ((P*n_a)*n_b)
+        pmi = np.log2((n * total_tokens * total_tokens)
+                      / ((total_pairs * nl) * nr))
+        return df.drop(columns=["_nl", "_nr"]).assign(pmi=np.round(pmi, 9))
+
+    return out.map_batches(score, batch_format="pandas")
 
 
 def encode_tokens(ds, vocab, *, text_col: str = "text",

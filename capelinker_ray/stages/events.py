@@ -20,7 +20,7 @@ import numpy as np
 import pandas as pd
 __all__ = ["sessionize", "session_stats", "tumbling_window_agg",
            "hopping_window_agg", "asof_join", "interval_join",
-           "funnel", "resample_ffill"]
+           "funnel", "resample_ffill", "event_transitions"]
 
 
 def _ts_us(s: pd.Series) -> np.ndarray:
@@ -572,3 +572,41 @@ def resample_ffill(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     from .grouped import grouped_map
     return grouped_map(ds, key_col, per_partition,
                        num_partitions=num_partitions)
+
+
+def event_transitions(ds, *, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      id_col: str = "event_id",
+                      num_partitions: int | None = None):
+    """First-order Markov transition counts over each user's timeline:
+    Dataset[(prev_type, next_type, n)] counting every consecutive
+    (event[i] -> event[i+1]) pair per user, ordered by (ts, id) — the
+    behavioral-sequence summary behind funnel diagnostics and
+    next-action models.
+
+    ONE co-partitioning shuffle by user; within a partition the lag is a
+    single vectorized grouped ``shift`` (no per-user loop) and each
+    partition collapses to at most k x k transition rows (k = event-type
+    cardinality), merged via fixed-width partials in ONE task
+    (low-cardinality contract of stages/agg.small_group_sum)."""
+    from .grouped import grouped_map
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"prev_type": pd.Series(dtype=object),
+                                 "next_type": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        df = df.sort_values([user_col, ts_col, id_col], kind="stable")
+        prev = df.groupby(user_col, sort=False)[type_col].shift(1)
+        ok = prev.notna().to_numpy()
+        sub = pd.DataFrame({"prev_type": prev.to_numpy(object)[ok],
+                            "next_type": df[type_col].to_numpy(object)[ok]})
+        out = (sub.groupby(["prev_type", "next_type"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = grouped_map(ds, user_col, per_part,
+                        num_partitions=num_partitions)
+    from .agg import small_group_sum
+    return small_group_sum(parts, ["prev_type", "next_type"], ["n"])

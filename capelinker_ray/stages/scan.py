@@ -199,14 +199,19 @@ def row_number(ds, order_by, out_col: str = "row_number"):
     return out.drop_columns(["_one"])
 
 
-def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75)):
-    """EXACT discrete quantiles of ``col`` (DuckDB ``quantile_disc``
-    semantics: the element at 1-based rank max(1, ceil(q*n)) of the sorted
-    non-null values). One distributed sort + prefix scan + a filter that
-    ships only len(qs) rows to the driver — the exact complement of the
-    mergeable histogram sketch in stages/sketch.py (approximate, one pass,
-    no sort). Returns a pandas DataFrame (q, value); NaN values for an
-    empty/all-null column."""
+def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75), *,
+                    interp: bool = False):
+    """EXACT quantiles of ``col``: discrete by default (DuckDB
+    ``quantile_disc`` semantics — the element at 1-based rank
+    max(1, ceil(q*n)) of the sorted non-null values), or linearly
+    INTERPOLATED with ``interp=True`` (``quantile_cont`` semantics:
+    position q*(n-1) 0-based, value = v[lo] + frac*(v[hi]-v[lo])).
+
+    One distributed sort + prefix scan + a filter that ships only the
+    needed rank rows to the driver — the exact complement of the
+    mergeable histogram sketch in stages/sketch.py (approximate, one
+    pass, no sort). Returns a pandas DataFrame (q, value); NaN values
+    for an empty/all-null column."""
     import math
 
     import pandas as pd
@@ -221,8 +226,15 @@ def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75)):
     if n == 0:
         return pd.DataFrame({"q": [float(q) for q in qs],
                              "value": [float("nan")] * len(qs)})
-    rank_of = {q: max(1, math.ceil(float(q) * n)) for q in qs}
-    targets = sorted(set(rank_of.values()))
+    if interp:
+        # 0-based position q*(n-1); need BOTH bracketing ranks (1-based)
+        pos_of = {q: float(q) * (n - 1) for q in qs}
+        rank_of = {q: (math.floor(p) + 1, math.ceil(p) + 1)
+                   for q, p in pos_of.items()}
+        targets = sorted({r for pair in rank_of.values() for r in pair})
+    else:
+        rank_of = {q: max(1, math.ceil(float(q) * n)) for q in qs}
+        targets = sorted(set(rank_of.values()))
 
     def pick(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(t["_rn"],
@@ -230,6 +242,14 @@ def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75)):
 
     rows = ranked.map_batches(pick, batch_format="pyarrow").take_all()
     val_at = {r["_rn"]: float(r[col]) for r in rows}
+    if interp:
+        vals = []
+        for q in qs:
+            lo_r, hi_r = rank_of[q]
+            frac = pos_of[q] - (lo_r - 1)
+            lo_v, hi_v = val_at[lo_r], val_at[hi_r]
+            vals.append(lo_v + frac * (hi_v - lo_v))
+        return pd.DataFrame({"q": [float(q) for q in qs], "value": vals})
     return pd.DataFrame({"q": [float(q) for q in qs],
                          "value": [val_at[rank_of[q]] for q in qs]})
 

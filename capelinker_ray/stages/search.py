@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 import ray
 
-__all__ = ["bm25_topk", "tfidf_cosine_pairs"]
+__all__ = ["bm25_topk", "tfidf_cosine_pairs", "top_terms_per_doc"]
 
 
 def _flat_tokens(df: pd.DataFrame, text_col: str):
@@ -267,3 +267,78 @@ def tfidf_cosine_pairs(ds, *, text_col: str = "text",
                                     preserve_index=False)
 
     return grouped_map(partials, ["id_from", "id_to"], pair_sum)
+
+
+def top_terms_per_doc(ds, *, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3,
+                      min_df: int = 1):
+    """Per-document tf-idf keyword extraction: the ``k`` highest-scoring
+    tokens of each document, ``score = tf * ln(n_docs / df)`` — the
+    doc-tagging / topic-probe pass of a curation pipeline.
+
+    Distributed shape: pass 1 computes the bounded (token, df) table +
+    n_docs from per-batch DISTINCT (doc, token) partials (one slim
+    shuffle, Zipf-small); pass 2 broadcasts it once and every batch
+    scores + top-k's its own documents — the corpus itself never
+    shuffles (a document's tokens live inside its batch row). Ties break
+    (score desc, token asc); tokens below ``min_df`` are excluded.
+    Tokenization matches the text suite (single-space split, '' dropped)
+    so the DuckDB oracle mirrors it with string_split/unnest."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, rows, _n = _flat_tokens(df, text_col)
+        out = (pd.DataFrame({"token": flat, "_r": rows})
+               .drop_duplicates()
+               .groupby("token", sort=False).size()
+               .rename("df").reset_index())
+        out["df"] = out["df"].astype(np.int64)
+        return out
+
+    from .grouped import grouped_map
+
+    def df_combine(frame: pd.DataFrame) -> pd.DataFrame:
+        tot = frame.groupby("token", sort=False)["df"].sum().reset_index()
+        return tot[tot["df"] >= min_df]
+
+    parts = ds.map_batches(df_partial, batch_format="pandas")
+    n_docs = int(ds.count())
+    df_table = grouped_map(parts, "token", df_combine).to_pandas()
+    idf = dict(zip(df_table["token"],
+                   np.log(float(n_docs) / df_table["df"].to_numpy(
+                       np.float64))))
+
+    import ray as _ray
+    idf_ref = _ray.put(idf)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        from .bcast import cached_get
+        idf_map = cached_get(idf_ref)
+        flat, rows, n = _flat_tokens(df, text_col)
+        if not len(flat):
+            return pd.DataFrame({id_col: df[id_col].iloc[:0],
+                                 "token": pd.Series(dtype=object),
+                                 "score": pd.Series(dtype=np.float64),
+                                 "rank": pd.Series(dtype=np.int64)})
+        sub = (pd.DataFrame({"_r": rows, "token": flat})
+               .groupby(["_r", "token"], sort=False).size()
+               .rename("tf").reset_index())
+        w = sub["token"].map(idf_map)
+        ok = w.notna().to_numpy()
+        sub = sub[ok]
+        sub["score"] = (sub["tf"].to_numpy(np.float64)
+                        * w[ok].to_numpy(np.float64))
+        order = np.lexsort((sub["token"].to_numpy(),
+                            -sub["score"].to_numpy()))
+        sub = sub.iloc[order]
+        rank = sub.groupby("_r", sort=False).cumcount() + 1
+        keep = (rank <= k).to_numpy()
+        sub, rank = sub[keep], rank[keep]
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy()[sub["_r"].to_numpy()],
+            "token": sub["token"].to_numpy(object),
+            "score": np.round(sub["score"].to_numpy(np.float64), 9),
+            "rank": rank.to_numpy(np.int64)})
+
+    return ds.map_batches(score, batch_format="pandas")

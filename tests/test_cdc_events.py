@@ -202,3 +202,33 @@ def test_apply_changes_schema_evolution_null_fill(ray_session):
     assert list(out["v"]) == ["a", "B"]
     assert out["extra"].tolist()[0] == 10.0
     assert pd.isna(out["extra"].tolist()[1])   # change lacked the column
+
+
+def test_event_transitions_counts(ray_session):
+    from capelinker_ray.stages.events import event_transitions
+    ts = pd.to_datetime([
+        "2024-01-01 10:00", "2024-01-01 10:01", "2024-01-01 10:02",
+        "2024-01-01 10:00", "2024-01-01 10:01", "2024-01-01 10:01"])
+    df = pd.DataFrame({
+        "event_id": np.arange(6, dtype=np.int64),
+        "user_id": np.array([1, 1, 1, 2, 2, 2], dtype=np.int64),
+        "ts": ts,
+        "event_type": ["a", "b", "a", "a", "b", "c"]})
+    out = (event_transitions(rd.from_pandas(df).repartition(3))
+           .to_pandas().sort_values(["prev_type", "next_type"])
+           .reset_index(drop=True))
+    # user1: a->b, b->a; user2: a->b, b->c (10:01 tie broken by event_id)
+    want = {("a", "b"): 2, ("b", "a"): 1, ("b", "c"): 1}
+    got = {(r.prev_type, r.next_type): r.n for r in out.itertuples()}
+    assert got == want
+
+
+def test_event_transitions_single_event_users_emit_nothing(ray_session):
+    from capelinker_ray.stages.events import event_transitions
+    df = pd.DataFrame({
+        "event_id": np.arange(3, dtype=np.int64),
+        "user_id": np.array([1, 2, 3], dtype=np.int64),
+        "ts": pd.to_datetime(["2024-01-01"] * 3),
+        "event_type": ["a", "b", "c"]})
+    out = event_transitions(rd.from_pandas(df)).to_pandas()
+    assert len(out) == 0

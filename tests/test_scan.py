@@ -280,3 +280,40 @@ def test_grouped_zscore_zero_variance_and_nulls(ray_session):
     assert out[out["g"] == "a"]["z"].isna().all()   # zero variance
     assert pd.isna(out.loc[4, "z"])                 # null x
     assert not pd.isna(out.loc[3, "z"])
+
+
+def test_group_concat_order_and_nulls(ray_session):
+    from capelinker_ray.stages.agg import group_concat
+    df = pd.DataFrame({
+        "k": np.array([1, 1, 1, 2, 2], dtype=np.int64),
+        "o": np.array([3, 1, 2, 2, 1], dtype=np.int64),
+        "v": ["c", "a", None, "z", "y"]})
+    out = (group_concat(rd.from_pandas(df).repartition(3), "k", "v",
+                        order_cols="o")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert list(out["v_concat"]) == ["a,c", "y,z"]   # null skipped
+
+
+def test_grouped_nunique_exact(ray_session):
+    from capelinker_ray.stages.agg import grouped_nunique
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 20, 2000).astype(np.int64),
+        "v": rng.integers(0, 15, 2000).astype(str)})
+    df.loc[::50, "v"] = None
+    out = (grouped_nunique(rd.from_pandas(df).repartition(7), "k", "v")
+           .to_pandas().set_index("k")["n_distinct"])
+    want = df.dropna(subset=["v"]).groupby("k")["v"].nunique()
+    for k, n in want.items():
+        assert out[k] == n
+
+
+def test_exact_quantiles_interp_matches_numpy(ray_session):
+    from capelinker_ray.stages.scan import exact_quantiles
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 1000, 501).astype(np.int64)
+    df = pd.DataFrame({"x": vals})
+    out = exact_quantiles(rd.from_pandas(df).repartition(5), "x",
+                          (0.1, 0.5, 0.9), interp=True)
+    want = np.quantile(vals, [0.1, 0.5, 0.9])   # linear interpolation
+    np.testing.assert_allclose(out["value"].to_numpy(), want, rtol=1e-12)

@@ -124,3 +124,34 @@ def test_tfidf_cosine_pairs_stopword_prune(ray_session):
                               max_df=2).to_pandas())
     pairs = set(zip(got["id_from"], got["id_to"]))
     assert pairs == {(0, 1)}
+
+
+def test_top_terms_per_doc_scores_and_ties(ray_session):
+    import math
+    from capelinker_ray.stages.search import top_terms_per_doc
+    df = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], dtype=np.int64),
+        "text": ["cat cat dog", "dog fish", ""]})
+    out = (top_terms_per_doc(rd.from_pandas(df).repartition(2), k=2)
+           .to_pandas().sort_values(["doc_id", "rank"])
+           .reset_index(drop=True))
+    # df: cat=1, dog=2, fish=1; n_docs=3
+    idf_cat = math.log(3 / 1)
+    idf_dog = math.log(3 / 2)
+    d1 = out[out["doc_id"] == 1]
+    assert list(d1["token"]) == ["cat", "dog"]
+    assert abs(d1.iloc[0]["score"] - round(2 * idf_cat, 9)) < 1e-9
+    assert abs(d1.iloc[1]["score"] - round(1 * idf_dog, 9)) < 1e-9
+    d2 = out[out["doc_id"] == 2]
+    assert list(d2["token"]) == ["fish", "dog"]   # idf(fish) > idf(dog)
+    assert 3 not in set(out["doc_id"])            # empty doc emits nothing
+
+
+def test_top_terms_min_df_excludes_rare(ray_session):
+    from capelinker_ray.stages.search import top_terms_per_doc
+    df = pd.DataFrame({
+        "doc_id": np.array([1, 2], dtype=np.int64),
+        "text": ["rare shared", "shared"]})
+    out = top_terms_per_doc(rd.from_pandas(df), k=5,
+                            min_df=2).to_pandas()
+    assert set(out["token"]) == {"shared"}

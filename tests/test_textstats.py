@@ -147,3 +147,35 @@ def test_blocklist_stats_rejects_empty_terms(ray_session):
     with pytest.raises(ValueError):
         add_blocklist_stats(rd.from_pandas(pd.DataFrame({"text": ["x"]})),
                             [])
+
+
+def test_pmi_scores_analytic(ray_session):
+    from capelinker_ray.stages.corpus_stats import pmi_scores
+    # corpus: "x y" repeated 6x in one doc chain + "x z" noise docs
+    df = pd.DataFrame({"text": ["x y x y x y", "x y x y x y",
+                                "z q z q z q"]})
+    out = (pmi_scores(rd.from_pandas(df).repartition(3), min_count=2)
+           .to_pandas().set_index(["left_tok", "right_tok"]))
+    # counts: tokens x=6 y=6 z=3 q=3, N=18; pairs per doc len 6 -> 5
+    # adjacent, P=15. (x,y) n=6, (y,x) n=4, (z,q) n=3, (q,z) n=2
+    import math
+    assert out.loc[("x", "y"), "n"] == 6
+    want = round(math.log2((6 * 18.0 * 18.0) / ((15.0 * 6) * 6)), 9)
+    assert abs(out.loc[("x", "y"), "pmi"] - want) < 1e-9
+    want_zq = round(math.log2((3 * 18.0 * 18.0) / ((15.0 * 3) * 3)), 9)
+    assert abs(out.loc[("z", "q"), "pmi"] - want_zq) < 1e-9
+
+
+def test_pmi_scores_partition_invariant(ray_session):
+    from capelinker_ray.stages.corpus_stats import pmi_scores
+    rng = np.random.default_rng(3)
+    toks = np.array(["a", "b", "c", "d", "e"])
+    docs = [" ".join(rng.choice(toks, rng.integers(3, 12)))
+            for _ in range(60)]
+    df = pd.DataFrame({"text": docs})
+    a = (pmi_scores(rd.from_pandas(df), min_count=3).to_pandas()
+         .sort_values(["left_tok", "right_tok"]).reset_index(drop=True))
+    b = (pmi_scores(rd.from_pandas(df).repartition(11), min_count=3)
+         .to_pandas().sort_values(["left_tok", "right_tok"])
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
