@@ -3948,6 +3948,62 @@ JOIN uni ua ON ua.t = pc.a
 JOIN uni ub ON ub.t = pc.b"""
 
 
+def q_golden_records(sf_dir: str):
+    """Survivorship / golden-record construction (stages/cluster.py
+    golden_records): one canonical row per entity cluster — min/sum
+    reduces, mode with smallest-value tiebreak, representative-row
+    'first' (min-key convention). Clusters here = customers over their
+    orders so the SQL twin is pure relational."""
+    from ..stages.cluster import golden_records
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+            "o_orderstatus", "o_orderpriority"]
+    orders = _rpc(f"{sf_dir}/orders.parquet", columns=cols)
+
+    def ent(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"o_orderkey": df["o_orderkey"],
+                             "entity_id": df["o_custkey"]})
+
+    entities = _rpc(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_custkey"]).map_batches(
+        ent, batch_format="pandas")
+    out = golden_records(
+        orders.drop_columns(["o_custkey"]), entities,
+        key_col="o_orderkey",
+        rules={"o_orderdate": "min", "o_totalprice": "sum",
+               "o_orderstatus": "mode", "o_orderpriority": "first"})
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["o_totalprice"] = df["o_totalprice"].astype(
+            np.float64).round(6)
+        return df[["entity_id", "n_members", "o_orderdate",
+                   "o_totalprice", "o_orderstatus", "o_orderpriority"]]
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_golden_records(sf_dir: str) -> str:
+    return """WITH rep AS (
+  SELECT o_custkey, min(o_orderkey) AS rk FROM orders GROUP BY o_custkey),
+md AS (
+  SELECT o_custkey, o_orderstatus FROM (
+    SELECT o_custkey, o_orderstatus,
+           row_number() OVER (PARTITION BY o_custkey
+             ORDER BY count(*) DESC, o_orderstatus) AS rn
+    FROM orders WHERE o_orderstatus IS NOT NULL
+    GROUP BY o_custkey, o_orderstatus) WHERE rn = 1)
+SELECT o.o_custkey AS entity_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       min(o.o_orderdate) AS o_orderdate,
+       round(sum(o.o_totalprice), 6) AS o_totalprice,
+       any_value(md.o_orderstatus) AS o_orderstatus,
+       any_value(f.o_orderpriority) AS o_orderpriority
+FROM orders o
+JOIN md ON md.o_custkey = o.o_custkey
+JOIN rep ON rep.o_custkey = o.o_custkey
+JOIN orders f ON f.o_orderkey = rep.rk
+GROUP BY o.o_custkey"""
+
+
 def q_top_terms(sf_dir: str):
     """Per-document tf-idf keywords (stages/search.py top_terms_per_doc):
     bounded (token, df) table broadcast once; each batch scores and
@@ -4143,6 +4199,7 @@ def build_queries() -> dict:
         "user_distinct_types": q_user_distinct_types,
         "interp_quantiles": q_interp_quantiles,
         "top_terms": q_top_terms,
+        "golden_records": q_golden_records,
         "grouped_split": q_grouped_split,
         "trigram_nll": q_trigram_nll,
         "setop_except": q_setop_except,
@@ -4257,6 +4314,7 @@ def build_oracle_sql() -> dict:
         "user_distinct_types": sql_user_distinct_types(_ORACLE_SF_DIR),
         "interp_quantiles": sql_interp_quantiles(_ORACLE_SF_DIR),
         "top_terms": sql_top_terms(_ORACLE_SF_DIR),
+        "golden_records": sql_golden_records(_ORACLE_SF_DIR),
         "grouped_split": sql_grouped_split(_ORACLE_SF_DIR),
         "trigram_nll": sql_trigram_nll(_ORACLE_SF_DIR),
         "setop_except": sql_setop_except(_ORACLE_SF_DIR),

@@ -28,7 +28,8 @@ import pandas as pd
 import pyarrow as pa
 from .join import hash_join
 
-__all__ = ["connected_components", "expand_index", "attach_entity_ids"]
+__all__ = ["connected_components", "expand_index", "attach_entity_ids",
+           "golden_records"]
 
 
 _HM = np.uint64(0x9E3779B97F4A7C15)      # odd → bijective mod 2^64
@@ -326,3 +327,65 @@ def expand_index(df: pd.DataFrame, index: str = "index",
             out.loc[g.index[na], index] = distinct[0]
         # else: all indexed, or conflicting -> untouched
     return out
+
+
+def golden_records(ds_records, ds_entities, *, key_col: str = "conv_id",
+                   entity_col: str = "entity_id",
+                   rules: dict[str, str] | None = None,
+                   num_partitions: int | None = None):
+    """Survivorship / golden-record construction: collapse each entity
+    cluster to ONE canonical row — the step after transitive clustering
+    in every master-data/entity-resolution pipeline (the reference stops
+    at cluster ids; production systems need the merged record).
+
+    ``rules`` maps attribute -> survivorship rule:
+      * ``"min"`` / ``"max"`` / ``"sum"`` — numeric/timestamp reduce
+      * ``"mode"`` — most frequent non-null value, smallest-value tiebreak
+        (stages/agg.mode_by convention)
+      * ``"first"`` — the value from the cluster's REPRESENTATIVE row
+        (lexicographically smallest ``key_col``, the engine-wide min-id
+        keep convention)
+
+    Output: one row per entity: (entity_col, n_members, <ruled attrs>).
+    Shape: one distributed hash join attaches entity ids, ONE
+    co-partitioning shuffle by entity, then each rule is a vectorized
+    groupby reduce across ALL clusters of a partition (mode via one
+    count-sort + keep-first, no per-cluster Python)."""
+    rules = dict(rules or {})
+    from .join import hash_join
+    from .grouped import grouped_map
+
+    joined = hash_join(ds_records, ds_entities, on=key_col,
+                       num_partitions=num_partitions)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        from .grouped import typed_or_empty
+        g = df.groupby(entity_col, sort=False)
+        out = g.size().rename("n_members").to_frame()
+        # representative row = smallest key per entity (stable via sort)
+        rep = (df.sort_values([entity_col, key_col], kind="stable")
+               .drop_duplicates(subset=[entity_col], keep="first")
+               .set_index(entity_col))
+        for col, rule in rules.items():
+            if rule in ("min", "max", "sum"):
+                out[col] = g[col].agg(rule)
+            elif rule == "first":
+                out[col] = rep[col]
+            elif rule == "mode":
+                sub = df[[entity_col, col]]
+                sub = sub[sub[col].notna()]
+                cnt = (sub.groupby([entity_col, col], sort=False)
+                       .size().rename("_n").reset_index())
+                cnt = cnt.sort_values([entity_col, "_n", col],
+                                      ascending=[True, False, True],
+                                      kind="stable")
+                win = cnt.drop_duplicates(subset=[entity_col],
+                                          keep="first")
+                out[col] = win.set_index(entity_col)[col]
+            else:
+                raise ValueError(f"unknown survivorship rule {rule!r}")
+        out["n_members"] = out["n_members"].astype(np.int64)
+        return typed_or_empty(out.reset_index())
+
+    return grouped_map(joined, entity_col, per_part,
+                       num_partitions=num_partitions)

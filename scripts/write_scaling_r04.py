@@ -11,7 +11,7 @@ import glob
 import json
 import os
 
-FINAL_GLOB = "/tmp/scaling_final_*.json"
+FINAL_GLOB = "/tmp/scaling_final_800k_*.json"
 
 OUT = {
   "code_state": "round-4 final: tool-vocab partial-distinct on the raw "
@@ -25,12 +25,21 @@ OUT = {
                 "materialized bytes and plasma write bandwidth was the "
                 "feature pass's non-scaling cost: features sub-phase "
                 "2->8 efficiency was 0.61 wide, stage 126->96 s at 8 "
-                "cpus slim)",
-  "corpus": "400k entities / ~4.6M turns / 13,963,987 candidate pairs "
-            "(seeded, shard-scoped hot openers — the SCALING_r03 corpus; "
-            "pair counts bit-identical across every leg and shuffle "
-            "strategy)",
-  "command": "python bench.py --scaling 2 8",
+                "cpus slim), and conv-record partials PINNED before the "
+                "combine shuffle (the one streaming plan chaining input "
+                "repartition + partials map + combine sort ran its "
+                "all-to-alls poorly overlapped: stage 29.0 -> 14.9 s at "
+                "8 cpus / 63.2 -> 41.2 s at 2 cpus on 800k entities, "
+                "stage 2->8 efficiency 0.54 -> 0.69)",
+  "corpus": "official pairs: 800k entities / ~9.2M turns (seeded, "
+            "shard-scoped hot openers, constant ~12.5k entities/shard — "
+            "the corpus grows like a web corpus, by adding shards); "
+            "progression entries below that predate the 800k runs used "
+            "the 400k-entity SCALING_r03 corpus. Pair counts "
+            "bit-identical across every leg and shuffle strategy.",
+  "command": ("GRAFT_SCALING_DIR=/tmp/capelinker_scaling_800k "
+              "GRAFT_SCALING_ENTITIES=800000 python bench.py "
+              "--scaling 2 8"),
 
   "official_pairs_final_code": [],   # filled from /tmp below
 
@@ -66,6 +75,19 @@ OUT = {
               "slots); below 300k rows the sort path stays (hash pays "
               "~1.5 s aggregator-pool setup per op)"
     },
+    "final_session_400k_pairs_pre_conv_pin": [
+      # all prior fixes in, BEFORE the conv-record partials pin; these
+      # exposed conv_records as the residual laggard (stage 2->8 only
+      # 1.86-2.16x while candidate_pairs ran 3.3-3.5x)
+      {"wall_2cpu": 320.669, "wall_8cpu": 102.197, "efficiency": 0.784,
+       "cpu_normalized_efficiency": 1.046},
+      {"wall_2cpu": 300.780, "wall_8cpu": 101.571, "efficiency": 0.740,
+       "cpu_normalized_efficiency": 0.967},
+    ],
+    "final_session_800k_pair_pre_conv_pin": [
+      {"wall_2cpu": 683.928, "wall_8cpu": 213.656, "efficiency": 0.800,
+       "cpu_normalized_efficiency": 1.069},
+    ],
   },
 
   "diagnostics": {

@@ -63,3 +63,43 @@ def test_expand_index_semantics():
 def test_expand_index_all_indexed_noop():
     df = pd.DataFrame({"index": [5, 6], "index_candidate": [9, 9]})
     assert expand_index(df)["index"].tolist() == [5, 6]
+
+
+def test_golden_records_rules(ray_session):
+    import ray.data as rd
+    from capelinker_ray.stages.cluster import golden_records
+    recs = pd.DataFrame({
+        "k": np.array([1, 2, 3, 4, 5], dtype=np.int64),
+        "v": [10.0, 20.0, 5.0, 7.0, None],
+        "s": ["b", "a", "a", None, "z"],
+        "t": ["r1", "r2", "r3", "r4", "r5"]})
+    ents = pd.DataFrame({
+        "k": np.array([1, 2, 3, 4, 5], dtype=np.int64),
+        "entity_id": np.array([100, 100, 100, 200, 200], dtype=np.int64)})
+    out = (golden_records(rd.from_pandas(recs).repartition(3),
+                          rd.from_pandas(ents), key_col="k",
+                          rules={"v": "sum", "s": "mode", "t": "first"})
+           .to_pandas().sort_values("entity_id").reset_index(drop=True))
+    e1 = out[out["entity_id"] == 100].iloc[0]
+    assert e1["n_members"] == 3
+    assert e1["v"] == 35.0
+    assert e1["s"] == "a"          # mode (2x 'a' vs 1x 'b')
+    assert e1["t"] == "r1"         # representative = min key
+    e2 = out[out["entity_id"] == 200].iloc[0]
+    assert e2["n_members"] == 2
+    assert e2["v"] == 7.0          # null-skipping sum
+    assert e2["s"] == "z"          # null dropped; single value
+    assert e2["t"] == "r4"
+
+
+def test_golden_records_mode_tiebreak_smallest(ray_session):
+    import ray.data as rd
+    from capelinker_ray.stages.cluster import golden_records
+    recs = pd.DataFrame({
+        "k": np.array([1, 2], dtype=np.int64),
+        "s": ["b", "a"]})
+    ents = pd.DataFrame({"k": np.array([1, 2], dtype=np.int64),
+                         "entity_id": np.array([7, 7], dtype=np.int64)})
+    out = golden_records(rd.from_pandas(recs), rd.from_pandas(ents),
+                         key_col="k", rules={"s": "mode"}).to_pandas()
+    assert out.iloc[0]["s"] == "a"   # 1-1 tie -> smallest value
