@@ -139,8 +139,11 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
                                      attr_cols=PAIR_ATTR_COLS)
             wide = wide.rename_columns({"id_from": "conv_id_from",
                                         "id_to": "conv_id_to"})
+            # pin before the balance repartition (same rationale as the
+            # equality path below)
             return add_pair_features(
-                wide.repartition(4 * default_partitions()), slim=True)
+                wide.materialize().repartition(4 * default_partitions()),
+                slim=True)
         if (blocktype == "equality" and broadcast_records_threshold
                 and records.count() <= broadcast_records_threshold):
             # OPT-IN slim path (default OFF): blocking emits bare
@@ -176,7 +179,8 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
             pool = (1, max(8, default_partitions() // 2))
             out_cols = (["conv_id_from", "conv_id_to", "score", "block_key"]
                         + TRANSCRIPT_FEATURES)
-            return slim.repartition(4 * default_partitions()).map_batches(
+            return slim.materialize().repartition(
+                4 * default_partitions()).map_batches(
                 BroadcastFeaturizer,
                 fn_constructor_kwargs={"records_ref": ref,
                                        "id_col": "conv_id",
@@ -190,11 +194,19 @@ def link_transcripts(ds_turns, *, model: str = "m_boost_transcripts",
         # pair blocks inherit the (salted) block layout — a hot shard can
         # hold ~max_block_pairs rows whose O(len²) feature DP would make one
         # straggler task gate the stage; rebalance into small even blocks.
+        # PIN the pair table before that repartition: chaining the pair-
+        # emission exchange and the balance exchange in one streaming plan
+        # overlapped poorly (measured 800k entities, 28.3M pairs: 8 cpus
+        # 146->123 s, 2 cpus 516->444 s; dropping the repartition instead
+        # costs 166 s at 8 cpus from stragglers). Plasma holds the wide
+        # table only until the slim features materialize; it spills, and
+        # checkpoint mode streams disk-to-disk instead.
         # slim=True: the pinned pair table keeps ids + score + block_key +
         # features only — the per-side attr columns are feature INPUTS, not
         # downstream reads, and carrying them triples the materialized bytes
-        return add_pair_features(cand.repartition(4 * default_partitions()),
-                                 slim=True)
+        return add_pair_features(
+            cand.materialize().repartition(4 * default_partitions()),
+            slim=True)
 
     pairs = ck.stage("candidate_pairs", build_pairs, inputs=("conv_records",),
                      params=pair_params)

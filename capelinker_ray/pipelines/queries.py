@@ -3948,6 +3948,126 @@ JOIN uni ua ON ua.t = pc.a
 JOIN uni ub ON ub.t = pc.b"""
 
 
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shape (shipping-priority top-10): selective dimension
+    semi-filter BROADCAST into the orders scan, one big-big hash join
+    lineitem x orders, per-batch partial revenue sums before the ONE
+    grouped merge, then global top-k WITHOUT a full sort
+    (stages/reshape.global_topk)."""
+    from ..stages.join import broadcast_join, hash_join
+    from ..stages.grouped import grouped_map
+    from ..stages.reshape import global_topk
+    SEG, DATE = "BUILDING", "1995-03-15"
+    cust = _rpc(f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust[cust["c_mktsegment"] == SEG][["c_custkey"]]
+    orders = _rpc(f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_filter(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["o_orderdate"] < pd.Timestamp(DATE)]
+    orders = broadcast_join(
+        orders.map_batches(o_filter, batch_format="pandas"),
+        cust, on="o_custkey", right_on="c_custkey", how="inner")
+    li = _rpc(f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_extendedprice", "l_discount",
+                       "l_shipdate"])
+
+    def l_filter(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] > pd.Timestamp(DATE)].copy()
+        df["revenue"] = (df["l_extendedprice"].to_numpy(np.float64)
+                         * (1.0 - df["l_discount"].to_numpy(np.float64)))
+        return df[["l_orderkey", "revenue"]]
+    li = li.map_batches(l_filter, batch_format="pandas")
+    j = hash_join(li, orders.select_columns(["o_orderkey", "o_orderdate"]),
+                  on="l_orderkey", right_on="o_orderkey")
+    # per-order revenue is HIGH-cardinality (one group per order): partial
+    # sums per batch, ONE co-partition merge — not the small-key fast path
+    def gsum(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["l_orderkey", "o_orderdate"], sort=False)
+                ["revenue"].sum().reset_index())
+    rev = grouped_map(j.map_batches(gsum, batch_format="pandas"),
+                      ["l_orderkey", "o_orderdate"], gsum)
+    top = global_topk(rev, ["revenue", "o_orderdate", "l_orderkey"],
+                      k=10, ascending=[False, True, True])
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].astype(np.int64),
+            "revenue": df["revenue"].astype(np.float64).round(6),
+            "o_orderdate": df["o_orderdate"]})
+    return top.map_batches(proj, batch_format="pandas")
+
+
+def sql_tpch_q3(sf_dir: str) -> str:
+    return """SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC,
+         o_orderdate, l_orderkey
+LIMIT 10"""
+
+
+def q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 shape (large-volume orders): HAVING over a
+    HIGH-cardinality group (sum quantity per order, partial-agg before
+    the one co-partition merge), filter, then a hash join back to orders
+    and a broadcast customer-name attach — the group-filter-join-back
+    pattern."""
+    from ..stages.join import broadcast_join, hash_join
+    from ..stages.grouped import grouped_map
+    THRESH = 250.0
+    li = _rpc(f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_quantity"])
+
+    def gsum(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("l_orderkey", sort=False)["l_quantity"]
+                .sum().rename("total_qty").reset_index())
+
+    qty = grouped_map(li.map_batches(gsum, batch_format="pandas"),
+                      "l_orderkey", lambda df: (
+                          df.groupby("l_orderkey", sort=False)
+                          ["total_qty"].sum().reset_index()))
+
+    def having(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.grouped import typed_or_empty
+        return typed_or_empty(df[df["total_qty"] > THRESH])
+    qty = qty.map_batches(having, batch_format="pandas")
+    orders = _rpc(f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_custkey", "o_totalprice",
+                           "o_orderdate"])
+    j = hash_join(qty, orders, on="l_orderkey", right_on="o_orderkey")
+    cust = _rpc(f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_name"]).to_pandas()
+    out = broadcast_join(j, cust, on="o_custkey", right_on="c_custkey")
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_name": df["c_name"],
+            "o_custkey": df["o_custkey"].astype(np.int64),
+            "l_orderkey": df["l_orderkey"].astype(np.int64),
+            "o_orderdate": df["o_orderdate"],
+            "o_totalprice": df["o_totalprice"].astype(np.float64),
+            "total_qty": df["total_qty"].astype(np.float64)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_tpch_q18(sf_dir: str) -> str:
+    return """SELECT c_name, o_custkey, l_orderkey, o_orderdate,
+       o_totalprice, total_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250.0) q
+JOIN orders ON o_orderkey = q.l_orderkey
+JOIN customer ON c_custkey = o_custkey"""
+
+
 def q_golden_records(sf_dir: str):
     """Survivorship / golden-record construction (stages/cluster.py
     golden_records): one canonical row per entity cluster — min/sum
@@ -4200,6 +4320,8 @@ def build_queries() -> dict:
         "interp_quantiles": q_interp_quantiles,
         "top_terms": q_top_terms,
         "golden_records": q_golden_records,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q18": q_tpch_q18,
         "grouped_split": q_grouped_split,
         "trigram_nll": q_trigram_nll,
         "setop_except": q_setop_except,
@@ -4315,6 +4437,8 @@ def build_oracle_sql() -> dict:
         "interp_quantiles": sql_interp_quantiles(_ORACLE_SF_DIR),
         "top_terms": sql_top_terms(_ORACLE_SF_DIR),
         "golden_records": sql_golden_records(_ORACLE_SF_DIR),
+        "tpch_q3": sql_tpch_q3(_ORACLE_SF_DIR),
+        "tpch_q18": sql_tpch_q18(_ORACLE_SF_DIR),
         "grouped_split": sql_grouped_split(_ORACLE_SF_DIR),
         "trigram_nll": sql_trigram_nll(_ORACLE_SF_DIR),
         "setop_except": sql_setop_except(_ORACLE_SF_DIR),

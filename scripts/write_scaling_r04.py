@@ -30,7 +30,10 @@ OUT = {
                 "repartition + partials map + combine sort ran its "
                 "all-to-alls poorly overlapped: stage 29.0 -> 14.9 s at "
                 "8 cpus / 63.2 -> 41.2 s at 2 cpus on 800k entities, "
-                "stage 2->8 efficiency 0.54 -> 0.69)",
+                "stage 2->8 efficiency 0.54 -> 0.69), plus the pair "
+                "TABLE pinned before its balance repartition (same "
+                "chained-exchange pathology in the candidate stage: "
+                "8 cpus 146 -> 123 s, 2 cpus 516 -> 444 s)",
   "corpus": "official pairs: 800k entities / ~9.2M turns (seeded, "
             "shard-scoped hot openers, constant ~12.5k entities/shard — "
             "the corpus grows like a web corpus, by adding shards); "
@@ -88,6 +91,23 @@ OUT = {
       {"wall_2cpu": 683.928, "wall_8cpu": 213.656, "efficiency": 0.800,
        "cpu_normalized_efficiency": 1.069},
     ],
+    "after_conv_pin_before_pair_pin": [
+      # conv-record partials pinned, pair-table pin not yet applied
+      {"wall_2cpu": 602.553, "wall_8cpu": 188.696, "efficiency": 0.798,
+       "cpu_normalized_efficiency": 0.978},
+      {"wall_2cpu": 661.333, "wall_8cpu": 195.150, "efficiency": 0.847,
+       "cpu_normalized_efficiency": 1.058},
+      {"wall_2cpu": 620.924, "wall_8cpu": 192.190, "efficiency": 0.808,
+       "cpu_normalized_efficiency": 0.998},
+    ],
+    "pair_table_pin_stage_ab": {
+      # candidate stage in isolation, 800k corpus, 28.3M pairs: pin the
+      # pair table before the balance repartition (chained-exchange fix)
+      "current_2cpu": 515.79, "current_8cpu": 146.37,
+      "pin_2cpu": 443.55, "pin_8cpu": 122.64,
+      "norepart_8cpu": 165.66,
+      "note": "dropping the repartition instead loses to stragglers"
+    },
   },
 
   "diagnostics": {
