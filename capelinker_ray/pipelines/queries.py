@@ -3948,6 +3948,27 @@ JOIN uni ua ON ua.t = pc.a
 JOIN uni ub ON ub.t = pc.b"""
 
 
+def q_scd2_versions(sf_dir: str):
+    """Type-2 SCD validity intervals (stages/cdc.py scd2_intervals):
+    each event becomes a version row with [valid_from, valid_to) per
+    user — one co-partition shuffle, vectorized grouped LEAD."""
+    from ..stages.cdc import scd2_intervals
+    ev = _rpc(f"{sf_dir}/events.parquet",
+              columns=["event_id", "ts", "user_id"])
+    out = scd2_intervals(ev, "user_id", "ts", tiebreak_cols="event_id")
+    return out.select_columns(["event_id", "user_id", "valid_from",
+                               "valid_to", "is_current"])
+
+
+def sql_scd2_versions(sf_dir: str) -> str:
+    return """SELECT event_id, user_id, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         IS NULL AS is_current
+FROM events"""
+
+
 def q_tpch_q3(sf_dir: str):
     """TPC-H Q3 shape (shipping-priority top-10): selective dimension
     semi-filter BROADCAST into the orders scan, one big-big hash join
@@ -4322,6 +4343,7 @@ def build_queries() -> dict:
         "golden_records": q_golden_records,
         "tpch_q3": q_tpch_q3,
         "tpch_q18": q_tpch_q18,
+        "scd2_versions": q_scd2_versions,
         "grouped_split": q_grouped_split,
         "trigram_nll": q_trigram_nll,
         "setop_except": q_setop_except,
@@ -4439,6 +4461,7 @@ def build_oracle_sql() -> dict:
         "golden_records": sql_golden_records(_ORACLE_SF_DIR),
         "tpch_q3": sql_tpch_q3(_ORACLE_SF_DIR),
         "tpch_q18": sql_tpch_q18(_ORACLE_SF_DIR),
+        "scd2_versions": sql_scd2_versions(_ORACLE_SF_DIR),
         "grouped_split": sql_grouped_split(_ORACLE_SF_DIR),
         "trigram_nll": sql_trigram_nll(_ORACLE_SF_DIR),
         "setop_except": sql_setop_except(_ORACLE_SF_DIR),

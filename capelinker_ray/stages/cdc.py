@@ -15,7 +15,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["compact_latest", "snapshot_diff", "apply_changes"]
+__all__ = ["compact_latest", "snapshot_diff", "apply_changes",
+           "scd2_intervals"]
 
 
 def compact_latest(ds, key_cols, ts_col: str, *,
@@ -167,4 +168,50 @@ def snapshot_diff(old, new, key_cols, *, compare_cols=None,
         return typed_or_empty(out)
 
     return grouped_map(tagged, key_cols, diff,
+                       num_partitions=num_partitions)
+
+
+def scd2_intervals(changes, key_cols, ts_col: str, *,
+                   tiebreak_cols=None,
+                   valid_from_col: str = "valid_from",
+                   valid_to_col: str = "valid_to",
+                   current_col: str = "is_current",
+                   num_partitions: int | None = None):
+    """Type-2 slowly-changing-dimension intervals: each change row
+    becomes a VERSION with ``[valid_from, valid_to)`` — valid_from = its
+    own timestamp, valid_to = the key's NEXT change (null for the
+    current version, which also gets ``is_current = true``). The
+    history-table build step of warehouse ingest (Kimball SCD2 on plain
+    Ray Data).
+
+    ONE co-partitioning shuffle by key; within a partition one stable
+    sort + a vectorized grouped ``shift(-1)`` — no per-key loop. Order
+    within a key is (ts, tiebreaks) ascending with null ts first (a
+    null-ts row is treated as the oldest version, mirroring
+    ``compact_latest``'s NULLS-LAST-descending pick)."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    tiebreak_cols = ([] if tiebreak_cols is None else
+                     [tiebreak_cols] if isinstance(tiebreak_cols, str)
+                     else list(tiebreak_cols))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        from .grouped import typed_or_empty
+        if not len(df):
+            out = df.copy()
+            out[valid_from_col] = pd.Series(dtype="datetime64[us]")
+            out[valid_to_col] = pd.Series(dtype="datetime64[us]")
+            out[current_col] = pd.Series(dtype=bool)
+            return typed_or_empty(out)
+        df = df.sort_values([*key_cols, ts_col, *tiebreak_cols],
+                            kind="stable", na_position="first")
+        nxt = df.groupby(key_cols, sort=False, dropna=False)[ts_col] \
+                .shift(-1)
+        out = df.copy()
+        out[valid_from_col] = df[ts_col]
+        out[valid_to_col] = nxt
+        out[current_col] = nxt.isna().to_numpy()
+        return out
+
+    from .grouped import grouped_map
+    return grouped_map(changes, key_cols, per_part,
                        num_partitions=num_partitions)

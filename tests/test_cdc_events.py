@@ -232,3 +232,23 @@ def test_event_transitions_single_event_users_emit_nothing(ray_session):
         "event_type": ["a", "b", "c"]})
     out = event_transitions(rd.from_pandas(df)).to_pandas()
     assert len(out) == 0
+
+
+def test_scd2_intervals_lead_and_current(ray_session):
+    from capelinker_ray.stages.cdc import scd2_intervals
+    df = pd.DataFrame({
+        "event_id": np.arange(5, dtype=np.int64),
+        "user_id": np.array([1, 1, 1, 2, 2], dtype=np.int64),
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-03", "2024-01-02",
+                              "2024-02-01", "2024-02-05"])})
+    out = (scd2_intervals(rd.from_pandas(df).repartition(3), "user_id",
+                          "ts", tiebreak_cols="event_id")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    # user 1 order by ts: e0 (01-01) -> e2 (01-02) -> e1 (01-03 current)
+    assert out.loc[0, "valid_to"] == pd.Timestamp("2024-01-02")
+    assert out.loc[2, "valid_to"] == pd.Timestamp("2024-01-03")
+    assert pd.isna(out.loc[1, "valid_to"]) and out.loc[1, "is_current"]
+    assert pd.isna(out.loc[4, "valid_to"]) and out.loc[4, "is_current"]
+    assert not out.loc[0, "is_current"]
+    assert (out["valid_from"] == df.set_index("event_id")["ts"]
+            .loc[out["event_id"]].to_numpy()).all()
