@@ -4236,6 +4236,80 @@ _ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
 
 def build_queries() -> dict:
     return {
+        # Ordered for driver evidence rotation (r5): the driver snapshots the
+        # FIRST 50 entries; r3+r4 covered 80 of 120, so the 40 never-driver-
+        # checked queries come first, then the r3-only (oldest-evidence) block,
+        # then the r4-green block. All 120 pass scripts/check_oracle.py locally.
+        "interval_join": q_interval_join,
+        "incremental_assign_rule": q_incremental_assign_rule,
+        "dup_spans": q_dup_spans,
+        "dup_span_removal": q_dup_span_removal,
+        "dedup_lines": q_dedup_lines,
+        "pair_counts": q_pair_counts,
+        "encode_tokens": q_encode_tokens,
+        "tfidf_pairs": q_tfidf_pairs,
+        "range_window_sum": q_range_window_sum,
+        "event_gaps": q_event_gaps,
+        "event_ntile": q_event_ntile,
+        "lineitem_rollup": q_lineitem_rollup,
+        "mixture_sample": q_mixture_sample,
+        "grouped_weighted_sample": q_grouped_weighted_sample,
+        "lang_zscore": q_lang_zscore,
+        "blocklist_stats": q_blocklist_stats,
+        "orders_upsert": q_orders_upsert,
+        "event_transitions": q_event_transitions,
+        "pmi_scores": q_pmi_scores,
+        "user_event_seq": q_user_event_seq,
+        "user_distinct_types": q_user_distinct_types,
+        "interp_quantiles": q_interp_quantiles,
+        "top_terms": q_top_terms,
+        "golden_records": q_golden_records,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q18": q_tpch_q18,
+        "scd2_versions": q_scd2_versions,
+        "setop_except": q_setop_except,
+        "union_by_name": q_union_by_name,
+        "setop_intersect": q_setop_intersect,
+        "curation_capped": q_curation_capped,
+        "pack_shards": q_pack_shards,
+        "exact_quantiles": q_exact_quantiles,
+        "price_histogram": q_price_histogram,
+        "mad_outliers": q_mad_outliers,
+        "top_per_lang": q_top_per_lang,
+        "doc_curation": q_doc_curation,
+        "sketch_stats": q_sketch_stats,
+        "lang_quality": q_lang_quality,
+        "media_features": q_media_features,
+        "numeric_band": q_numeric_band,
+        "embedding_dup": q_embedding_dup,
+        "bigram_candidates": q_bigram_candidates,
+        "idf_bigram_candidates": q_idf_bigram_candidates,
+        "asof_join": q_asof_join,
+        "flagship_entities": q_flagship_entities,
+        "incremental_assign": q_incremental_assign,
+        "semantic_dedup": q_semantic_dedup,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_dedup": q_ngram_dedup,
+        "segment_dedup": q_segment_dedup,
+        "repetition_stats": q_repetition_stats,
+        "pii_redact": q_pii_redact,
+        "decontaminate": q_decontaminate,
+        "vocab_counts": q_vocab_counts,
+        "heavy_hitters": q_heavy_hitters,
+        "bm25_topk": q_bm25_topk,
+        "window_agg": q_window_agg,
+        "hopping_window": q_hopping_window,
+        "grouped_quantiles": q_grouped_quantiles,
+        "user_running_total": q_user_running_total,
+        "user_rolling_mean": q_user_rolling_mean,
+        "event_percent_rank": q_event_percent_rank,
+        "stratified_sample": q_stratified_sample,
+        "bernoulli_sample": q_bernoulli_sample,
+        "weighted_sample": q_weighted_sample,
+        "grouped_split": q_grouped_split,
+        "trigram_nll": q_trigram_nll,
         "normalize_turns": q_normalize_turns,
         "conv_records": q_conv_records,
         "block_sizes": q_block_sizes,
@@ -4286,79 +4360,6 @@ def build_queries() -> dict:
         "props_stats": q_props_stats,
         "group_count": q_group_count,
         "normalise_column": q_normalise_column,
-        "numeric_band": q_numeric_band,
-        "embedding_dup": q_embedding_dup,
-        "bigram_candidates": q_bigram_candidates,
-        "idf_bigram_candidates": q_idf_bigram_candidates,
-        "asof_join": q_asof_join,
-        "interval_join": q_interval_join,
-        # simhash / simhash_pairs moved to the oracle-checked column in r3
-        # (FNV-over-codepoints recursive-CTE SQL above); the rest below are
-        # rows-only (no SQL oracle): model scoring / sketches / stubs
-        "flagship_entities": q_flagship_entities,
-        "incremental_assign": q_incremental_assign,
-        "incremental_assign_rule": q_incremental_assign_rule,
-        "semantic_dedup": q_semantic_dedup,
-        "minhash_dedup": q_minhash_dedup,
-        "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
-        "ngram_dedup": q_ngram_dedup,
-        "segment_dedup": q_segment_dedup,
-        "dup_spans": q_dup_spans,
-        "dup_span_removal": q_dup_span_removal,
-        "dedup_lines": q_dedup_lines,
-        "pair_counts": q_pair_counts,
-        "repetition_stats": q_repetition_stats,
-        "pii_redact": q_pii_redact,
-        "decontaminate": q_decontaminate,
-        "vocab_counts": q_vocab_counts,
-        "encode_tokens": q_encode_tokens,
-        "heavy_hitters": q_heavy_hitters,
-        "bm25_topk": q_bm25_topk,
-        "tfidf_pairs": q_tfidf_pairs,
-        "window_agg": q_window_agg,
-        "hopping_window": q_hopping_window,
-        "grouped_quantiles": q_grouped_quantiles,
-        "user_running_total": q_user_running_total,
-        "user_rolling_mean": q_user_rolling_mean,
-        "range_window_sum": q_range_window_sum,
-        "event_gaps": q_event_gaps,
-        "event_ntile": q_event_ntile,
-        "lineitem_rollup": q_lineitem_rollup,
-        "event_percent_rank": q_event_percent_rank,
-        "stratified_sample": q_stratified_sample,
-        "bernoulli_sample": q_bernoulli_sample,
-        "mixture_sample": q_mixture_sample,
-        "weighted_sample": q_weighted_sample,
-        "grouped_weighted_sample": q_grouped_weighted_sample,
-        "lang_zscore": q_lang_zscore,
-        "blocklist_stats": q_blocklist_stats,
-        "orders_upsert": q_orders_upsert,
-        "event_transitions": q_event_transitions,
-        "pmi_scores": q_pmi_scores,
-        "user_event_seq": q_user_event_seq,
-        "user_distinct_types": q_user_distinct_types,
-        "interp_quantiles": q_interp_quantiles,
-        "top_terms": q_top_terms,
-        "golden_records": q_golden_records,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q18": q_tpch_q18,
-        "scd2_versions": q_scd2_versions,
-        "grouped_split": q_grouped_split,
-        "trigram_nll": q_trigram_nll,
-        "setop_except": q_setop_except,
-        "union_by_name": q_union_by_name,
-        "setop_intersect": q_setop_intersect,
-        "curation_capped": q_curation_capped,
-        "pack_shards": q_pack_shards,
-        "exact_quantiles": q_exact_quantiles,
-        "price_histogram": q_price_histogram,
-        "mad_outliers": q_mad_outliers,
-        "top_per_lang": q_top_per_lang,
-        "doc_curation": q_doc_curation,
-        "sketch_stats": q_sketch_stats,
-        "lang_quality": q_lang_quality,
-        "media_features": q_media_features,
     }
 
 

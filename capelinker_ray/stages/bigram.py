@@ -636,7 +636,8 @@ def attach_pair_attrs(pairs, records, *, id_col: str,
                     "_id": "id_to", **{c: f"{c}_to" for c in attr_cols}})
                 out = df.merge(f_df, on="id_from", how="inner")
                 out = out.merge(t_df, on="id_to", how="left")
-                return pa.Table.from_pandas(out, preserve_index=False)
+                return pa.Table.from_pandas(
+                    out, preserve_index=False).replace_schema_metadata(None)
             pos_f = idx.get_indexer(df["id_from"].to_numpy())
             keep = pos_f >= 0
             out = df[keep].reset_index(drop=True)
@@ -662,7 +663,9 @@ def attach_pair_attrs(pairs, records, *, id_col: str,
                 out[f"{c}_to"] = tcol
             # Arrow out: downstream rename_columns/project expect Arrow
             # blocks, and typed empties keep the size estimator quiet
-            return pa.Table.from_pandas(out, preserve_index=False)
+            # (metadata stripped: from_pandas attaches an unhashable dict)
+            return pa.Table.from_pandas(
+                out, preserve_index=False).replace_schema_metadata(None)
 
         return pairs.map_batches(join_both, batch_format="pandas")
 

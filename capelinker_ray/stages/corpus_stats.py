@@ -247,31 +247,63 @@ def pmi_scores(ds, text_col: str = "text", min_count: int = 5):
     ``min_count``.
 
     Composition of existing slim-shuffle passes: :func:`pair_counts`
-    (filtered pair table), :func:`vocab_counts` at min_count=1 (full
-    unigram distribution — bounded by the vocabulary, which is collected
-    once and broadcast via the shared-plasma indexer join), and one
-    fixed-width partial pass for the total-pair scalar. The float
-    expression order is shared term-for-term with the SQL twin so the
-    oracle is value-exact at 9 dp."""
-    pairs = pair_counts(ds, text_col, min_count)
-    uni = vocab_counts(ds, text_col, min_count=1)
+    (filtered pair table), :func:`vocab_counts` at min_count=1 — but the
+    unigram table is NEVER collected whole: p(a)/p(b) are only needed for
+    tokens that appear in a SURVIVING pair, so the vocab Dataset is
+    filtered distributed against the pruned pair table's distinct tokens
+    (a bounded set: ≤ 2 × |pair table|, itself min_count-pruned) before
+    the one bounded driver collect. On a web corpus the min_count=1
+    distinct-token table (typos, URLs, hex ids) is unbounded; the
+    surviving-pair token set is not. The two scalars (total tokens, total
+    pairs) come from one fixed-width partial pass over the corpus — the
+    unigram sum equals the non-empty token count, so no second vocab
+    execution is needed. The float expression order is shared
+    term-for-term with the SQL twin so the oracle is value-exact at 9 dp."""
+    import ray
 
-    def tot_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    # bounded output table (min_count-pruned); pin it so the distinct-token
+    # pass and the final join don't re-run the pair-count shuffle
+    pairs = pair_counts(ds, text_col, min_count).materialize()
+
+    def totals(df: pd.DataFrame) -> pd.DataFrame:
         words = df[text_col].where(df[text_col].notna(), "").str.split(" ")
         lens = words.str.len().to_numpy(np.int64)
         if not len(df) or int(lens.sum()) == 0:
-            return pd.DataFrame({"n_pair": pd.Series([0], dtype=np.int64)})
+            return pd.DataFrame({"n_pair": pd.Series([0], dtype=np.int64),
+                                 "n_tok": pd.Series([0], dtype=np.int64)})
         flat = np.concatenate([np.asarray(w, dtype=object) for w in words])
         doc_of = np.repeat(np.arange(len(df), dtype=np.int64), lens)
         same = doc_of[:-1] == doc_of[1:]
         ok = same & (flat[:-1] != "") & (flat[1:] != "")
-        return pd.DataFrame({"n_pair":
-                             pd.Series([int(ok.sum())], dtype=np.int64)})
+        return pd.DataFrame(
+            {"n_pair": pd.Series([int(ok.sum())], dtype=np.int64),
+             "n_tok": pd.Series([int((flat != "").sum())], dtype=np.int64)})
 
-    total_pairs = float(ds.map_batches(tot_pairs, batch_format="pandas")
-                        .to_pandas()["n_pair"].sum())
-    vocab_df = uni.to_pandas()
-    total_tokens = float(vocab_df["n"].sum())
+    tot = ds.map_batches(totals, batch_format="pandas").to_pandas()
+    total_pairs = float(tot["n_pair"].sum())
+    total_tokens = float(tot["n_tok"].sum())
+
+    # slim (token-only) collect bounded by the pruned pair table
+    tok_parts = pairs.map_batches(
+        lambda df: pd.DataFrame({"token": pd.unique(np.concatenate(
+            [df["left_tok"].to_numpy(dtype=object),
+             df["right_tok"].to_numpy(dtype=object)])
+            if len(df) else np.array([], dtype=object))}),
+        batch_format="pandas").to_pandas()
+    pair_tok_set = set(tok_parts["token"])
+    toks_ref = ray.put(pair_tok_set)
+
+    def keep_pair_toks(df: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(toks_ref)
+        return df[df["token"].isin(s)]
+
+    uni = vocab_counts(ds, text_col, min_count=1)
+    vocab_df = (uni.map_batches(keep_pair_toks, batch_format="pandas")
+                .to_pandas())
+    # observable for tests: the driver-collected vocab is bounded by the
+    # surviving-pair token set, NOT the corpus vocabulary
+    pmi_scores.last_vocab_rows = len(vocab_df)
+    pmi_scores.last_pair_tokens = len(pair_tok_set)
 
     from .join import broadcast_join
     out = broadcast_join(

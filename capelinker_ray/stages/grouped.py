@@ -115,6 +115,16 @@ def grouped_map(ds, keys: str | list[str], fn, *,
         out = fn(g.drop(columns=[_PART]))
         if isinstance(out, pd.DataFrame) and not len(out):
             return _typed_empty(out)
+        import pyarrow as pa
+        if isinstance(out, pa.Table) and out.schema.metadata:
+            # fns that build their table via pa.Table.from_pandas carry the
+            # pandas metadata dict -> unhashable schema in Ray's dedup
+            # ('Failed to hash the schemas' worker warnings). Nonempty
+            # pandas outputs stay pandas: forcing them to Arrow would pin
+            # per-partition inferred types (an all-NaN left-join attr
+            # partition infers double where string-bearing partitions
+            # infer string) and break block unification.
+            out = out.replace_schema_metadata(None)
         return out
 
     parted = ds.map_batches(add_part, batch_format="pandas")

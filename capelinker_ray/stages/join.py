@@ -258,8 +258,9 @@ def broadcast_join(left, right_df, *, on: str | list[str],
         right_df = right_df.rename_columns(
             [rmap.get(c, c) for c in right_df.column_names])
     else:
-        right_df = pa.Table.from_pandas(right_df.rename(columns=rmap),
-                                        preserve_index=False)
+        right_df = pa.Table.from_pandas(
+            right_df.rename(columns=rmap),
+            preserve_index=False).replace_schema_metadata(None)
     # resolve collision names ONCE (left schema is known up front)
     lschema = left.schema()
     if lschema is None:

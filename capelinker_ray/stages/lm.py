@@ -13,12 +13,14 @@ one count pass feeds both numerator and denominator (and the SQL oracle
 mirrors it with a GROUP BY over the same table).
 
 Scale shape: batch-vectorized positional trigram extraction (one utf-32
-encode per batch — stages/bigram.py kernel style), a grouped_map merge of
-(code, n) partials (the trigram key is high-cardinality — Ray's native
-aggregate pays per-key Python), then the merged table is CHARSET-BOUNDED
-(≤ |alphabet|³ rows regardless of corpus size, unlike a word LM), so it
-broadcasts via ``ray.put`` and the scoring pass is one shuffle-free
-``map_batches`` of searchsorted lookups + one bincount log-sum per batch.
+encode per batch — stages/bigram.py kernel style), a CONTEXT-keyed
+grouped_map merge of (code, n) partials (the trigram key is
+high-cardinality — Ray's native aggregate pays per-key Python) whose
+combine computes final context sums AND applies the ``min_count`` prune
+distributed, so only the surviving Zipf head reaches the driver; the
+pruned model broadcasts via ``ray.put`` and the scoring pass is one
+shuffle-free ``map_batches`` of searchsorted lookups + one bincount
+log-sum per batch.
 """
 
 from __future__ import annotations
@@ -67,14 +69,18 @@ def trigram_nll(ds, *, text_col: str = "text", id_col: str = "doc_id",
     High ``nll`` = improbable character sequences = gibberish/boilerplate
     candidates.
 
-    Driver-memory bound: the broadcast model holds the DISTINCT OBSERVED
-    trigrams (not |alphabet|³ — for CJK/multilingual corpora observed
-    trigrams grow with corpus size). ``min_count > 1`` prunes rarer
-    trigrams from the table before the driver collect (context sums are
-    computed BEFORE pruning, so surviving probabilities are unchanged);
-    pruned trigrams score through the unseen-code path — add-one
-    smoothing already defines their mass — capping driver memory at the
-    head of the Zipf curve."""
+    Driver-memory bound: the broadcast model holds the SURVIVING trigrams
+    plus the distinct contexts and third-char vocabulary — never the full
+    distinct-trigram table. The count shuffle is keyed by CONTEXT
+    (``code // B``), so each reduce partition owns every trigram of its
+    contexts: the ``min_count`` prune AND the context sums both happen in
+    the distributed combine (sums computed before pruning, so surviving
+    P(c3|c1c2) are unchanged), and only (survivors, complete context
+    rows, per-partition distinct third chars) reach ``to_pandas()``. A
+    CJK/multilingual corpus whose distinct-trigram table would not fit
+    the driver is therefore fine as long as the pruned head of the Zipf
+    curve does. Pruned trigrams score through the unseen-code path —
+    add-one smoothing already defines their mass."""
     from .dedup import _widen
     from .grouped import grouped_map
     ds = _widen(ds, input_partitions)
@@ -83,14 +89,33 @@ def trigram_nll(ds, *, text_col: str = "text", id_col: str = "doc_id",
     def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
         _, codes = _batch_tri_codes(df[text_col].to_numpy(dtype=object))
         uniq, cnt = np.unique(codes, return_counts=True)
-        return pd.DataFrame({"code": uniq, "n": cnt.astype(np.int64)})
+        return pd.DataFrame({"code": uniq, "n": cnt.astype(np.int64),
+                             "ctx": uniq // _B})
 
     def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("code", sort=False)["n"].sum().reset_index()
+        # partition holds COMPLETE context groups -> context sums are
+        # final here, and the min_count prune drops the Zipf tail before
+        # anything is shipped to the driver. Tagged union: kind 0 =
+        # surviving (trigram, n), kind 1 = (context, context_sum),
+        # kind 2 = locally-distinct third chars (union'd on the driver).
+        tot = g.groupby("code", sort=False)["n"].sum().reset_index()
+        c = tot["code"].to_numpy(np.int64)
+        n = tot["n"].to_numpy(np.int64)
+        cu, ci = np.unique(c // _B, return_inverse=True)
+        cn = np.bincount(ci, weights=n).astype(np.int64)
+        c3 = np.unique(c % _B)
+        keep = slice(None) if min_count <= 1 else n >= min_count
+        return pd.concat([
+            pd.DataFrame({"kind": np.int64(0), "code": c[keep],
+                          "n": n[keep]}),
+            pd.DataFrame({"kind": np.int64(1), "code": cu, "n": cn}),
+            pd.DataFrame({"kind": np.int64(2), "code": c3,
+                          "n": np.ones(len(c3), np.int64)}),
+        ], ignore_index=True)
 
     tri = grouped_map(slim.map_batches(partial_counts,
                                        batch_format="pandas"),
-                      "code", merge_counts).to_pandas()
+                      "ctx", merge_counts).to_pandas()
     if not len(tri) or "code" not in tri.columns:
         # empty / all-too-short corpus: typed empty result
         import pyarrow as pa
@@ -100,19 +125,16 @@ def trigram_nll(ds, *, text_col: str = "text", id_col: str = "doc_id",
             "n_tri": pa.array([], pa.int64()),
             out_col: pa.array([], pa.float64())}))
 
-    codes = tri["code"].to_numpy(np.int64)
-    counts = tri["n"].to_numpy(np.int64)
-    order = np.argsort(codes)
-    codes, counts = codes[order], counts[order]
-    ctx_codes_all = codes // _B
-    ctx_uniq, ctx_inv = np.unique(ctx_codes_all, return_inverse=True)
-    ctx_counts = np.bincount(ctx_inv, weights=counts).astype(np.int64)
-    v = int(len(np.unique(codes % _B)))          # distinct third chars
-    if min_count > 1:
-        # prune AFTER context sums so surviving P(c3|c1c2) are unchanged;
-        # dropped trigrams fall through the unseen-code path below.
-        keep_tri = counts >= min_count
-        codes, counts = codes[keep_tri], counts[keep_tri]
+    kind = tri["kind"].to_numpy(np.int64)
+    tcode = tri["code"].to_numpy(np.int64)
+    tcnt = tri["n"].to_numpy(np.int64)
+    m0 = kind == 0
+    o0 = np.argsort(tcode[m0])
+    codes, counts = tcode[m0][o0], tcnt[m0][o0]
+    m1 = kind == 1                      # each context in exactly ONE
+    o1 = np.argsort(tcode[m1])          # partition -> rows already final
+    ctx_uniq, ctx_counts = tcode[m1][o1], tcnt[m1][o1]
+    v = int(len(np.unique(tcode[kind == 2])))    # distinct third chars
     model_ref = ray.put((codes, counts, ctx_uniq, ctx_counts, v))
 
     def score(df: pd.DataFrame) -> pd.DataFrame:

@@ -211,18 +211,22 @@ def heavy_hitters(ds, col: str, *, phi: float = 0.001,
 
     merged = grouped_map(
         ds.map_batches(sketch_partial, batch_format="pandas"),
-        "token", combine).materialize()
-    total_rows = merged.filter(lambda r: r["token"] == "").take_all()
-    total = int(total_rows[0]["n"]) if total_rows else 0
+        "token", combine)
+    # ONE bounded collect of the sketch table (<= B residuals per input
+    # batch, merged) — the "" carrier row holds the global total, so no
+    # extra per-row-filter dataset pass is spent on either scalar or the
+    # candidate list
+    mdf = merged.to_pandas()
+    tot_rows = mdf[mdf["token"] == ""]
+    total = int(tot_rows["n"].iloc[0]) if len(tot_rows) else 0
     if total == 0:
-        return merged  # no tokens anywhere -> merged is already empty
+        import ray.data as rd
+        return rd.from_pandas(mdf)  # no tokens anywhere -> already empty
     threshold = int(math.ceil(phi * total))
     # merged residual of a true heavy hitter >= threshold - total//B
     floor_n = max(1, threshold - total // B)
-    cand = [r["token"] for r in
-            merged.filter(
-                lambda r, f=floor_n: r["token"] != "" and r["n"] >= f
-            ).take_all()]
+    cand = mdf.loc[(mdf["token"] != "") & (mdf["n"] >= floor_n),
+                   "token"].tolist()
 
     import ray
     cand_ref = ray.put(pd.Index(np.asarray(cand, dtype=object)))

@@ -48,3 +48,39 @@ def test_trigram_nll_flags_gibberish(ray_session):
                        "text": normal + gibberish})
     out = trigram_nll(rd.from_pandas(df)).to_pandas().set_index("doc_id")
     assert out.loc[30, "nll"] > out.loc[:29, "nll"].max() + 1.0
+
+
+def test_trigram_nll_min_count_prunes_distributed(ray_session):
+    """min_count pruning happens in the context-keyed combine: surviving
+    probabilities use PRE-prune context sums, pruned trigrams score via
+    the unseen path (count 0), and results are partition-invariant."""
+    docs = {1: "abcabcabcabc", 2: "abcxyzw", 3: "zzzzzzz", 4: "qqqr"}
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+
+    def reference(min_count):
+        from collections import Counter
+        tri = Counter()
+        for t in docs.values():
+            for i in range(len(t) - 2):
+                tri[t[i:i + 3]] += 1
+        ctx = Counter()
+        for k, n in tri.items():
+            ctx[k[:2]] += n
+        v = len({k[2] for k in tri})
+        kept = {k: n for k, n in tri.items() if n >= min_count}
+        out = {}
+        for d, t in docs.items():
+            lps = [np.log((kept.get(t[i:i + 3], 0) + 1.0)
+                          / (ctx[t[i:i + 2]] + v))
+                   for i in range(len(t) - 2)]
+            out[d] = round(-float(np.mean(lps)), 6)
+        return out
+
+    for parts in (1, 5):
+        got = (trigram_nll(rd.from_pandas(df).repartition(parts),
+                           min_count=2)
+               .to_pandas().set_index("doc_id"))
+        exp = reference(2)
+        assert set(got.index) == set(exp)
+        for d in exp:
+            assert abs(got.loc[d, "nll"] - exp[d]) < 1e-6, (parts, d)

@@ -179,3 +179,30 @@ def test_pmi_scores_partition_invariant(ray_session):
          .to_pandas().sort_values(["left_tok", "right_tok"])
          .reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pmi_vocab_collect_bounded_by_pair_tokens(ray_session):
+    """100-TB guard: the driver-collected unigram table must be bounded by
+    the min_count-pruned pair table's tokens, not the corpus vocabulary —
+    a web corpus has unbounded distinct tokens (typos, URLs, hex ids)."""
+    from capelinker_ray.stages.corpus_stats import pmi_scores
+    # huge injected vocabulary: 4000 singleton junk tokens, plus one
+    # genuinely collocated pair repeated past min_count
+    junk = " ".join(f"junk{i:05d}" for i in range(4000))
+    df = pd.DataFrame({"text": ["x y x y x y x y", junk]})
+    out = (pmi_scores(rd.from_pandas(df).repartition(4), min_count=3)
+           .to_pandas())
+    # only (x,y) and (y,x) survive min_count=3
+    assert set(map(tuple, out[["left_tok", "right_tok"]].to_numpy())) == {
+        ("x", "y"), ("y", "x")}
+    # collected vocab == surviving-pair tokens (2), never the 4002-token
+    # corpus vocabulary
+    assert pmi_scores.last_pair_tokens == 2
+    assert pmi_scores.last_vocab_rows == 2
+    # values still exact: N counts the FULL corpus (junk included)
+    import math
+    n_tok = 8 + 4000.0
+    n_pair = 7 + 3999.0
+    want = round(math.log2((4 * n_tok * n_tok) / ((n_pair * 4) * 4)), 9)
+    got = out.set_index(["left_tok", "right_tok"]).loc[("x", "y"), "pmi"]
+    assert abs(got - want) < 1e-9
