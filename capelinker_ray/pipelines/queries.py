@@ -4234,6 +4234,181 @@ FROM events GROUP BY user_id"""
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
 
 
+# ---------------------------------------------------------------------------
+# round-5 additions: rank windows, table fingerprint, containment, robust
+# scaling, epoch shuffle, compression-ratio quality signal
+# ---------------------------------------------------------------------------
+
+def q_event_rank(sf_dir: str):
+    """Per-user RANK + DENSE_RANK by integer-floored value DESC
+    (stages/scan.py:grouped_rank — one co-partition shuffle, vectorized
+    pandas rank across all groups of a partition; floor() manufactures
+    ties so both rank flavors are exercised)."""
+    from ..stages.scan import grouped_rank
+    ev = _rpc(f"{sf_dir}/events.parquet",
+              columns=["event_id", "user_id", "value"])
+
+    def floor_val(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_fv=np.floor(df["value"].to_numpy(np.float64)))
+
+    out = grouped_rank(ev.map_batches(floor_val, batch_format="pandas"),
+                       "user_id", "_fv", ascending=False)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype(np.int64),
+            "user_id": df["user_id"].astype(np.int64),
+            "rank": df["rank"].astype(np.int64),
+            "dense_rank": df["dense_rank"].astype(np.int64)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_event_rank(sf_dir: str) -> str:
+    return """SELECT event_id, user_id,
+       CAST(rank() OVER w AS BIGINT) AS rank,
+       CAST(dense_rank() OVER w AS BIGINT) AS dense_rank
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY floor(value) DESC)"""
+
+
+def q_table_fingerprint(sf_dir: str):
+    """Order-independent bucketed checksum of the orders table
+    (stages/agg.py:table_fingerprint — fixed-width uint64 wrap-sum
+    partials per batch, one single-task merge; the Merkle-style replica /
+    before-after diff primitive)."""
+    from ..stages.agg import table_fingerprint
+    orders = _rpc(f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_custkey"])
+    return table_fingerprint(orders, "o_orderkey", "o_custkey", buckets=64)
+
+
+def sql_table_fingerprint(sf_dir: str) -> str:
+    inner = _sql_splitmix64("CAST(o_orderkey AS UBIGINT)")
+    outer = _sql_splitmix64(f"xor({inner}, CAST(o_custkey AS UBIGINT))")
+    return f"""WITH h AS (
+  SELECT o_orderkey % 64 AS bucket, {outer} AS h FROM orders
+)
+SELECT bucket,
+       lower(lpad(hex(CAST(sum(CAST(h AS HUGEINT))
+                           % 18446744073709551616 AS UBIGINT)), 16, '0'))
+         AS fp,
+       CAST(count(*) AS BIGINT) AS n
+FROM h GROUP BY bucket"""
+
+
+def q_ngram_containment(sf_dir: str):
+    """Directional 5-gram containment pairs within language blocks
+    (stages/dedup.py:ngram_containment_pairs — the asymmetric
+    doc-quoted-inside-doc near-dup signal; one co-partition shuffle,
+    vectorized self-merge per block)."""
+    from ..stages.dedup import ngram_containment_pairs
+    docs = _rpc(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "lang", "text"])
+    out = ngram_containment_pairs(docs, block_col="lang", n=5,
+                                  threshold=0.6)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "id_from": df["id_from"].astype(np.int64),
+            "id_to": df["id_to"].astype(np.int64),
+            "containment": df["containment"].astype(np.float64).round(6)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_ngram_containment(sf_dir: str) -> str:
+    return """WITH g AS (
+  SELECT DISTINCT doc_id, lang, substr(text, CAST(i AS INTEGER), 5) AS gm
+  FROM (SELECT doc_id, lang, text, unnest(range(1, length(text) - 3)) AS i
+        FROM documents WHERE length(text) >= 5)
+),
+s AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS c FROM g GROUP BY doc_id),
+x AS (
+  SELECT a.doc_id AS id_from, b.doc_id AS id_to,
+         CAST(count(*) AS DOUBLE) AS inter
+  FROM g a JOIN g b ON a.gm = b.gm AND a.lang = b.lang
+                   AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT x.id_from, x.id_to, round(x.inter / sa.c, 6) AS containment
+FROM x JOIN s sa ON sa.doc_id = x.id_from
+WHERE x.inter / sa.c >= 0.6"""
+
+
+def q_robust_scale(sf_dir: str):
+    """Per-language robust standardization of doc length —
+    (x - median) / IQR with quantile_cont-parity interpolated quartiles
+    (stages/scan.py:grouped_robust_scale; quartiles AND join-back inside
+    ONE co-partition shuffle)."""
+    from ..stages.scan import grouped_robust_scale
+    docs = _rpc(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "lang", "n_chars"])
+    out = grouped_robust_scale(docs, "lang", "n_chars")
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "lang": df["lang"],
+            "robust_z": df["robust_z"].astype(np.float64).round(6)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_robust_scale(sf_dir: str) -> str:
+    return """WITH s AS (
+  SELECT lang,
+         quantile_cont(n_chars, 0.25) AS q1,
+         quantile_cont(n_chars, 0.5) AS med,
+         quantile_cont(n_chars, 0.75) AS q3
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang,
+       round(CASE WHEN s.q3 - s.q1 = 0 THEN 0.0
+                  ELSE (d.n_chars - s.med) / (s.q3 - s.q1) END, 6)
+         AS robust_z
+FROM documents d JOIN s USING (lang)"""
+
+
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic training-epoch permutation: 1-based shuffle position
+    under ORDER BY (splitmix64(doc_id XOR seed_mix(epoch)), doc_id)
+    (stages/sampling.py:epoch_shuffle — stateless hash map + the
+    prefix-scan row_number; one distributed sort, no driver collect)."""
+    from ..stages.sampling import epoch_shuffle
+    docs = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    out = epoch_shuffle(docs, "doc_id", epoch=3)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "shuffle_pos": df["shuffle_pos"].astype(np.int64)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_epoch_shuffle(sf_dir: str) -> str:
+    return f"""SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY {_sql_sample_hash(3)}, doc_id)
+            AS BIGINT) AS shuffle_pos
+FROM documents"""
+
+
+def q_compression_ratio(sf_dir: str):
+    """DEFLATE compression-ratio quality signal per document
+    (stages/textstats.py:add_compression_ratio — zero-shuffle stateless
+    pass; zlib is not expressible in SQL, so this entry is rows-only and
+    its value parity is pinned by pytest against direct zlib)."""
+    from ..stages.textstats import add_compression_ratio
+    docs = _rpc(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text"])
+    out = add_compression_ratio(docs)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "compression_ratio":
+                df["compression_ratio"].astype(np.float64)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+
 def build_queries() -> dict:
     return {
         # Ordered for driver evidence rotation (r5): the driver snapshots the
@@ -4280,6 +4455,13 @@ def build_queries() -> dict:
         "sketch_stats": q_sketch_stats,
         "lang_quality": q_lang_quality,
         "media_features": q_media_features,
+        # --- r5-new operators (first driver check this round) ---
+        "event_rank": q_event_rank,
+        "table_fingerprint": q_table_fingerprint,
+        "ngram_containment": q_ngram_containment,
+        "robust_scale": q_robust_scale,
+        "epoch_shuffle": q_epoch_shuffle,
+        "compression_ratio": q_compression_ratio,
         "numeric_band": q_numeric_band,
         "embedding_dup": q_embedding_dup,
         "bigram_candidates": q_bigram_candidates,
@@ -4366,6 +4548,11 @@ def build_queries() -> dict:
 def build_oracle_sql() -> dict:
     path = ensure_transcripts(_ORACLE_SF_DIR)
     return {
+        "event_rank": sql_event_rank(_ORACLE_SF_DIR),
+        "table_fingerprint": sql_table_fingerprint(_ORACLE_SF_DIR),
+        "ngram_containment": sql_ngram_containment(_ORACLE_SF_DIR),
+        "robust_scale": sql_robust_scale(_ORACLE_SF_DIR),
+        "epoch_shuffle": sql_epoch_shuffle(_ORACLE_SF_DIR),
         "normalize_turns": sql_normalize_turns(path),
         "conv_records": sql_conv_records(path),
         "block_sizes": sql_block_sizes(path),

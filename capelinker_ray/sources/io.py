@@ -18,7 +18,7 @@ TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 __all__ = ["TRANSCRIPT_COLUMNS", "read_transcripts", "read_table",
            "read_labeled_pairs", "read_jsonl", "write_partitioned",
-           "adaptive_partitions", "read_parquet_clean"]
+           "adaptive_partitions", "read_parquet_clean", "read_ipc", "write_ipc"]
 
 
 def _clean_schema(path: str):
@@ -116,3 +116,67 @@ def read_labeled_pairs(path: str, **kwargs):
 def write_partitioned(ds, path: str, **kwargs) -> None:
     """Partitioned Parquet sink: one file per block (resumable layout)."""
     ds.write_parquet(path, **kwargs)
+
+
+def read_ipc(path: str, *, columns: list[str] | None = None):
+    """Arrow IPC (Feather v2 / RecordBatch file) source — the zero-copy
+    interchange format between Arrow-native engines. ``path``: one
+    ``.arrow``/``.feather`` file or a directory of them.
+
+    Scale shape: Ray Data has no native IPC reader, so this maps the
+    FILE LIST (not the bytes) through a stateless decode task — each task
+    memory-maps its own file and projects ``columns`` before the data
+    enters the object store (same prune-at-the-read contract as
+    ``read_parquet_clean``). One file = one decode task = one-or-more
+    blocks; a directory of shards parallelizes like any other source."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    if os.path.isdir(path):
+        files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                       if f.endswith((".arrow", ".feather", ".ipc")))
+    else:
+        files = [path]
+    if not files:
+        raise FileNotFoundError(f"no IPC files under {path}")
+
+    def decode(batch: dict) -> pa.Table:
+        tables = []
+        for p in batch["path"]:
+            with pa.memory_map(str(p)) as src:
+                t = ipc.open_file(src).read_all()
+            if columns is not None:
+                t = t.select(columns)
+            tables.append(t.combine_chunks())
+        out = pa.concat_tables(tables)
+        return out.replace_schema_metadata(None)
+
+    return (rd.from_items([{"path": f} for f in files])
+            .map_batches(decode, batch_size=1, batch_format="numpy"))
+
+
+def write_ipc(ds, path: str) -> list[str]:
+    """Arrow IPC sink: one ``.arrow`` file per block under ``path``
+    (resumable partitioned layout, like the Parquet sink). Returns the
+    written file paths. Blocks stream through a per-batch writer task —
+    nothing materializes on the driver."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        import uuid
+        fn = os.path.join(path, f"part-{uuid.uuid4().hex}.arrow")
+        with ipc.new_file(fn, t.schema) as w:
+            w.write_table(t)
+        return pa.table({"path": pa.array([fn], pa.string()),
+                         "rows": pa.array([len(t)], pa.int64())})
+
+    manifest = ds.map_batches(write_block, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    return sorted(manifest["path"].tolist())

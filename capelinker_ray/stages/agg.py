@@ -490,3 +490,59 @@ def expected_calibration_error(cal_df) -> float:
     if not n:
         return 0.0
     return float((df["n"] / n * df["gap"]).sum())
+
+
+def table_fingerprint(ds, key_col: str, mix_col: str | None = None, *,
+                      buckets: int = 64):
+    """Order-independent bucketed table checksum — the Merkle-style
+    cheap-comparison primitive for replica / before-after table diffs at
+    scale: two tables are (per bucket) identical iff their fingerprints
+    match, and a mismatch localizes to ~1/``buckets`` of the keyspace so
+    only that slice needs a row-level diff.
+
+    Per row: ``h = splitmix64(splitmix64(key) XOR mix)`` (the engine hash,
+    SQL twin in pipelines/queries._sql_splitmix64); bucket = key mod
+    ``buckets``; fingerprint = wrap-around uint64 SUM of h over the
+    bucket (commutative + associative -> order-independent and
+    mergeable). Returns Dataset[(bucket, fp hex-string, n)].
+
+    Scale shape: every batch collapses to <= ``buckets`` fixed-width
+    partial rows (np.add.at uint64 accumulate — native modulo-2^64
+    wraparound), one single-task merge over #batches x buckets partials;
+    no sort shuffle, nothing proportional to the table ever moves."""
+    from .dedup import _splitmix64
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"bucket": pd.Series(dtype=np.int64),
+                                 "_fp": pd.Series(dtype=np.uint64),
+                                 "n": pd.Series(dtype=np.int64)})
+        k = df[key_col].to_numpy(np.int64).astype(np.uint64)
+        h = _splitmix64(k)
+        if mix_col is not None:
+            h = _splitmix64(h ^ df[mix_col].to_numpy(np.int64)
+                            .astype(np.uint64))
+        b = (df[key_col].to_numpy(np.int64) % buckets).astype(np.int64)
+        acc = np.zeros(buckets, np.uint64)
+        np.add.at(acc, b, h)                   # wraps mod 2^64
+        cnt = np.bincount(b, minlength=buckets)
+        nz = cnt > 0
+        return pd.DataFrame({"bucket": np.arange(buckets)[nz],
+                             "_fp": acc[nz], "n": cnt[nz]})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(buckets, np.uint64)
+        np.add.at(acc, df["bucket"].to_numpy(np.int64),
+                  df["_fp"].to_numpy(np.uint64))
+        cnt = np.zeros(buckets, np.int64)
+        np.add.at(cnt, df["bucket"].to_numpy(np.int64),
+                  df["n"].to_numpy(np.int64))
+        nz = cnt > 0
+        return pd.DataFrame({
+            "bucket": np.arange(buckets)[nz],
+            "fp": [f"{int(v):016x}" for v in acc[nz]],  # <= buckets rows
+            "n": cnt[nz]})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.repartition(1).map_batches(merge, batch_format="pandas",
+                                               batch_size=None)

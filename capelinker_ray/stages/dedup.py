@@ -25,7 +25,7 @@ __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_dedup",
     "simhash_signatures", "simhash_dup_pairs", "ngram_jaccard_pairs",
     "embedding_dup_pairs", "segment_dedup", "semantic_dedup",
-    "incremental_dedup",
+    "incremental_dedup", "ngram_containment_pairs",
 ]
 
 
@@ -1503,3 +1503,78 @@ def incremental_dedup(new_ds, frozen_ds, *, key_col: str = "text",
         return df.loc[idx]
 
     return grouped_map(fresh, key_col, keep_first)
+
+
+def ngram_containment_pairs(ds, *, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            block_col: str | None = None, n: int = 5,
+                            threshold: float = 0.8,
+                            unblocked_cap: int = 20_000,
+                            input_partitions: int | str | None = "auto"):
+    """DIRECTIONAL n-gram containment pairs: ``C(A -> B) = |grams(A) ∩
+    grams(B)| / |grams(A)|`` — the asymmetric near-dup signal Jaccard
+    misses (a short doc quoted wholesale inside a long one has high
+    containment but low Jaccard; cf. the subset/superset discussion in
+    Lee et al. 2022 and Broder's resemblance-vs-containment distinction,
+    both public). Emits ORDERED rows (id_from = the contained doc,
+    id_to = the container, containment) for distinct-doc pairs at
+    ``threshold``; both directions can fire independently.
+
+    Same scale contract as :func:`ngram_jaccard_pairs`: exact within
+    ``block_col`` blocks co-partitioned via grouped_map (ONE shuffle,
+    intersections from one vectorized self-merge of the (doc, shingle)
+    table per block — no Python pair loop); unblocked inputs above
+    ``unblocked_cap`` raise rather than run a silent global quadratic."""
+    from .grouped import grouped_map
+    ds = _widen(ds, input_partitions)
+
+    def _pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy(np.int64)
+        hashes, docs, sizes = [], [], np.zeros(len(ids), np.int64)
+        for i, s in enumerate(g[text_col].fillna("")):
+            h = _shingle_hashes(s, n)      # already DISTINCT (np.unique)
+            sizes[i] = len(h)
+            if len(h):
+                hashes.append(h.astype(np.int64))
+                docs.append(np.full(len(h), i, np.int64))
+        empty = pd.DataFrame({"id_from": pd.Series(dtype=np.int64),
+                              "id_to": pd.Series(dtype=np.int64),
+                              "containment": pd.Series(dtype=np.float64)})
+        if not hashes:
+            return empty
+        sh = pd.DataFrame({"h": np.concatenate(hashes),
+                           "d": np.concatenate(docs)})
+        m = sh.merge(sh, on="h")
+        m = m[m["d_x"] != m["d_y"]]                   # ordered, no self
+        if not len(m):
+            return empty
+        inter = (m.groupby(["d_x", "d_y"], sort=False).size()
+                 .rename("inter").reset_index())
+        i_, j_ = inter["d_x"].to_numpy(), inter["d_y"].to_numpy()
+        iv = inter["inter"].to_numpy(np.float64)
+        cont = iv / np.maximum(sizes[i_], 1)          # |from| denominator
+        keep = cont >= threshold
+        return pd.DataFrame({"id_from": ids[i_[keep]],
+                             "id_to": ids[j_[keep]],
+                             "containment": cont[keep]})
+
+    if block_col is not None:
+        def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+            frames = [_pairs_in_block(g)
+                      for _, g in part.groupby(block_col, sort=False)]
+            return (pd.concat(frames, ignore_index=True) if frames
+                    else _pairs_in_block(part.head(0)))
+        return grouped_map(ds, block_col, per_partition)
+
+    n_rows = ds.count()
+    if n_rows > unblocked_cap:
+        raise ValueError(
+            f"unblocked exact n-gram containment over {n_rows} rows is "
+            f"O(n²); pass block_col=... (cap: {unblocked_cap})")
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_blk"] = 0
+        return df
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    return grouped_map(tagged, "_blk", lambda part: _pairs_in_block(part))

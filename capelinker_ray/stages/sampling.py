@@ -288,3 +288,33 @@ def mixture_sample(ds, id_col: str, group_col: str, rates: dict,
         return typed_or_empty(df[is_full | (h < t)])
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def epoch_shuffle(ds, id_col: str, epoch: int,
+                  out_col: str = "shuffle_pos"):
+    """Deterministic global training-epoch shuffle: every row gets a
+    1-based position under the pseudorandom permutation ``order by
+    (splitmix64(id XOR seed_mix(epoch)), id)`` — rerunning the same
+    (corpus, epoch) reproduces the exact order, different epochs
+    decorrelate, and downstream shard packing (``pack_by_budget``) can
+    consume the position column directly.
+
+    Scale shape: the hash is a stateless per-batch map; the position is
+    the prefix-scan :func:`~capelinker_ray.stages.scan.row_number` (one
+    distributed sort — the unavoidable all-to-all of a true global
+    shuffle — plus a #blocks-scalar scan; no driver materialization)."""
+    import pandas as pd
+
+    from .scan import row_number
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        h = sample_hash(df[id_col].to_numpy(np.int64), epoch)
+        # uint64 order == int64-bit-pattern order only for < 2^63; keep
+        # the full width by sorting on the uint64 value as two int64
+        # halves is overkill here — Arrow sorts uint64 natively, so ship
+        # the hash as uint64 and let the sort use it directly
+        return df.assign(_ekey=h)
+
+    out = row_number(ds.map_batches(add_key, batch_format="pandas"),
+                     order_by=["_ekey", id_col], out_col=out_col)
+    return out.drop_columns(["_ekey"])

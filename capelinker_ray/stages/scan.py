@@ -450,3 +450,88 @@ def winsorize(ds, col: str, *, lower_q: float = 0.01,
                                pa.array(np.clip(v, lo, hi), pa.float64()))
 
     return ds.map_batches(clip, batch_format="pyarrow"), lo, hi
+
+
+def grouped_rank(ds, key_col: str, col: str, *, ascending: bool = True,
+                 rank_col: str = "rank", dense_col: str = "dense_rank"):
+    """SQL ``rank()`` and ``dense_rank()`` ``OVER (PARTITION BY key ORDER
+    BY col)`` in one pass — the window-family sibling of
+    :func:`grouped_percent_rank`. Nulls rank LAST (DuckDB default ASC
+    NULLS LAST / DESC NULLS LAST). One co-partitioning shuffle,
+    vectorized pandas rank across every group of a partition."""
+    import pandas as pd
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            df = df.copy()
+            df[rank_col] = pd.Series(dtype=np.int64)
+            df[dense_col] = pd.Series(dtype=np.int64)
+            return df
+        df = df.copy()
+        g = df.groupby(key_col, sort=False)[col]
+        df[rank_col] = g.rank(method="min", ascending=ascending,
+                              na_option="bottom").astype(np.int64)
+        df[dense_col] = g.rank(method="dense", ascending=ascending,
+                               na_option="bottom").astype(np.int64)
+        return df
+
+    from .grouped import grouped_map
+    return grouped_map(ds, key_col, per_partition)
+
+
+def grouped_robust_scale(ds, group_col: str, col: str,
+                         out_col: str = "robust_z"):
+    """Per-group robust standardization: ``(x - median) / IQR`` with
+    INTERPOLATED (``quantile_cont``) per-group quartiles — the
+    outlier-insensitive normalizer for per-language / per-source feature
+    columns (median/IQR shift less under heavy tails than mean/std).
+    Groups with IQR == 0 (or a single row) scale to 0. Null values pass
+    through as null.
+
+    Scale shape: ONE co-partitioning shuffle does everything — each
+    coarse partition holds complete groups, so the quartiles AND the
+    join-back happen in-partition with one vectorized sort (no second
+    shuffle, no driver collect)."""
+    import pandas as pd
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            df = df.copy()
+            df[out_col] = pd.Series(dtype=np.float64)
+            return df
+        df = df.copy()
+        valid = df[df[col].notna()]
+        out = np.full(len(df), np.nan)
+        if len(valid):
+            s = valid.sort_values([group_col, col], kind="stable")
+            g = s[group_col].to_numpy()
+            v = s[col].to_numpy(np.float64)
+            new = np.ones(len(s), dtype=bool)
+            new[1:] = g[1:] != g[:-1]
+            starts = np.nonzero(new)[0]
+            sizes = np.diff(np.append(starts, len(s)))
+
+            def interp(q: float) -> np.ndarray:
+                pos = q * (sizes - 1)                 # 0-based in-group
+                lo = np.floor(pos).astype(np.int64)
+                hi = np.ceil(pos).astype(np.int64)
+                frac = pos - lo
+                return (v[starts + lo]
+                        + frac * (v[starts + hi] - v[starts + lo]))
+
+            q1, med, q3 = interp(0.25), interp(0.5), interp(0.75)
+            iqr = q3 - q1
+            stats = pd.DataFrame({group_col: g[starts], "_med": med,
+                                  "_iqr": iqr})
+            j = df.merge(stats, on=group_col, how="left")
+            x = j[col].to_numpy(np.float64)
+            iq = j["_iqr"].to_numpy(np.float64)
+            md = j["_med"].to_numpy(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                z = np.where(iq > 0, (x - md) / iq, 0.0)
+            out = np.where(np.isnan(x), np.nan, z)
+        df[out_col] = out
+        return df
+
+    from .grouped import grouped_map
+    return grouped_map(ds, group_col, per_partition)

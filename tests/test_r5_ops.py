@@ -1,0 +1,137 @@
+"""Round-5 operators: rank windows, robust scaling, table fingerprint,
+n-gram containment, epoch shuffle, compression ratio, Arrow IPC I/O."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def test_grouped_rank_ties_and_nulls(ray_session):
+    from capelinker_ray.stages.scan import grouped_rank
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "a", "b", "b"],
+        "v": [3.0, 3.0, 1.0, np.nan, 2.0, 5.0],
+        "id": [1, 2, 3, 4, 5, 6]})
+    out = (grouped_rank(rd.from_pandas(df).repartition(3), "k", "v",
+                        ascending=False)
+           .to_pandas().set_index("id").sort_index())
+    # group a DESC: 3.0,3.0 -> rank 1,1; 1.0 -> rank 3 dense 2; NaN last
+    assert list(out.loc[[1, 2], "rank"]) == [1, 1]
+    assert list(out.loc[[1, 2], "dense_rank"]) == [1, 1]
+    assert out.loc[3, "rank"] == 3 and out.loc[3, "dense_rank"] == 2
+    assert out.loc[4, "rank"] == 4 and out.loc[4, "dense_rank"] == 3
+    assert out.loc[5, "rank"] == 2 and out.loc[6, "rank"] == 1
+
+
+def test_grouped_robust_scale_matches_numpy(ray_session):
+    from capelinker_ray.stages.scan import grouped_robust_scale
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"g": rng.choice(["x", "y", "z"], 200),
+                       "v": rng.normal(50, 10, 200).round(2),
+                       "id": np.arange(200)})
+    df.loc[5, "v"] = np.nan
+    out = (grouped_robust_scale(rd.from_pandas(df).repartition(7),
+                                "g", "v")
+           .to_pandas().set_index("id").sort_index())
+    for g, grp in df.groupby("g"):
+        vals = grp["v"].dropna().to_numpy()
+        q1, med, q3 = np.percentile(vals, [25, 50, 75])  # linear interp
+        iqr = q3 - q1
+        for i, v in zip(grp["id"], grp["v"]):
+            got = out.loc[i, "robust_z"]
+            if np.isnan(v):
+                assert np.isnan(got)
+            else:
+                want = (v - med) / iqr if iqr > 0 else 0.0
+                assert abs(got - want) < 1e-9, (g, i)
+
+
+def test_table_fingerprint_order_independent_and_sensitive(ray_session):
+    from capelinker_ray.stages.agg import table_fingerprint
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"k": np.arange(5000, dtype=np.int64),
+                       "m": rng.integers(0, 1000, 5000)})
+    a = (table_fingerprint(rd.from_pandas(df).repartition(4), "k", "m")
+         .to_pandas().sort_values("bucket").reset_index(drop=True))
+    shuffled = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    b = (table_fingerprint(rd.from_pandas(shuffled).repartition(9),
+                           "k", "m")
+         .to_pandas().sort_values("bucket").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)          # order/partition invariant
+    assert len(a) == 64 and a["n"].sum() == 5000
+    # single-row change flips exactly that key's bucket
+    df2 = df.copy()
+    df2.loc[123, "m"] += 1
+    c = (table_fingerprint(rd.from_pandas(df2), "k", "m")
+         .to_pandas().sort_values("bucket").reset_index(drop=True))
+    diff = a["fp"].to_numpy() != c["fp"].to_numpy()
+    assert diff.sum() == 1
+    assert a.loc[diff, "bucket"].iloc[0] == 123 % 64
+
+
+def test_ngram_containment_subset_doc(ray_session):
+    from capelinker_ray.stages.dedup import ngram_containment_pairs
+    short = "the quick brown fox jumps over the lazy dog"
+    long = "PREFIX " + short + " SUFFIX tail of unrelated material here"
+    other = "completely different content with nothing shared at all ok"
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": [short, long, other]})
+    out = (ngram_containment_pairs(rd.from_pandas(df), n=5, threshold=0.8)
+           .to_pandas())
+    pairs = set(map(tuple, out[["id_from", "id_to"]].to_numpy()))
+    assert (1, 2) in pairs                 # short contained in long
+    assert (2, 1) not in pairs             # long NOT contained in short
+    assert not any(3 in p for p in pairs)
+    c = out.set_index(["id_from", "id_to"]).loc[(1, 2), "containment"]
+    assert c > 0.9
+
+
+def test_epoch_shuffle_permutation_and_determinism(ray_session):
+    from capelinker_ray.stages.sampling import epoch_shuffle
+    df = pd.DataFrame({"doc_id": np.arange(1000, dtype=np.int64)})
+    a = (epoch_shuffle(rd.from_pandas(df).repartition(5), "doc_id", 1)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (epoch_shuffle(rd.from_pandas(df).repartition(2), "doc_id", 1)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)          # deterministic
+    assert sorted(a["shuffle_pos"]) == list(range(1, 1001))  # permutation
+    c = (epoch_shuffle(rd.from_pandas(df), "doc_id", 2)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (a["shuffle_pos"].to_numpy() != c["shuffle_pos"].to_numpy()).mean() > 0.9
+
+
+def test_compression_ratio_zlib_parity(ray_session):
+    import zlib
+    from capelinker_ray.stages.textstats import add_compression_ratio
+    texts = ["aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+             "The quick brown fox jumps over the lazy dog.",
+             "", None, "xyz"]
+    df = pd.DataFrame({"doc_id": range(5), "text": texts})
+    out = (add_compression_ratio(rd.from_pandas(df))
+           .to_pandas().set_index("doc_id").sort_index())
+    for i, t in enumerate(texts):
+        if isinstance(t, str) and t:
+            raw = t.encode()
+            want = round(len(zlib.compress(raw, 6)) / len(raw), 6)
+        else:
+            want = 1.0
+        assert abs(out.loc[i, "compression_ratio"] - want) < 1e-9, i
+    # repetitive text compresses far better than prose
+    assert (out.loc[0, "compression_ratio"]
+            < out.loc[1, "compression_ratio"] - 0.2)
+
+
+def test_ipc_roundtrip_and_column_prune(ray_session, tmp_path):
+    from capelinker_ray.sources.io import read_ipc, write_ipc
+    df = pd.DataFrame({"a": np.arange(100, dtype=np.int64),
+                       "b": [f"s{i}" for i in range(100)],
+                       "c": np.linspace(0, 1, 100)})
+    files = write_ipc(rd.from_pandas(df).repartition(4), str(tmp_path))
+    assert len(files) >= 1 and all(f.endswith(".arrow") for f in files)
+    back = read_ipc(str(tmp_path)).to_pandas().sort_values("a")\
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, df)
+    pruned = read_ipc(str(tmp_path), columns=["a"])
+    assert pruned.schema().names == ["a"]
+    assert pruned.count() == 100
