@@ -4409,6 +4409,34 @@ def q_compression_ratio(sf_dir: str):
 
 
 
+def q_orders_diff_pruned(sf_dir: str):
+    """Bucket-pruned snapshot diff (stages/cdc.py fingerprint_diff): the
+    orders_diff mutation reconciled via per-bucket fingerprint comparison
+    first — only dirty buckets' rows enter the row-level diff shuffle
+    (the 100-TB almost-identical-replica shape). Output identical to
+    q_orders_diff; the oracle is the same FULL OUTER JOIN."""
+    from ..stages.cdc import fingerprint_diff
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    base = _rpc(f"{sf_dir}/orders.parquet", columns=cols)
+
+    def mk_v2(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["o_orderkey"] % 17 != 0].copy()
+        bump = (keep["o_orderkey"] % 13 == 0).to_numpy()
+        keep.loc[bump, "o_totalprice"] = keep.loc[bump, "o_totalprice"] \
+            + 10.0
+        add = df[df["o_orderkey"] % 19 == 0].copy()
+        add["o_orderkey"] = add["o_orderkey"] + 100_000_000
+        return pd.concat([keep, add], ignore_index=True)
+
+    v2 = _rpc(f"{sf_dir}/orders.parquet", columns=cols).map_batches(
+        mk_v2, batch_format="pandas")
+    return fingerprint_diff(base, v2, "o_orderkey", buckets=256)
+
+
+def sql_orders_diff_pruned(sf_dir: str) -> str:
+    return sql_orders_diff(sf_dir)
+
+
 def build_queries() -> dict:
     return {
         # Ordered for driver evidence rotation (r5): the driver snapshots the
@@ -4462,6 +4490,7 @@ def build_queries() -> dict:
         "robust_scale": q_robust_scale,
         "epoch_shuffle": q_epoch_shuffle,
         "compression_ratio": q_compression_ratio,
+        "orders_diff_pruned": q_orders_diff_pruned,
         "numeric_band": q_numeric_band,
         "embedding_dup": q_embedding_dup,
         "bigram_candidates": q_bigram_candidates,
@@ -4549,6 +4578,7 @@ def build_oracle_sql() -> dict:
     path = ensure_transcripts(_ORACLE_SF_DIR)
     return {
         "event_rank": sql_event_rank(_ORACLE_SF_DIR),
+        "orders_diff_pruned": sql_orders_diff_pruned(_ORACLE_SF_DIR),
         "table_fingerprint": sql_table_fingerprint(_ORACLE_SF_DIR),
         "ngram_containment": sql_ngram_containment(_ORACLE_SF_DIR),
         "robust_scale": sql_robust_scale(_ORACLE_SF_DIR),

@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 
 __all__ = ["compact_latest", "snapshot_diff", "apply_changes",
-           "scd2_intervals"]
+           "scd2_intervals", "fingerprint_diff"]
 
 
 def compact_latest(ds, key_cols, ts_col: str, *,
@@ -215,3 +215,86 @@ def scd2_intervals(changes, key_cols, ts_col: str, *,
     from .grouped import grouped_map
     return grouped_map(changes, key_cols, per_part,
                        num_partitions=num_partitions)
+
+
+def fingerprint_diff(old, new, key_cols, *, compare_cols=None,
+                     buckets: int = 256, num_partitions: int | None = None):
+    """Bucket-pruned snapshot diff — :func:`snapshot_diff` for the
+    100-TB replica-reconciliation case where the two tables are ALMOST
+    identical: first compare per-bucket fingerprints (key-hash buckets,
+    wrap-around uint64 sums of a full-row hash — two ≤ ``buckets``-row
+    collects), then run the row-level diff ONLY over the mismatched
+    buckets. With change rate r and B buckets, the diff shuffle carries
+    ~min(1, r·B)/1 of the table instead of all of it — a daily ingest
+    touching 0.1% of keys with B=256 ships ~23% of rows; B=4096 ships
+    ~2%. Identical output to ``snapshot_diff`` (pruning is lossless:
+    a differing/added/removed row changes its bucket's (fp, n) on one
+    side — equal-sum hash collisions aside, 2^-64-scale).
+
+    Buckets are keyed on the KEY hash (not content), so the same key
+    lands in the same bucket on both sides. ``include_unchanged`` is
+    deliberately unsupported: unchanged rows inside a dirty bucket would
+    be emitted while those in clean buckets are pruned away.
+    ``fingerprint_diff.last_clean_buckets`` records how many buckets the
+    prune skipped (observability for tests and ops)."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    from .dedup import _splitmix64
+    from .grouped import key_hash
+
+    old_cols = old.schema().names
+    new_cols = new.schema().names
+    if compare_cols is None:
+        compare_cols = [c for c in old_cols
+                        if c in set(new_cols) and c not in key_cols]
+    compare_cols = list(compare_cols)
+
+    def fp_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"bucket": pd.Series(dtype=np.int64),
+                                 "_fp": pd.Series(dtype=np.uint64),
+                                 "n": pd.Series(dtype=np.int64)})
+        b = (key_hash(df, key_cols) % np.uint64(buckets)).astype(np.int64)
+        rh = _splitmix64(key_hash(df, key_cols + compare_cols))
+        acc = np.zeros(buckets, np.uint64)
+        np.add.at(acc, b, rh)
+        cnt = np.bincount(b, minlength=buckets)
+        nz = cnt > 0
+        return pd.DataFrame({"bucket": np.arange(buckets)[nz],
+                             "_fp": acc[nz], "n": cnt[nz]})
+
+    def fp_merge(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(buckets, np.uint64)
+        np.add.at(acc, df["bucket"].to_numpy(np.int64),
+                  df["_fp"].to_numpy(np.uint64))
+        cnt = np.zeros(buckets, np.int64)
+        np.add.at(cnt, df["bucket"].to_numpy(np.int64),
+                  df["n"].to_numpy(np.int64))
+        return pd.DataFrame({"bucket": np.arange(buckets),
+                             "_fp": acc, "n": cnt})
+
+    def side_fp(ds) -> pd.DataFrame:
+        return (ds.map_batches(fp_partial, batch_format="pandas")
+                .repartition(1)
+                .map_batches(fp_merge, batch_format="pandas",
+                             batch_size=None)
+                .to_pandas().set_index("bucket").sort_index())
+
+    fo, fn_ = side_fp(old), side_fp(new)
+    dirty = ((fo["_fp"].to_numpy() != fn_["_fp"].to_numpy())
+             | (fo["n"].to_numpy() != fn_["n"].to_numpy()))
+    dirty_set = frozenset(np.arange(buckets)[dirty].tolist())
+    fingerprint_diff.last_clean_buckets = int(buckets - len(dirty_set))
+
+    def keep_dirty(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        b = (key_hash(df, key_cols) % np.uint64(buckets)).astype(np.int64)
+        return df[pd.Series(b).isin(dirty_set).to_numpy()]
+
+    from .grouped import typed_or_empty
+    o2 = old.map_batches(lambda d: typed_or_empty(keep_dirty(d)),
+                         batch_format="pandas")
+    n2 = new.map_batches(lambda d: typed_or_empty(keep_dirty(d)),
+                         batch_format="pandas")
+    return snapshot_diff(o2, n2, key_cols, compare_cols=compare_cols,
+                         num_partitions=num_partitions)

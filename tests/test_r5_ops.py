@@ -135,3 +135,29 @@ def test_ipc_roundtrip_and_column_prune(ray_session, tmp_path):
     pruned = read_ipc(str(tmp_path), columns=["a"])
     assert pruned.schema().names == ["a"]
     assert pruned.count() == 100
+
+
+def test_fingerprint_diff_matches_snapshot_diff_and_prunes(ray_session):
+    from capelinker_ray.stages.cdc import fingerprint_diff, snapshot_diff
+    rng = np.random.default_rng(17)
+    base = pd.DataFrame({"k": np.arange(20000, dtype=np.int64),
+                         "a": rng.integers(0, 100, 20000),
+                         "b": rng.normal(size=20000).round(3)})
+    v2 = base.copy()
+    v2.loc[v2["k"] % 997 == 0, "a"] += 1            # ~20 changed keys
+    v2 = v2[v2["k"] != 5]                           # 1 removed
+    v2 = pd.concat([v2, pd.DataFrame({"k": [99999], "a": [1],
+                                      "b": [0.0]})], ignore_index=True)
+    ol, nw = rd.from_pandas(base).repartition(5), \
+        rd.from_pandas(v2).repartition(3)
+    want = (snapshot_diff(ol, nw, "k").to_pandas()
+            .sort_values("k").reset_index(drop=True))
+    got = (fingerprint_diff(ol, nw, "k", buckets=256).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    # ~22 dirty keys over 256 buckets: most buckets must be pruned clean
+    assert fingerprint_diff.last_clean_buckets > 200
+    # identical snapshots -> zero dirty buckets, empty diff
+    same = fingerprint_diff(ol, rd.from_pandas(base), "k", buckets=64)
+    assert same.count() == 0
+    assert fingerprint_diff.last_clean_buckets == 64
