@@ -303,18 +303,18 @@ def epoch_shuffle(ds, id_col: str, epoch: int,
     the prefix-scan :func:`~capelinker_ray.stages.scan.row_number` (one
     distributed sort — the unavoidable all-to-all of a true global
     shuffle — plus a #blocks-scalar scan; no driver materialization)."""
-    import pandas as pd
+    import pyarrow as pa
 
     from .scan import row_number
 
-    def add_key(df: pd.DataFrame) -> pd.DataFrame:
-        h = sample_hash(df[id_col].to_numpy(np.int64), epoch)
-        # uint64 order == int64-bit-pattern order only for < 2^63; keep
-        # the full width by sorting on the uint64 value as two int64
-        # halves is overkill here — Arrow sorts uint64 natively, so ship
-        # the hash as uint64 and let the sort use it directly
-        return df.assign(_ekey=h)
+    def add_key(t: pa.Table) -> pa.Table:
+        # Arrow in/out (zero-copy from the read, no pandas metadata on
+        # the sort's blocks); Arrow sorts uint64 natively so the hash
+        # ships at full 64-bit width
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = sample_hash(ids, epoch)
+        return t.append_column("_ekey", pa.array(h, pa.uint64()))
 
-    out = row_number(ds.map_batches(add_key, batch_format="pandas"),
+    out = row_number(ds.map_batches(add_key, batch_format="pyarrow"),
                      order_by=["_ekey", id_col], out_col=out_col)
     return out.drop_columns(["_ekey"])
