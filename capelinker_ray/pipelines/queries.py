@@ -4437,6 +4437,68 @@ def sql_orders_diff_pruned(sf_dir: str) -> str:
     return sql_orders_diff(sf_dir)
 
 
+def q_grouped_heavy_hitters(sf_dir: str):
+    """Per-language phi-frequent tokens with EXACT counts
+    (stages/sketch.py grouped_heavy_hitters — per-group Misra-Gries
+    partials, in-partition candidate floors, exact broadcast recount;
+    driver holds only candidates + per-group totals)."""
+    from ..stages.sketch import grouped_heavy_hitters
+    docs = _rpc(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    out = grouped_heavy_hitters(docs, "lang", "text", phi=0.005,
+                                tokenize=True)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lang": df["lang"], "token": df["token"],
+                             "n": df["n"].astype(np.int64)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_grouped_heavy_hitters(sf_dir: str) -> str:
+    return """WITH t AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+t2 AS (SELECT lang, tok FROM t WHERE tok <> ''),
+tot AS (SELECT lang, count(*) AS n FROM t2 GROUP BY lang),
+c AS (SELECT lang, tok, count(*) AS n FROM t2 GROUP BY 1, 2)
+SELECT c.lang, c.tok AS token, CAST(c.n AS BIGINT) AS n
+FROM c JOIN tot USING (lang)
+WHERE c.n >= ceil(0.005 * tot.n)"""
+
+
+def q_lineitem_cube(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus) sums — all 4 grouping
+    sets with SQL GROUPING_ID parity (stages/agg.py cube_sum: finest
+    partials, every set derived in the ONE merge task)."""
+    from ..stages.agg import cube_sum
+    li = _rpc(f"{sf_dir}/lineitem.parquet",
+              columns=["l_returnflag", "l_linestatus", "l_quantity",
+                       "l_extendedprice"])
+    out = cube_sum(li, ["l_returnflag", "l_linestatus"],
+                   ["l_quantity", "l_extendedprice"], size_col="n_rows")
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"].fillna(""),
+            "l_linestatus": df["l_linestatus"].fillna(""),
+            "sum_qty": df["l_quantity"].round(2),
+            "sum_price": df["l_extendedprice"].round(2),
+            "n_rows": df["n_rows"].astype(np.int64),
+            "grouping_id": df["grouping_id"].astype(np.int64)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_lineitem_cube(sf_dir: str) -> str:
+    return """SELECT coalesce(l_returnflag, '') AS l_returnflag,
+       coalesce(l_linestatus, '') AS l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+         AS grouping_id
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)"""
+
+
 def build_queries() -> dict:
     return {
         # Ordered for driver evidence rotation (r5): the driver snapshots the
@@ -4491,6 +4553,8 @@ def build_queries() -> dict:
         "epoch_shuffle": q_epoch_shuffle,
         "compression_ratio": q_compression_ratio,
         "orders_diff_pruned": q_orders_diff_pruned,
+        "grouped_heavy_hitters": q_grouped_heavy_hitters,
+        "lineitem_cube": q_lineitem_cube,
         "numeric_band": q_numeric_band,
         "embedding_dup": q_embedding_dup,
         "bigram_candidates": q_bigram_candidates,
@@ -4578,6 +4642,8 @@ def build_oracle_sql() -> dict:
     path = ensure_transcripts(_ORACLE_SF_DIR)
     return {
         "event_rank": sql_event_rank(_ORACLE_SF_DIR),
+        "grouped_heavy_hitters": sql_grouped_heavy_hitters(_ORACLE_SF_DIR),
+        "lineitem_cube": sql_lineitem_cube(_ORACLE_SF_DIR),
         "orders_diff_pruned": sql_orders_diff_pruned(_ORACLE_SF_DIR),
         "table_fingerprint": sql_table_fingerprint(_ORACLE_SF_DIR),
         "ngram_containment": sql_ngram_containment(_ORACLE_SF_DIR),

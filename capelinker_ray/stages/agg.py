@@ -546,3 +546,66 @@ def table_fingerprint(ds, key_col: str, mix_col: str | None = None, *,
     partials = ds.map_batches(partial, batch_format="pandas")
     return partials.repartition(1).map_batches(merge, batch_format="pandas",
                                                batch_size=None)
+
+
+def cube_sum(ds, keys: list[str], sum_cols: list[str], *,
+             size_col: str | None = None):
+    """``GROUP BY CUBE(k1, .., km)`` sums: ALL 2^m grouping-set
+    combinations (not just the rollup's m+1 prefixes), rolled-up key
+    columns NULL, SQL GROUPING_ID bitmask (bit set = key rolled up,
+    first key most significant).
+
+    Same distributed shape as :func:`rollup_sum`: finest-level per-batch
+    partials + ONE merge task that derives every grouping set from the
+    finest aggregate — raw rows never shuffle, never re-aggregate per
+    set. 2^m sets over the finest table is driver-free and bounded by
+    the low-cardinality contract (m is small by construction: a cube
+    over high-cardinality keys is a cross-product explosion in ANY
+    engine)."""
+    keys = list(keys)
+    m = len(keys)
+    if m > 6:
+        raise ValueError(f"cube over {m} keys = {2**m} grouping sets; "
+                         "keep m <= 6")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, dropna=False)
+        out = g[sum_cols].sum()
+        if size_col is not None:
+            out[size_col] = g.size()
+        out = out.reset_index()
+        if len(out) > _MAX_SMALL_KEYS:
+            raise ValueError(
+                f"cube_sum saw {len(out)} distinct keys in one batch; "
+                f"cube requires low-cardinality keys")
+        return out
+
+    cols = sum_cols + ([size_col] if size_col else [])
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        finest = (df.groupby(keys, sort=False, dropna=False)[cols]
+                  .sum().reset_index())
+        frames = []
+        for mask in range(2 ** m):           # bit set = key rolled up
+            kept = [keys[i] for i in range(m) if not (mask >> (m - 1 - i)) & 1]
+            if not kept:
+                f = finest[cols].sum().to_frame().T
+            elif len(kept) == m:
+                f = finest.copy()
+            else:
+                f = (finest.groupby(kept, sort=False, dropna=False)[cols]
+                     .sum().reset_index())
+            for kk in keys:
+                if kk not in kept:
+                    f[kk] = None
+            f["grouping_id"] = mask
+            frames.append(f[keys + cols + ["grouping_id"]])
+        out = pd.concat(frames, ignore_index=True)
+        if size_col is not None:
+            out[size_col] = out[size_col].astype(np.int64)
+        out["grouping_id"] = out["grouping_id"].astype(np.int64)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.repartition(1).map_batches(merge, batch_format="pandas",
+                                               batch_size=None)

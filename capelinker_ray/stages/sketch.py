@@ -37,7 +37,7 @@ from .textstats import fnv1a_64
 
 __all__ = ["approx_distinct", "approx_distinct_by", "approx_quantiles",
            "heavy_hitters",
-           "count_min", "count_min_estimate", "CountMinSketch"]
+           "count_min", "count_min_estimate", "CountMinSketch", "grouped_heavy_hitters"]
 
 
 def _hash_column(vals: np.ndarray) -> np.ndarray:
@@ -365,3 +365,148 @@ def count_min_estimate(sk: CountMinSketch, values) -> np.ndarray:
     column had) against a built sketch."""
     v = np.asarray(values, dtype=object)
     return sk.estimate_hashed(_hash_column(v))
+
+
+def grouped_heavy_hitters(ds, group_col: str, col: str, *,
+                          phi: float = 0.01, sketch_size: int | None = None,
+                          tokenize: bool = True):
+    """PER-GROUP phi-heavy hitters with exact final counts — 'every
+    token above phi of its LANGUAGE's tokens' when the per-group key set
+    is too large to shuffle exactly. Same two-pass Misra-Gries shape as
+    :func:`heavy_hitters`, grouped:
+
+    1. per-batch, per-group MG sketch of ``B = max(64, ceil(4/phi))``
+       counters (the "" carrier row holds each group's batch total);
+       partials merge in ONE grouped_map keyed by ``group_col`` — each
+       partition owns complete groups, so the candidate floor
+       ``ceil(phi·total) - total/B`` is computed in-partition.
+    2. exact recount of the broadcast (group, token) candidate index,
+       filtered at each group's true threshold. The driver holds only
+       candidates + per-group totals: <= ~4/(3·phi) tokens per group —
+       bounded by #groups/phi, not by the corpus.
+
+    Returns Dataset[(group_col, token, n)] with EXACT n."""
+    import ray
+
+    if not (0.0 < phi < 1.0):
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    B = sketch_size or max(64, int(math.ceil(4.0 / phi)))
+    from .grouped import grouped_map
+
+    def explode(df: pd.DataFrame):
+        """(group, token) arrays for one batch, empties dropped."""
+        if tokenize:
+            words = df[col].where(df[col].notna(), "").str.split(" ")
+            lens = words.str.len().to_numpy(np.int64)
+            if not len(words) or not lens.sum():
+                e = np.empty(0, object)
+                return e, e
+            flat = np.concatenate(
+                [np.asarray(w, dtype=object) for w in words])
+            grp = np.repeat(df[group_col].to_numpy(dtype=object), lens)
+        else:
+            flat = df[col].to_numpy(dtype=object)
+            grp = df[group_col].to_numpy(dtype=object)
+            ok0 = pd.notna(flat)
+            flat, grp = flat[ok0], grp[ok0]
+        ok = flat != ""
+        return grp[ok], flat[ok]
+
+    def sketch_partial(df: pd.DataFrame) -> pd.DataFrame:
+        grp, flat = explode(df)
+        empty = pd.DataFrame({group_col: pd.Series(dtype=object),
+                              "token": pd.Series(dtype=object),
+                              "n": pd.Series(dtype=np.int64)})
+        if not len(flat):
+            return empty
+        t = pd.DataFrame({group_col: grp, "token": flat})
+        cnt = (t.groupby([group_col, "token"], sort=False).size()
+               .rename("n").reset_index())
+        frames = []
+        for g, sub in cnt.groupby(group_col, sort=False):
+            c = sub["n"].to_numpy(np.int64)
+            uniq = sub["token"].to_numpy(object)
+            total = int(c.sum())
+            if len(uniq) > B:
+                order = np.argsort(-c, kind="stable")
+                offset = c[order[B]]
+                keep = order[:B]
+                resid = c[keep] - offset
+                pos = resid > 0
+                uniq, c = uniq[keep][pos], resid[pos]
+            frames.append(pd.DataFrame({group_col: g, "token": uniq,
+                                        "n": c}))
+            frames.append(pd.DataFrame({group_col: [g], "token": [""],
+                                        "n": [total]}))
+        return pd.concat(frames, ignore_index=True)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        """Complete groups per partition: merged residuals + in-partition
+        candidate floor; emits candidates AND the per-group total row."""
+        tot = (df.groupby([group_col, "token"], sort=False)["n"]
+               .sum().reset_index())
+        totals = tot[tot["token"] == ""].set_index(group_col)["n"]
+        out = []
+        for g, sub in tot[tot["token"] != ""].groupby(group_col,
+                                                      sort=False):
+            total = int(totals.get(g, 0))
+            if total == 0:
+                continue
+            thresh = int(math.ceil(phi * total))
+            floor_n = max(1, thresh - total // B)
+            cand = sub[sub["n"] >= floor_n]
+            out.append(pd.DataFrame({group_col: cand[group_col],
+                                     "token": cand["token"],
+                                     "n": np.int64(0),
+                                     "thresh": np.int64(thresh)}))
+        if not out:
+            return pd.DataFrame({group_col: pd.Series(dtype=object),
+                                 "token": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64),
+                                 "thresh": pd.Series(dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    cand = grouped_map(ds.map_batches(sketch_partial,
+                                      batch_format="pandas"),
+                       group_col, combine).to_pandas()
+    if not len(cand):
+        import pyarrow as pa
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            group_col: pa.array([], pa.string()),
+            "token": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64())}))
+    idx = pd.MultiIndex.from_frame(cand[[group_col, "token"]])
+    thresh_by_pair = cand["thresh"].to_numpy(np.int64)
+    cand_ref = ray.put((idx, thresh_by_pair))
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        cidx, _ = ray.get(cand_ref)
+        grp, flat = explode(df)
+        empty = pd.DataFrame({group_col: pd.Series(dtype=object),
+                              "token": pd.Series(dtype=object),
+                              "n": pd.Series(dtype=np.int64)})
+        if not len(flat):
+            return empty
+        pos = cidx.get_indexer(
+            pd.MultiIndex.from_arrays([grp, flat]))
+        pos = pos[pos >= 0]
+        if not len(pos):
+            return empty
+        c = np.bincount(pos, minlength=len(cidx)).astype(np.int64)
+        hit = c > 0
+        return pd.DataFrame({
+            group_col: cidx.get_level_values(0).to_numpy(object)[hit],
+            "token": cidx.get_level_values(1).to_numpy(object)[hit],
+            "n": c[hit]})
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        cidx, th = ray.get(cand_ref)
+        tot = (df.groupby([group_col, "token"], sort=False)["n"]
+               .sum().reset_index())
+        pos = cidx.get_indexer(
+            pd.MultiIndex.from_frame(tot[[group_col, "token"]]))
+        return tot[tot["n"].to_numpy(np.int64) >= th[pos]]
+
+    return grouped_map(ds.map_batches(recount, batch_format="pandas"),
+                       [group_col, "token"], finalize)

@@ -161,3 +161,60 @@ def test_fingerprint_diff_matches_snapshot_diff_and_prunes(ray_session):
     same = fingerprint_diff(ol, rd.from_pandas(base), "k", buckets=64)
     assert same.count() == 0
     assert fingerprint_diff.last_clean_buckets == 64
+
+
+def test_grouped_heavy_hitters_exact_vs_bruteforce(ray_session):
+    from capelinker_ray.stages.sketch import grouped_heavy_hitters
+    rng = np.random.default_rng(23)
+    # skewed per-group token stream: zipf head + long random tail that
+    # overflows the sketch (B=64 at phi=0.05 -> forced evictions)
+    rows = []
+    for g in ("en", "fr"):
+        toks = (["the"] * 300 + ["of"] * 120 + ["and"] * 80
+                + [f"{g}_rare{i}" for i in rng.integers(0, 5000, 2000)])
+        rng.shuffle(toks)
+        for i in range(0, len(toks), 25):
+            rows.append({"lang": g, "text": " ".join(toks[i:i + 25])})
+    df = pd.DataFrame(rows)
+    phi = 0.05
+    got = (grouped_heavy_hitters(rd.from_pandas(df).repartition(7),
+                                 "lang", "text", phi=phi)
+           .to_pandas().sort_values(["lang", "token"])
+           .reset_index(drop=True))
+    # brute force
+    want_rows = []
+    for g, sub in df.groupby("lang"):
+        toks = " ".join(sub["text"]).split(" ")
+        toks = [t for t in toks if t]
+        import collections, math
+        c = collections.Counter(toks)
+        thr = math.ceil(phi * len(toks))
+        for t, n in sorted(c.items()):
+            if n >= thr:
+                want_rows.append({"lang": g, "token": t, "n": n})
+    want = (pd.DataFrame(want_rows).sort_values(["lang", "token"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"n": np.int64}), want.astype({"n": np.int64}))
+
+
+def test_cube_sum_all_grouping_sets(ray_session):
+    from capelinker_ray.stages.agg import cube_sum
+    df = pd.DataFrame({"a": ["x", "x", "y", None],
+                       "b": ["p", "q", "p", "p"],
+                       "v": [1.0, 2.0, 4.0, 8.0]})
+    out = (cube_sum(rd.from_pandas(df).repartition(2), ["a", "b"], ["v"],
+                    size_col="n")
+           .to_pandas())
+    assert len(out) == 4 + 3 + 2 + 1   # finest(incl None key) + a + b + total
+    total = out[out["grouping_id"] == 3]
+    assert float(total["v"].iloc[0]) == 15.0 and int(total["n"].iloc[0]) == 4
+    by_b = out[out["grouping_id"] == 2].set_index("b")  # a rolled up
+    assert float(by_b.loc["p", "v"]) == 13.0
+    assert float(by_b.loc["q", "v"]) == 2.0
+    by_a = out[out["grouping_id"] == 1].set_index("a")  # b rolled up
+    assert float(by_a.loc["x", "v"]) == 3.0
+    # NULL key at the finest level is a real group, distinct from rollup
+    finest = out[out["grouping_id"] == 0]
+    nk = finest[finest["a"].isna()]
+    assert len(nk) == 1 and float(nk["v"].iloc[0]) == 8.0
