@@ -4499,6 +4499,32 @@ FROM lineitem
 GROUP BY CUBE(l_returnflag, l_linestatus)"""
 
 
+def q_cooccurrence(sf_dir: str):
+    """Window-4 skip-gram co-occurrence counts
+    (stages/corpus_stats.py cooccurrence_counts — the word-embedding /
+    window-PMI counting pass; per-batch distinct-pair partials over all
+    window offsets, one Zipf-slim shuffle)."""
+    from ..stages.corpus_stats import cooccurrence_counts
+    docs = _rpc(f"{sf_dir}/documents.parquet", columns=["text"])
+    return cooccurrence_counts(docs, window=4, min_count=5)
+
+
+def sql_cooccurrence(sf_dir: str) -> str:
+    zips = "\nUNION ALL\n".join(
+        f"""  SELECT unnest(words[1:len(words) - {k}]) AS left_tok,
+         unnest(words[{k + 1}:len(words)]) AS right_tok
+  FROM w WHERE len(words) >= {k + 1}""" for k in range(1, 5))
+    return f"""WITH w AS (
+  SELECT string_split(coalesce(text, ''), ' ') AS words FROM documents
+),
+p AS (
+{zips}
+)
+SELECT left_tok, right_tok, CAST(count(*) AS BIGINT) AS n
+FROM p WHERE left_tok <> '' AND right_tok <> ''
+GROUP BY left_tok, right_tok HAVING count(*) >= 5"""
+
+
 def build_queries() -> dict:
     return {
         # Ordered for driver evidence rotation (r5): the driver snapshots the
@@ -4555,6 +4581,7 @@ def build_queries() -> dict:
         "orders_diff_pruned": q_orders_diff_pruned,
         "grouped_heavy_hitters": q_grouped_heavy_hitters,
         "lineitem_cube": q_lineitem_cube,
+        "cooccurrence": q_cooccurrence,
         "numeric_band": q_numeric_band,
         "embedding_dup": q_embedding_dup,
         "bigram_candidates": q_bigram_candidates,
@@ -4644,6 +4671,7 @@ def build_oracle_sql() -> dict:
         "event_rank": sql_event_rank(_ORACLE_SF_DIR),
         "grouped_heavy_hitters": sql_grouped_heavy_hitters(_ORACLE_SF_DIR),
         "lineitem_cube": sql_lineitem_cube(_ORACLE_SF_DIR),
+        "cooccurrence": sql_cooccurrence(_ORACLE_SF_DIR),
         "orders_diff_pruned": sql_orders_diff_pruned(_ORACLE_SF_DIR),
         "table_fingerprint": sql_table_fingerprint(_ORACLE_SF_DIR),
         "ngram_containment": sql_ngram_containment(_ORACLE_SF_DIR),

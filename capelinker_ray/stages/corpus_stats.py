@@ -34,7 +34,7 @@ from ..kernels.strdist import jaro_winkler_sim
 
 __all__ = ["add_group_count", "normalise_column", "uniformise_column",
            "add_group_uniqueness", "vocab_counts", "encode_tokens",
-           "pair_counts", "pmi_scores"]
+           "pair_counts", "pmi_scores", "cooccurrence_counts"]
 
 
 def add_group_count(ds, key_col: str, out_col: str = "group_count"):
@@ -374,3 +374,60 @@ def encode_tokens(ds, vocab, *, text_col: str = "text",
             "pos": df["pos"].astype(np.int64),
             "token_id": df["token_id"].fillna(unk_id).astype(np.int64)})
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def cooccurrence_counts(ds, text_col: str = "text", *, window: int = 4,
+                        min_count: int = 5):
+    """Ordered window co-occurrence counts — the skip-gram counting pass
+    of word-embedding / window-PMI pipelines (Church & Hanks 1990 window
+    association; word2vec-style contexts, both public): Dataset[
+    (left_tok, right_tok, n)] counting every pair (token[i], token[j])
+    with 1 <= j - i <= ``window``, never crossing a document boundary,
+    left = the earlier token. ``window=1`` reduces to :func:`pair_counts`.
+
+    Scale shape mirrors ``pair_counts``: each batch collapses to its own
+    distinct pairs via ONE two-key groupby over the concatenation of the
+    ``window`` offset zips (vectorized — no per-doc loop), so the
+    shuffle moves (pair, partial_n) rows; Zipf keeps partials small and
+    the ``min_count`` filter applies after the global sum."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df[text_col].where(df[text_col].notna(), "").str.split(" ")
+        lens = words.str.len().to_numpy(np.int64)
+        empty = pd.DataFrame({"left_tok": pd.Series(dtype=object),
+                              "right_tok": pd.Series(dtype=object),
+                              "n": pd.Series(dtype=np.int64)})
+        if not len(df) or int(lens.sum()) == 0:
+            return empty
+        flat = np.concatenate([np.asarray(w, dtype=object) for w in words])
+        doc_of = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+        lefts, rights = [], []
+        for k in range(1, window + 1):
+            if len(flat) <= k:
+                break
+            same = doc_of[:-k] == doc_of[k:]
+            l, r = flat[:-k][same], flat[k:][same]
+            ok = (l != "") & (r != "")
+            if ok.any():
+                lefts.append(l[ok])
+                rights.append(r[ok])
+        if not lefts:
+            return empty
+        out = (pd.DataFrame({"left_tok": np.concatenate(lefts),
+                             "right_tok": np.concatenate(rights)})
+               .groupby(["left_tok", "right_tok"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    from .grouped import grouped_map
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        tot = (df.groupby(["left_tok", "right_tok"], sort=False)["n"]
+               .sum().reset_index())
+        return tot[tot["n"] >= min_count]
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return grouped_map(partials, ["left_tok", "right_tok"], combine)

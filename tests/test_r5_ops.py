@@ -218,3 +218,27 @@ def test_cube_sum_all_grouping_sets(ray_session):
     finest = out[out["grouping_id"] == 0]
     nk = finest[finest["a"].isna()]
     assert len(nk) == 1 and float(nk["v"].iloc[0]) == 8.0
+
+
+def test_cooccurrence_counts_window_semantics(ray_session):
+    from capelinker_ray.stages.corpus_stats import (cooccurrence_counts,
+                                                    pair_counts)
+    df = pd.DataFrame({"text": ["a b c d", "a  c", None, "x"]})
+    out = (cooccurrence_counts(rd.from_pandas(df).repartition(3),
+                               window=2, min_count=1)
+           .to_pandas().set_index(["left_tok", "right_tok"])["n"])
+    # doc1 offsets 1: (a,b)(b,c)(c,d); offset 2: (a,c)(b,d)
+    # doc2 "a  c" -> ["a","","c"]: offset1 pairs have ""; offset2 (a,c)
+    assert out.loc[("a", "b")] == 1
+    assert out.loc[("a", "c")] == 2        # doc1 offset2 + doc2 offset2
+    assert out.loc[("b", "d")] == 1
+    assert ("c", "a") not in out.index     # ordered (left = earlier)
+    assert not any("" in k for k in out.index)  # empties never counted
+    # window=1 == pair_counts
+    a = (cooccurrence_counts(rd.from_pandas(df), window=1, min_count=1)
+         .to_pandas().sort_values(["left_tok", "right_tok"])
+         .reset_index(drop=True))
+    b = (pair_counts(rd.from_pandas(df), min_count=1)
+         .to_pandas().sort_values(["left_tok", "right_tok"])
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
