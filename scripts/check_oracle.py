@@ -69,11 +69,17 @@ def _query_hash(fn, sql: str | None) -> str:
         h.update(repr(fn).encode())
     h.update((sql or "").encode())
     seen = set()
+    own = getattr(fn, "__module__", "")
     g = getattr(fn, "__globals__", {})
     for name in getattr(getattr(fn, "__code__", None), "co_names", ()):
         obj = g.get(name)
         mod = getattr(obj, "__module__", None) or (
             obj.__name__ if hasattr(obj, "__file__") else None)
+        # the defining module (queries.py) is excluded: the fn's own
+        # source is already hashed, and hashing the whole registry file
+        # would invalidate all 130 queries on every new-query commit
+        if mod == own:
+            continue
         if mod and mod.startswith("capelinker_ray") and mod not in seen:
             seen.add(mod)
             mfile = getattr(sys.modules.get(mod), "__file__", None)
