@@ -18,7 +18,8 @@ TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 __all__ = ["TRANSCRIPT_COLUMNS", "read_transcripts", "read_table",
            "read_labeled_pairs", "read_jsonl", "write_partitioned",
-           "adaptive_partitions", "read_parquet_clean", "read_ipc", "write_ipc"]
+           "adaptive_partitions", "read_parquet_clean", "read_ipc", "write_ipc",
+           "write_hive_partitioned", "read_hive"]
 
 
 def _clean_schema(path: str):
@@ -180,3 +181,53 @@ def write_ipc(ds, path: str) -> list[str]:
     manifest = ds.map_batches(write_block, batch_format="pyarrow",
                               batch_size=None).to_pandas()
     return sorted(manifest["path"].tolist())
+
+
+def write_hive_partitioned(ds, path: str, partition_cols: list[str],
+                           **kwargs) -> None:
+    """Hive-layout Parquet sink: one ``key=value`` directory per partition
+    value combination, one-or-more files per block within — the resumable
+    100-TB OUTPUT layout (a failed run lists finished partition dirs and
+    skips them; downstream readers prune directories instead of footers).
+    Thin, named wrapper over Ray's native ``partition_cols`` so pipelines
+    state the layout contract explicitly."""
+    ds.write_parquet(path, partition_cols=list(partition_cols), **kwargs)
+
+
+def read_hive(path: str, *, columns: list[str] | None = None,
+              partition_filter: dict | None = None, **kwargs):
+    """Read a hive-partitioned Parquet directory with PARTITION PRUNING
+    pushed into the file listing: ``partition_filter={"lang": ["en"],
+    "source": ["web"]}`` reads only the matching ``key=value``
+    subdirectories — no footer of any other partition is ever opened
+    (the directory-level analog of the column pruning every source here
+    does). Values are compared as their string directory encoding."""
+    import os
+
+    if not partition_filter:
+        return read_parquet_clean(path, columns=columns, **kwargs)
+
+    def matches(rel: str) -> bool:
+        parts = dict(seg.split("=", 1) for seg in rel.split(os.sep)
+                     if "=" in seg)
+        for k, allowed in partition_filter.items():
+            allowed = ([str(v) for v in allowed]
+                       if isinstance(allowed, (list, tuple, set))
+                       else [str(allowed)])
+            if k in parts and parts[k] not in allowed:
+                return False
+        return True
+
+    files = []
+    for root, _dirs, fnames in os.walk(path):
+        rel = os.path.relpath(root, path)
+        if rel != "." and not matches(rel):
+            continue
+        files.extend(os.path.join(root, f) for f in fnames
+                     if f.endswith(".parquet"))
+    if not files:
+        raise FileNotFoundError(
+            f"no parquet files under {path} match {partition_filter}")
+    # partition columns live in the directory names; Ray re-derives them
+    # from the paths of the pruned file list
+    return rd.read_parquet(sorted(files), columns=columns, **kwargs)

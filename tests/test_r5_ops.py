@@ -242,3 +242,26 @@ def test_cooccurrence_counts_window_semantics(ray_session):
          .to_pandas().sort_values(["left_tok", "right_tok"])
          .reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_hive_partitioned_roundtrip_and_prune(ray_session, tmp_path):
+    from capelinker_ray.sources.io import read_hive, write_hive_partitioned
+    df = pd.DataFrame({"lang": ["en", "fr", "de"] * 40,
+                       "doc_id": np.arange(120, dtype=np.int64)})
+    write_hive_partitioned(rd.from_pandas(df).repartition(3),
+                           str(tmp_path), ["lang"])
+    import os
+    assert sorted(d for d in os.listdir(tmp_path)
+                  if d.startswith("lang=")) == \
+        ["lang=de", "lang=en", "lang=fr"]
+    full = read_hive(str(tmp_path)).to_pandas()
+    assert len(full) == 120
+    pruned = read_hive(str(tmp_path),
+                       partition_filter={"lang": ["en", "fr"]}).to_pandas()
+    assert len(pruned) == 80
+    assert sorted(pruned["lang"].astype(str).unique()) == ["en", "fr"]
+    only_en = read_hive(str(tmp_path), partition_filter={"lang": "en"})
+    assert only_en.count() == 40
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        read_hive(str(tmp_path), partition_filter={"lang": ["zz"]})
