@@ -736,8 +736,12 @@ def q_nation_revenue(sf_dir: str):
                              columns=["o_custkey", "o_totalprice"])
     cust = _rpc(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_nationkey"])
-    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
-                             columns=["n_nationkey", "n_name"])
+    # constant-size dimension (25 rows): column-pruned Arrow read straight
+    # into the broadcast side — no Ray dataset, no pandas metadata
+    import pyarrow.parquet as pq
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]
+                           ).replace_schema_metadata(None)
     oc = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
                    how="inner",
                    num_partitions=adaptive_partitions(
