@@ -4529,6 +4529,36 @@ FROM p WHERE left_tok <> '' AND right_tok <> ''
 GROUP BY left_tok, right_tok HAVING count(*) >= 5"""
 
 
+def q_dedup_canonical(sf_dir: str):
+    """Canonicalization-keyed exact dedup (stages/normalize.py
+    canonicalize_for_dedup -> stages/dedup.py exact_dedup): documents
+    differing only in case / digits / punctuation / whitespace collapse
+    to one canonical key; keep the min doc_id per key — the cheap
+    trivial-variant pass that runs before the near-dup family."""
+    from ..stages.dedup import exact_dedup
+    from ..stages.normalize import canonicalize_for_dedup
+    docs = _rpc(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text"])
+    canon = canonicalize_for_dedup(docs)
+    return exact_dedup(canon.select_columns(["doc_id", "text_canon"]),
+                       key_col="text_canon", id_col="doc_id")
+
+
+def sql_dedup_canonical(sf_dir: str) -> str:
+    # step-for-step twin of the pyarrow kernel chain (RE2 class shared)
+    return r"""WITH c AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(lower(coalesce(text, '')), '[0-9][0-9.,]*', '0', 'g'),
+             '[!"#$%&''()*+,\-./:;<=>?@\[\\]^_`{|}~]', ' ', 'g'),
+           '\s+', ' ', 'g')) AS text_canon
+  FROM documents
+)
+SELECT text_canon, CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+FROM c GROUP BY text_canon"""
+
+
 def build_queries() -> dict:
     return {
         # Ordered for driver evidence rotation (r5): the driver snapshots the
@@ -4586,6 +4616,7 @@ def build_queries() -> dict:
         "grouped_heavy_hitters": q_grouped_heavy_hitters,
         "lineitem_cube": q_lineitem_cube,
         "cooccurrence": q_cooccurrence,
+        "dedup_canonical": q_dedup_canonical,
         "numeric_band": q_numeric_band,
         "embedding_dup": q_embedding_dup,
         "bigram_candidates": q_bigram_candidates,
@@ -4676,6 +4707,7 @@ def build_oracle_sql() -> dict:
         "grouped_heavy_hitters": sql_grouped_heavy_hitters(_ORACLE_SF_DIR),
         "lineitem_cube": sql_lineitem_cube(_ORACLE_SF_DIR),
         "cooccurrence": sql_cooccurrence(_ORACLE_SF_DIR),
+        "dedup_canonical": sql_dedup_canonical(_ORACLE_SF_DIR),
         "orders_diff_pruned": sql_orders_diff_pruned(_ORACLE_SF_DIR),
         "table_fingerprint": sql_table_fingerprint(_ORACLE_SF_DIR),
         "ngram_containment": sql_ngram_containment(_ORACLE_SF_DIR),

@@ -76,3 +76,42 @@ def clean_documents(ds, *, text_col: str = "text",
 
     return ds.map_batches(clean, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def canonicalize_for_dedup(ds, *, text_col: str = "text",
+                           out_col: str = "text_canon",
+                           fold_digits: bool = True,
+                           strip_punct: bool = True,
+                           batch_size: int | None = None):
+    """Aggressive canonical form for DEDUP KEYING (CCNet-style
+    normalization, Wenzek et al. 2020, public): lowercase → every digit
+    run folded to ``0`` → punctuation stripped → whitespace runs
+    collapsed → trimmed. Two pages differing only in a timestamp, a view
+    counter, or punctuation spacing canonicalize to the SAME key, so
+    `exact_dedup` on ``out_col`` catches the trivial-variant duplicates
+    that survive byte-exact hashing (run BEFORE the near-dup family,
+    which is ~100× more expensive per doc).
+
+    All steps are vectorized pyarrow.compute regex/case kernels over
+    zero-copy Arrow batches — stateless, zero shuffle; the original
+    column is preserved. Nulls canonicalize to ''."""
+    import pyarrow as pa
+
+    def canon(batch: pa.Table) -> pa.Table:
+        x = pc.fill_null(batch[text_col].cast(pa.string()), "")
+        x = pc.utf8_lower(x)
+        if fold_digits:
+            # runs INCLUDING , . separators: "1,234.5" -> one "0" (view
+            # counters / timestamps of any format collapse to one token)
+            x = pc.replace_substring_regex(x, r"[0-9][0-9.,]*", "0")
+        if strip_punct:
+            # RE2 class shared with the SQL twin: ASCII punctuation only
+            # (unicode punctuation classes differ between engines)
+            x = pc.replace_substring_regex(
+                x, r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]""", " ")
+        x = pc.replace_substring_regex(x, r"\s+", " ")
+        x = pc.utf8_trim_whitespace(x)
+        return batch.append_column(out_col, x)
+
+    return ds.map_batches(canon, batch_format="pyarrow",
+                          batch_size=batch_size)

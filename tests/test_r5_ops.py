@@ -265,3 +265,19 @@ def test_hive_partitioned_roundtrip_and_prune(ray_session, tmp_path):
     import pytest
     with pytest.raises(FileNotFoundError):
         read_hive(str(tmp_path), partition_filter={"lang": ["zz"]})
+
+
+def test_canonicalize_for_dedup_folds_trivial_variants(ray_session):
+    from capelinker_ray.stages.normalize import canonicalize_for_dedup
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "text": ["Breaking News: 1,234 views!!",
+                                "breaking   news 99 VIEWS",
+                                "entirely different document",
+                                None]})
+    out = (canonicalize_for_dedup(rd.from_pandas(df))
+           .to_pandas().set_index("doc_id"))
+    assert out.loc[1, "text_canon"] == out.loc[2, "text_canon"] \
+        == "breaking news 0 views"
+    assert out.loc[3, "text_canon"] == "entirely different document"
+    assert out.loc[4, "text_canon"] == ""
+    assert out.loc[1, "text"] == "Breaking News: 1,234 views!!"  # preserved
