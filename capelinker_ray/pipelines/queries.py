@@ -4559,6 +4559,36 @@ SELECT text_canon, CAST(min(doc_id) AS BIGINT) AS keep_doc_id
 FROM c GROUP BY text_canon"""
 
 
+def q_script_stats(sf_dir: str):
+    """Per-doc Unicode-script composition (stages/textstats.py
+    add_script_stats — the pipeline-routing signal; RE2 \\p{Script}
+    classes shared verbatim with the oracle)."""
+    from ..stages.textstats import add_script_stats
+    docs = _rpc(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text"])
+    out = add_script_stats(docs, scripts=("Latin", "Han"))
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "n_cp": df["n_cp"].astype(np.int64),
+            "latin_frac": df["latin_frac"].astype(np.float64),
+            "han_frac": df["han_frac"].astype(np.float64)})
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def sql_script_stats(sf_dir: str) -> str:
+    return r"""SELECT doc_id,
+       CAST(length(coalesce(text, '')) AS BIGINT) AS n_cp,
+       round(len(regexp_extract_all(coalesce(text, ''), '\p{Latin}'))
+             / greatest(length(coalesce(text, '')), 1)::DOUBLE, 6)
+         AS latin_frac,
+       round(len(regexp_extract_all(coalesce(text, ''), '\p{Han}'))
+             / greatest(length(coalesce(text, '')), 1)::DOUBLE, 6)
+         AS han_frac
+FROM documents"""
+
+
 def build_queries() -> dict:
     return {
         # Ordered for driver evidence rotation (r5): the driver snapshots the
@@ -4617,6 +4647,7 @@ def build_queries() -> dict:
         "lineitem_cube": q_lineitem_cube,
         "cooccurrence": q_cooccurrence,
         "dedup_canonical": q_dedup_canonical,
+        "script_stats": q_script_stats,
         "numeric_band": q_numeric_band,
         "embedding_dup": q_embedding_dup,
         "bigram_candidates": q_bigram_candidates,
@@ -4708,6 +4739,7 @@ def build_oracle_sql() -> dict:
         "lineitem_cube": sql_lineitem_cube(_ORACLE_SF_DIR),
         "cooccurrence": sql_cooccurrence(_ORACLE_SF_DIR),
         "dedup_canonical": sql_dedup_canonical(_ORACLE_SF_DIR),
+        "script_stats": sql_script_stats(_ORACLE_SF_DIR),
         "orders_diff_pruned": sql_orders_diff_pruned(_ORACLE_SF_DIR),
         "table_fingerprint": sql_table_fingerprint(_ORACLE_SF_DIR),
         "ngram_containment": sql_ngram_containment(_ORACLE_SF_DIR),

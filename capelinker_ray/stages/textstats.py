@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["add_token_counts", "add_quality_score", "add_lang_id",
-           "add_compression_ratio",
+           "add_compression_ratio", "add_script_stats",
            "add_fingerprint", "add_repetition_stats", "hash_embed",
            "add_char_entropy", "chunk_documents", "add_blocklist_stats"]
 
@@ -406,3 +406,38 @@ def add_compression_ratio(ds, text_col: str = "text",
         return df
 
     return ds.map_batches(fn, batch_format="pandas", batch_size=batch_size)
+
+
+def add_script_stats(ds, text_col: str = "text",
+                     scripts: tuple = ("Latin", "Han", "Cyrillic", "Arabic"),
+                     batch_size: int | None = None):
+    """Per-document Unicode-SCRIPT composition: for each named script a
+    ``<script,lower>_frac`` column (fraction of the doc's codepoints in
+    that script) plus ``n_cp`` — the script-routing signal that decides
+    which language-specific pipeline (tokenizer, LM gate, dedup shingle
+    size) a web document enters before any model runs. Fractions of
+    empty/null docs are 0.
+
+    Vectorized: one ``count_substring_regex`` RE2 ``\\p{Script}`` kernel
+    per script per batch over zero-copy Arrow (the class names are shared
+    verbatim with the DuckDB oracle's RE2), zero shuffle."""
+    import pyarrow as pa
+
+    def fn(batch: pa.Table) -> pa.Table:
+        x = pc.fill_null(batch[text_col].cast(pa.string()), "")
+        n = pc.utf8_length(x)
+        nf = pc.cast(n, pa.float64())
+        denom = pc.if_else(pc.greater(n, 0), nf, pa.scalar(1.0))
+        out = batch.append_column("n_cp", pc.cast(n, pa.int64()))
+        for sc in scripts:
+            c = pc.count_substring_regex(x, rf"\p{{{sc}}}")
+            frac = pc.divide(pc.cast(c, pa.float64()), denom)
+            # HALF-UP at 6 dp (DuckDB round parity; Arrow's round is
+            # half-to-even and diverges on exact ties like 105/128)
+            frac = pc.divide(pc.floor(
+                pc.add(pc.multiply(frac, 1e6), 0.5)), 1e6)
+            out = out.append_column(f"{sc.lower()}_frac", frac)
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          batch_size=batch_size)

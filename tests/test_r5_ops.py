@@ -281,3 +281,20 @@ def test_canonicalize_for_dedup_folds_trivial_variants(ray_session):
     assert out.loc[3, "text_canon"] == "entirely different document"
     assert out.loc[4, "text_canon"] == ""
     assert out.loc[1, "text"] == "Breaking News: 1,234 views!!"  # preserved
+
+
+def test_add_script_stats_composition(ray_session):
+    from capelinker_ray.stages.textstats import add_script_stats
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["hello 你好 мир", "", None]})
+    out = (add_script_stats(rd.from_pandas(df),
+                            scripts=("Latin", "Han", "Cyrillic"))
+           .to_pandas().set_index("doc_id"))
+    # "hello 你好 мир": 12 codepoints, 5 latin, 2 han, 3 cyrillic
+    assert out.loc[1, "n_cp"] == 12
+    assert abs(out.loc[1, "latin_frac"] - round(5 / 12, 6)) < 1e-9
+    assert abs(out.loc[1, "han_frac"] - round(2 / 12, 6)) < 1e-9
+    assert abs(out.loc[1, "cyrillic_frac"] - round(3 / 12, 6)) < 1e-9
+    for d in (2, 3):
+        assert out.loc[d, "n_cp"] == 0
+        assert out.loc[d, "latin_frac"] == 0.0
