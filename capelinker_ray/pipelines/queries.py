@@ -4589,6 +4589,53 @@ def sql_script_stats(sf_dir: str) -> str:
 FROM documents"""
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware near-dup family survivorship (stages/dedup.py
+    keep_best_per_family over minhash_lsh_dedup pairs): families closed
+    by connected components, each family keeps its longest doc
+    (n_chars DESC, ties min doc_id); singletons keep themselves."""
+    from ..stages.dedup import keep_best_per_family, minhash_lsh_dedup
+    docs = _rpc(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text", "n_chars"])
+    pairs = minhash_lsh_dedup(docs.select_columns(["doc_id", "text"]),
+                              jaccard_threshold=0.5)
+    return keep_best_per_family(docs, pairs)
+
+
+def sql_dedup_keep_best(sf_dir: str) -> str:
+    return f"""WITH RECURSIVE {_sql_minhash_ctes("documents")},
+links AS (
+  SELECT id_from, id_to FROM mh_eqv
+  WHERE CAST(list_sum(e) AS DOUBLE) / 64.0 >= 0.5
+    AND {_SQL_MINHASH_BAND_MATCH}
+),
+edges AS (
+  SELECT id_from AS u, id_to AS v FROM links
+  UNION ALL
+  SELECT id_to AS u, id_from AS v FROM links
+),
+walk(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+),
+fam AS (SELECT node AS doc_id, min(label) AS fam_id FROM walk GROUP BY node),
+fam_all AS (
+  SELECT d.doc_id, coalesce(f.fam_id, d.doc_id) AS fam_id
+  FROM documents d LEFT JOIN fam f ON f.doc_id = d.doc_id
+),
+best AS (
+  SELECT fam_id, doc_id AS keep_doc_id FROM (
+    SELECT fa.fam_id, fa.doc_id,
+           row_number() OVER (PARTITION BY fa.fam_id
+                              ORDER BY d.n_chars DESC, fa.doc_id) AS rn
+    FROM fam_all fa JOIN documents d ON d.doc_id = fa.doc_id)
+  WHERE rn = 1
+)
+SELECT fa.doc_id, b.keep_doc_id
+FROM fam_all fa JOIN best b ON b.fam_id = fa.fam_id"""
+
+
 def build_queries() -> dict:
     return {
         # Ordered for driver evidence rotation (r5): the driver snapshots the
@@ -4648,6 +4695,7 @@ def build_queries() -> dict:
         "cooccurrence": q_cooccurrence,
         "dedup_canonical": q_dedup_canonical,
         "script_stats": q_script_stats,
+        "dedup_keep_best": q_dedup_keep_best,
         "numeric_band": q_numeric_band,
         "embedding_dup": q_embedding_dup,
         "bigram_candidates": q_bigram_candidates,
@@ -4740,6 +4788,7 @@ def build_oracle_sql() -> dict:
         "cooccurrence": sql_cooccurrence(_ORACLE_SF_DIR),
         "dedup_canonical": sql_dedup_canonical(_ORACLE_SF_DIR),
         "script_stats": sql_script_stats(_ORACLE_SF_DIR),
+        "dedup_keep_best": sql_dedup_keep_best(_ORACLE_SF_DIR),
         "orders_diff_pruned": sql_orders_diff_pruned(_ORACLE_SF_DIR),
         "table_fingerprint": sql_table_fingerprint(_ORACLE_SF_DIR),
         "ngram_containment": sql_ngram_containment(_ORACLE_SF_DIR),

@@ -26,6 +26,7 @@ __all__ = [
     "simhash_signatures", "simhash_dup_pairs", "ngram_jaccard_pairs",
     "embedding_dup_pairs", "segment_dedup", "semantic_dedup",
     "incremental_dedup", "ngram_containment_pairs",
+    "keep_best_per_family",
 ]
 
 
@@ -1578,3 +1579,62 @@ def ngram_containment_pairs(ds, *, text_col: str = "text",
         return df
     tagged = ds.map_batches(tag, batch_format="pandas")
     return grouped_map(tagged, "_blk", lambda part: _pairs_in_block(part))
+
+
+def keep_best_per_family(docs, pairs, *, id_col: str = "doc_id",
+                         quality_col: str = "n_chars",
+                         num_partitions: int | None = None):
+    """Quality-aware near-dup SURVIVORSHIP: given a doc table and a
+    near-dup pair table (from any detector in this module), close the
+    pairs into families (connected components) and keep the HIGHEST-
+    ``quality_col`` doc per family (ties -> min id) — the RefinedWeb-style
+    'keep the best copy' policy, vs. the min-id policy of
+    ``exact_dedup``. Docs in no pair are their own singleton family and
+    keep themselves.
+
+    Returns Dataset[(id_col, keep_id_col)] — one row per input doc;
+    survivors are the rows where the two columns agree.
+
+    Scale shape: components close on the slim pair table (driver
+    union-find under the 5M-edge gate, distributed hash-min above);
+    family attach and the winner join are hash joins on the family key
+    (never a broadcast of the family table — #families ~ #docs); the
+    per-family argmax is one ``top_k_per_group(k=1)`` co-partition
+    shuffle."""
+    import pyarrow as pa
+
+    from .cluster import connected_components
+    from .join import hash_join
+    from .sampling import top_k_per_group
+
+    comps = connected_components(pairs, id_from="id_from", id_to="id_to",
+                                 num_partitions=num_partitions)
+
+    def to_int(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t["node"].cast(pa.int64()),
+                         "_fam": t["entity_id"]})
+
+    fam = comps.map_batches(to_int, batch_format="pyarrow")
+    slim = docs.select_columns([id_col, quality_col])
+    joined = hash_join(slim, fam, on=id_col, how="left",
+                       num_partitions=num_partitions)
+
+    def fill_singletons(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        f = pc.coalesce(t["_fam"], pc.cast(t[id_col], pa.string()))
+        return t.set_column(t.schema.get_field_index("_fam"), "_fam", f)
+
+    joined = joined.map_batches(fill_singletons, batch_format="pyarrow")
+    best = top_k_per_group(joined, "_fam", quality_col, id_col, k=1,
+                           ascending=False,
+                           num_partitions=num_partitions)
+
+    def keeper(t: pa.Table) -> pa.Table:
+        return pa.table({"_fam": t["_fam"],
+                         f"keep_{id_col}": t[id_col]})
+
+    winners = best.map_batches(keeper, batch_format="pyarrow")
+    out = hash_join(joined.select_columns([id_col, "_fam"]), winners,
+                    on="_fam", how="inner",
+                    num_partitions=num_partitions)
+    return out.select_columns([id_col, f"keep_{id_col}"])

@@ -298,3 +298,24 @@ def test_add_script_stats_composition(ray_session):
     for d in (2, 3):
         assert out.loc[d, "n_cp"] == 0
         assert out.loc[d, "latin_frac"] == 0.0
+
+
+def test_keep_best_per_family(ray_session):
+    from capelinker_ray.stages.dedup import keep_best_per_family
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 4, 5], dtype=np.int64),
+        "n_chars": np.array([10, 50, 30, 7, 7], dtype=np.int64)})
+    # family {1,2,3} (chained pairs), family {4,5} (quality tie), no
+    # singleton pair for doc 6 -> absent; add doc 6 as singleton
+    docs = pd.concat([docs, pd.DataFrame({"doc_id": [6],
+                                          "n_chars": [99]})],
+                     ignore_index=True)
+    pairs = pd.DataFrame({"id_from": np.array([1, 2, 4], dtype=np.int64),
+                          "id_to": np.array([2, 3, 5], dtype=np.int64)})
+    out = (keep_best_per_family(rd.from_pandas(docs).repartition(3),
+                                rd.from_pandas(pairs))
+           .to_pandas().set_index("doc_id").sort_index())
+    assert len(out) == 6
+    assert list(out.loc[[1, 2, 3], "keep_doc_id"]) == [2, 2, 2]  # longest
+    assert list(out.loc[[4, 5], "keep_doc_id"]) == [4, 4]        # tie->min
+    assert out.loc[6, "keep_doc_id"] == 6                        # singleton
