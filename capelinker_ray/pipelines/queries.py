@@ -4636,6 +4636,44 @@ SELECT fa.doc_id, b.keep_doc_id
 FROM fam_all fa JOIN best b ON b.fam_id = fa.fam_id"""
 
 
+def q_incremental_minhash(sf_dir: str):
+    """Near-dup dedup of a new ingest (odd doc_ids) vs a FROZEN corpus
+    (even doc_ids) — stages/dedup.py incremental_minhash_dedup: a new
+    doc drops when it near-dups any frozen doc or a smaller-id new doc
+    (pairwise keep-first); survivors keep full columns."""
+    from ..stages.dedup import incremental_minhash_dedup
+    docs = _rpc(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text", "n_chars"])
+
+    def odd(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["doc_id"] % 2 == 1]
+
+    def even(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["doc_id"] % 2 == 0]
+
+    new = docs.map_batches(odd, batch_format="pandas")
+    frz = docs.map_batches(even, batch_format="pandas")
+    out = incremental_minhash_dedup(new, frz, jaccard_threshold=0.5)
+    return out.select_columns(["doc_id", "n_chars"])
+
+
+def sql_incremental_minhash(sf_dir: str) -> str:
+    return f"""WITH {_sql_minhash_ctes("documents")},
+pr AS (
+  SELECT id_from, id_to FROM mh_eqv
+  WHERE CAST(list_sum(e) AS DOUBLE) / 64.0 >= 0.5
+    AND {_SQL_MINHASH_BAND_MATCH}
+),
+dropped AS (
+  SELECT id_to AS doc_id FROM pr WHERE id_to % 2 = 1
+  UNION
+  SELECT id_from FROM pr WHERE id_from % 2 = 1 AND id_to % 2 = 0
+)
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id % 2 = 1
+  AND doc_id NOT IN (SELECT doc_id FROM dropped)"""
+
+
 def build_queries() -> dict:
     return {
         # Ordered for driver evidence rotation (r5): the driver snapshots the
@@ -4696,6 +4734,7 @@ def build_queries() -> dict:
         "dedup_canonical": q_dedup_canonical,
         "script_stats": q_script_stats,
         "dedup_keep_best": q_dedup_keep_best,
+        "incremental_minhash": q_incremental_minhash,
         "numeric_band": q_numeric_band,
         "embedding_dup": q_embedding_dup,
         "bigram_candidates": q_bigram_candidates,
@@ -4789,6 +4828,7 @@ def build_oracle_sql() -> dict:
         "dedup_canonical": sql_dedup_canonical(_ORACLE_SF_DIR),
         "script_stats": sql_script_stats(_ORACLE_SF_DIR),
         "dedup_keep_best": sql_dedup_keep_best(_ORACLE_SF_DIR),
+        "incremental_minhash": sql_incremental_minhash(_ORACLE_SF_DIR),
         "orders_diff_pruned": sql_orders_diff_pruned(_ORACLE_SF_DIR),
         "table_fingerprint": sql_table_fingerprint(_ORACLE_SF_DIR),
         "ngram_containment": sql_ngram_containment(_ORACLE_SF_DIR),

@@ -26,7 +26,7 @@ __all__ = [
     "simhash_signatures", "simhash_dup_pairs", "ngram_jaccard_pairs",
     "embedding_dup_pairs", "segment_dedup", "semantic_dedup",
     "incremental_dedup", "ngram_containment_pairs",
-    "keep_best_per_family",
+    "keep_best_per_family", "incremental_minhash_dedup",
 ]
 
 
@@ -1638,3 +1638,75 @@ def keep_best_per_family(docs, pairs, *, id_col: str = "doc_id",
                     on="_fam", how="inner",
                     num_partitions=num_partitions)
     return out.select_columns([id_col, f"keep_{id_col}"])
+
+
+def incremental_minhash_dedup(new_ds, frozen_ds, *,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              num_perm: int = 64, bands: int = 16,
+                              shingle_k: int = 5,
+                              jaccard_threshold: float = 0.5):
+    """NEAR-dup dedup of a NEW ingest batch against a FROZEN corpus — the
+    production sibling of :func:`incremental_dedup` for the MinHash-LSH
+    family: a new doc is dropped when it near-dups ANY frozen doc, or a
+    smaller-id doc within its own increment (the deterministic pairwise
+    keep-first policy of LSH dedup). The frozen corpus is never modified
+    and never re-deduped against itself. Ids must be globally unique
+    across both sides. Output: the surviving new rows, full columns.
+
+    Scale shape: one LSH pair detection over the tagged union (slim
+    (id, band_key) shuffle + signature re-join above the corpus
+    threshold — :func:`minhash_lsh_dedup`'s layouts apply unchanged),
+    two slim hash joins attach each pair end's side bit, and the drop
+    set anti-joins the increment. Nothing ever broadcasts the frozen
+    corpus."""
+    from .grouped import typed_or_empty
+    from .join import hash_join
+
+    slim_new = new_ds.select_columns([id_col, text_col])
+    slim_frz = frozen_ds.select_columns([id_col, text_col])
+    union = slim_new.union(slim_frz)
+    pairs = minhash_lsh_dedup(union, text_col=text_col, id_col=id_col,
+                              num_perm=num_perm, bands=bands,
+                              shingle_k=shingle_k,
+                              jaccard_threshold=jaccard_threshold)
+
+    def side_rows(is_new: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({id_col: df[id_col].astype(np.int64),
+                                 "_new": np.int8(is_new)})
+        return fn
+
+    sides = (slim_new.map_batches(side_rows(1), batch_format="pandas")
+             .union(slim_frz.map_batches(side_rows(0),
+                                         batch_format="pandas")))
+
+    p = hash_join(pairs.select_columns(["id_from", "id_to"]),
+                  sides.map_batches(
+                      lambda d: d.rename(columns={id_col: "id_to",
+                                                  "_new": "_new_to"}),
+                      batch_format="pandas"),
+                  on="id_to", how="inner")
+    p = hash_join(p,
+                  sides.map_batches(
+                      lambda d: d.rename(columns={id_col: "id_from",
+                                                  "_new": "_new_from"}),
+                      batch_format="pandas"),
+                  on="id_from", how="inner")
+
+    def dropped_ids(df: pd.DataFrame) -> pd.DataFrame:
+        # id_from < id_to by construction: the larger end of a
+        # new-vs-anything pair drops; the smaller end drops only when its
+        # partner is frozen
+        out = []
+        nt = df["_new_to"].to_numpy() == 1
+        nf = df["_new_from"].to_numpy() == 1
+        ft = df["_new_to"].to_numpy() == 0
+        out.append(df.loc[nt, "id_to"])
+        out.append(df.loc[nf & ft, "id_from"])
+        ids = pd.concat(out, ignore_index=True).drop_duplicates()
+        return typed_or_empty(pd.DataFrame({id_col:
+                                            ids.astype(np.int64)}))
+
+    dropped = p.map_batches(dropped_ids, batch_format="pandas")
+    return hash_join(new_ds, dropped, on=id_col, how="anti")

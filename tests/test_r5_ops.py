@@ -319,3 +319,27 @@ def test_keep_best_per_family(ray_session):
     assert list(out.loc[[1, 2, 3], "keep_doc_id"]) == [2, 2, 2]  # longest
     assert list(out.loc[[4, 5], "keep_doc_id"]) == [4, 4]        # tie->min
     assert out.loc[6, "keep_doc_id"] == 6                        # singleton
+
+
+def test_incremental_minhash_dedup_policies(ray_session):
+    from capelinker_ray.stages.dedup import incremental_minhash_dedup
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    frz = pd.DataFrame({"doc_id": np.array([0, 2], dtype=np.int64),
+                        "text": [base, "completely unrelated frozen text "
+                                       "about cooking pasta al dente"]})
+    new = pd.DataFrame({
+        "doc_id": np.array([1, 3, 5, 7], dtype=np.int64),
+        "text": [base + "!",                    # near-dups frozen 0 -> drop
+                 "fresh unique content about astronomy and telescopes "
+                 "pointed at the andromeda galaxy",
+                 "fresh unique content about astronomy and telescopes "
+                 "pointed at the andromeda galaxy?",  # near-dups 3 -> drop
+                 "another standalone document mentioning nothing else"]})
+    out = (incremental_minhash_dedup(rd.from_pandas(new),
+                                     rd.from_pandas(frz),
+                                     jaccard_threshold=0.5)
+           .to_pandas().sort_values("doc_id"))
+    assert list(out["doc_id"]) == [3, 7]
+    assert set(out.columns) == {"doc_id", "text"}
+    # frozen side is untouched by contract: only new rows are returned
