@@ -4726,7 +4726,6 @@ def build_queries() -> dict:
         "ngram_containment": q_ngram_containment,
         "robust_scale": q_robust_scale,
         "epoch_shuffle": q_epoch_shuffle,
-        "compression_ratio": q_compression_ratio,
         "orders_diff_pruned": q_orders_diff_pruned,
         "grouped_heavy_hitters": q_grouped_heavy_hitters,
         "lineitem_cube": q_lineitem_cube,
@@ -4735,6 +4734,9 @@ def build_queries() -> dict:
         "script_stats": q_script_stats,
         "dedup_keep_best": q_dedup_keep_best,
         "incremental_minhash": q_incremental_minhash,
+        # rows-only (no SQL twin) -> placed after the oracle-backed
+        # r5 block so driver slots go to value-exact checks first
+        "compression_ratio": q_compression_ratio,
         "numeric_band": q_numeric_band,
         "embedding_dup": q_embedding_dup,
         "bigram_candidates": q_bigram_candidates,
