@@ -343,3 +343,66 @@ def test_incremental_minhash_dedup_policies(ray_session):
     assert list(out["doc_id"]) == [3, 7]
     assert set(out.columns) == {"doc_id", "text"}
     # frozen side is untouched by contract: only new rows are returned
+
+
+# --- hypothesis properties over the r5 operators -------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 500), st.integers(0, 50)),
+                min_size=1, max_size=300))
+def test_table_fingerprint_permutation_invariant_prop(ray_session, rows):
+    from capelinker_ray.stages.agg import table_fingerprint
+    df = pd.DataFrame(rows, columns=["k", "m"]).astype(np.int64)
+    a = (table_fingerprint(rd.from_pandas(df), "k", "m", buckets=16)
+         .to_pandas().sort_values("bucket").reset_index(drop=True))
+    perm = df.sample(frac=1.0, random_state=0).reset_index(drop=True)
+    b = (table_fingerprint(rd.from_pandas(perm).repartition(3),
+                           "k", "m", buckets=16)
+         .to_pandas().sort_values("bucket").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert int(a["n"].sum()) == len(df)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=30),
+                min_size=1, max_size=40),
+       st.integers(1, 3))
+def test_cooccurrence_matches_bruteforce_prop(ray_session, docs, window):
+    from capelinker_ray.stages.corpus_stats import cooccurrence_counts
+    import collections
+    df = pd.DataFrame({"text": docs})
+    got = (cooccurrence_counts(rd.from_pandas(df).repartition(2),
+                               window=window, min_count=1)
+           .to_pandas())
+    got_map = {(r.left_tok, r.right_tok): r.n for r in got.itertuples()}
+    want = collections.Counter()
+    for d in docs:
+        toks = d.split(" ")
+        for i, a in enumerate(toks):
+            for j in range(i + 1, min(i + window + 1, len(toks))):
+                b = toks[j]
+                if a and b:
+                    want[(a, b)] += 1
+    assert got_map == dict(want)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.sampled_from(["x", "y"]),
+                          st.floats(-100, 100)),
+                min_size=2, max_size=200))
+def test_grouped_robust_scale_partition_invariant_prop(ray_session, rows):
+    from capelinker_ray.stages.scan import grouped_robust_scale
+    df = pd.DataFrame(rows, columns=["g", "v"])
+    df["id"] = np.arange(len(df))
+    a = (grouped_robust_scale(rd.from_pandas(df), "g", "v")
+         .to_pandas().sort_values("id").reset_index(drop=True))
+    b = (grouped_robust_scale(rd.from_pandas(df).repartition(5), "g", "v")
+         .to_pandas().sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
